@@ -1,0 +1,129 @@
+"""Tanimoto distance over packed binary fingerprints (XLA path).
+
+Distance: ``1 - |a ∧ b| / |a ∨ b|`` over packed uint32 rows — semantics of
+usearch's b1 'tanimoto' metric (reference: README.md:47-53). Two compute
+strategies:
+
+* **SWAR popcount** (:func:`tanimoto_matrix`): pure jnp on the VPU. Works on
+  any backend; used as the correctness reference and for small gathers.
+* **MXU matmul** (:func:`tanimoto_matrix_mxu`): ``|a ∧ b| = a · b`` for 0/1
+  vectors, so the intersection popcount of a whole ``[B, N]`` distance matrix
+  is one bf16 matmul with f32 accumulation (exact: products are 0/1, sums
+  ≤ n_bits ≪ 2^24). Union via precomputed row popcounts:
+  ``|a ∨ b| = |a| + |b| − |a ∧ b|``. This is the idiomatic TPU mapping — the
+  FLOPs ride the systolic array instead of scalar popcount loops. The Pallas
+  kernel in :mod:`rad_tpu.fp.kernels` fuses the bit-unpack into the matmul to
+  keep HBM traffic at the 16×-compressed packed representation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rad_tpu.fp.pack import popcount, popcount_rows
+
+__all__ = [
+    "tanimoto_distance",
+    "tanimoto_matrix",
+    "tanimoto_matrix_mxu",
+    "unpack_to_dtype",
+    "bruteforce_topk",
+]
+
+
+def tanimoto_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Tanimoto distance between packed rows (broadcasting over leading dims).
+
+    ``a``: ``[..., W] uint32``, ``b``: ``[..., W] uint32`` → ``[...] float32``.
+    Empty ∪ empty is defined as distance 0 (identical empty sets).
+    """
+    inter = jnp.sum(popcount(a & b), axis=-1, dtype=jnp.int32)
+    union = jnp.sum(popcount(a | b), axis=-1, dtype=jnp.int32)
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+    return (1.0 - sim).astype(jnp.float32)
+
+
+def tanimoto_matrix(queries: jnp.ndarray, db: jnp.ndarray) -> jnp.ndarray:
+    """Dense distance matrix ``[B, N]`` via SWAR popcount on the VPU.
+
+    ``queries``: ``[B, W] uint32``; ``db``: ``[N, W] uint32``.
+    """
+    return tanimoto_distance(queries[:, None, :], db[None, :, :])
+
+
+def unpack_to_dtype(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack ``[..., W] uint32`` → ``[..., W*32]`` 0/1 values of ``dtype``."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(*packed.shape[:-1], packed.shape[-1] * 32).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=())
+def tanimoto_matrix_mxu(
+    q_unpacked: jnp.ndarray,
+    db_unpacked: jnp.ndarray,
+    q_pops: jnp.ndarray,
+    db_pops: jnp.ndarray,
+) -> jnp.ndarray:
+    """Distance matrix from pre-unpacked 0/1 bf16 operands via one MXU matmul.
+
+    ``q_unpacked``: ``[B, d] bf16``; ``db_unpacked``: ``[N, d] bf16``;
+    ``q_pops``: ``[B] int32``; ``db_pops``: ``[N] int32`` → ``[B, N] f32``.
+    """
+    inter = jnp.dot(
+        q_unpacked, db_unpacked.T, preferred_element_type=jnp.float32
+    )
+    union = q_pops[:, None].astype(jnp.float32) + db_pops[None, :].astype(
+        jnp.float32
+    ) - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
+    return 1.0 - sim
+
+
+@partial(jax.jit, static_argnames=("k",))
+def bruteforce_topk(queries: jnp.ndarray, db: jnp.ndarray, k: int):
+    """Exact k-NN by Tanimoto distance: ``([B, k] dists, [B, k] ids)``.
+
+    Ground truth for recall harnesses (BASELINE config 2) — the analogue of
+    brute-force validation in the reference's notebook workflow.
+    """
+    dists = tanimoto_matrix(queries, db)
+    neg, ids = jax.lax.top_k(-dists, k)
+    return -neg, ids
+
+
+def bruteforce_topk_blocked(queries, db, k, block: int = 1 << 16):
+    """Memory-bounded exact k-NN for large ``N``: scan over db blocks.
+
+    Keeps a running top-k merge so the full ``[B, N]`` matrix never
+    materialises. ``N`` must be a multiple of ``block`` after padding by the
+    caller, or it is padded here with empty rows (distance 1).
+    """
+    b = queries.shape[0]
+    n, w = db.shape
+    nblocks = -(-n // block)
+    pad = nblocks * block - n
+    if pad:
+        db = jnp.concatenate([db, jnp.zeros((pad, w), jnp.uint32)], axis=0)
+
+    def body(carry, db_blk_and_off):
+        best_d, best_i = carry
+        db_blk, off = db_blk_and_off
+        d = tanimoto_matrix(queries, db_blk)
+        ids = off + jnp.arange(block, dtype=jnp.int32)[None, :]
+        # Pad rows (beyond real N) get +inf so they never enter the top-k.
+        valid = ids < n
+        d = jnp.where(valid, d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, block))], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, k)
+        return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (jnp.full((b, k), jnp.inf), jnp.full((b, k), -1, jnp.int32))
+    offs = jnp.arange(nblocks, dtype=jnp.int32) * block
+    db_blocks = db.reshape(nblocks, block, w)
+    (best_d, best_i), _ = jax.lax.scan(body, init, (db_blocks, offs))
+    return best_d, best_i

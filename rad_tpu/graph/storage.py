@@ -1,0 +1,262 @@
+"""HNSW graph storage: fixed-degree padded adjacency over packed fingerprints.
+
+TPU-native replacement for usearch's variable-degree adjacency + b1 vector
+store (reference: the usearch submodule, surveyed via its call sites —
+rad/hnsw_service.py:219-232, rad/hnsw_server.py:144-161). Design choices:
+
+* **Padded per-layer tables**: layer ``l`` is an ``[N_l, M_l] int32`` matrix
+  with sentinel ``-1`` for absent edges; ``M_0 = 2*connectivity`` and
+  ``M_l = connectivity`` above (usearch convention). Static shapes → clean
+  XLA gathers, no CSR indirection on the hot path.
+* **Level-sorted ids**: internal node ids are assigned so levels are
+  non-increasing — node ids ``[0, N_l)`` are exactly the members of layer
+  ``l``. Upper-layer tables are therefore dense (no id remapping), the entry
+  point is node 0, and ``get_top_level_nodes`` is ``range(N_top)``.
+* **id vs key**: like usearch, internal node ids are dense slot indices and
+  user *keys* are arbitrary int64 (reference identity model:
+  rad/hnsw_service.py:46-57). ``keys[node_id] -> key``; the inverse map is a
+  host-side dict built lazily.
+
+The array fields form a pytree so a graph can be passed straight into jitted
+traversal/search code or sharded with ``jax.sharding``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["HNSWGraph", "LayerStats"]
+
+
+@dataclass
+class LayerStats:
+    """Per-layer statistics (parity with usearch ``levels_stats``,
+    reference rad/hnsw_server.py:144-161)."""
+
+    nodes: int
+    edges: int
+    max_edges: int
+    allocated_bytes: int
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class HNSWGraph:
+    """An HNSW graph over packed binary fingerprints.
+
+    Array fields (pytree leaves):
+      packed:     [N, W] uint32 — packed fingerprints (W = ndim/32)
+      popcounts:  [N] int32     — per-row set-bit counts (precomputed)
+      keys:       [N] int64     — node_id -> user key
+      levels:     [N] int32     — node_id -> max layer (non-increasing in id)
+      neighbors:  tuple over layers l of [N_l, M_l] int32, -1-padded
+
+    Static fields (aux data):
+      ndim, connectivity, layer_sizes
+    """
+
+    packed: jnp.ndarray
+    popcounts: jnp.ndarray
+    keys: jnp.ndarray
+    levels: jnp.ndarray
+    neighbors: Tuple[jnp.ndarray, ...]
+    ndim: int
+    connectivity: int
+
+    _key_to_id: Dict[int, int] | None = dataclasses.field(
+        default=None, repr=False, compare=False
+    )
+
+    # ---------------------------------------------------------------- pytree
+    def tree_flatten(self):
+        leaves = (self.packed, self.popcounts, self.keys, self.levels,
+                  self.neighbors)
+        aux = (self.ndim, self.connectivity)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        packed, popcounts, keys, levels, neighbors = leaves
+        ndim, connectivity = aux
+        return cls(packed, popcounts, keys, levels, tuple(neighbors),
+                   ndim, connectivity)
+
+    # ------------------------------------------------------------ properties
+    def __len__(self) -> int:
+        return int(self.packed.shape[0])
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    @property
+    def max_level(self) -> int:
+        """Top layer index (usearch ``index.max_level``)."""
+        return len(self.neighbors) - 1
+
+    @property
+    def dtype(self) -> str:
+        return "b1"  # packed-bit storage, parity with usearch ScalarKind.B1
+
+    @property
+    def multi(self) -> bool:
+        return False
+
+    @property
+    def capacity(self) -> int:
+        return len(self)
+
+    @property
+    def memory_usage(self) -> int:
+        """Bytes across all array fields (usearch ``index.memory_usage``)."""
+        total = 0
+        for arr in (self.packed, self.popcounts, self.keys, self.levels,
+                    *self.neighbors):
+            total += arr.size * arr.dtype.itemsize
+        return int(total)
+
+    @property
+    def layer_sizes(self) -> Tuple[int, ...]:
+        return tuple(int(t.shape[0]) for t in self.neighbors)
+
+    def levels_stats(self) -> List[LayerStats]:
+        """Per-layer node/edge stats (reference rad/hnsw_server.py:144-161)."""
+        stats = []
+        for table in self.neighbors:
+            t = np.asarray(table)
+            stats.append(
+                LayerStats(
+                    nodes=int(t.shape[0]),
+                    edges=int((t >= 0).sum()),
+                    max_edges=int(t.shape[0] * t.shape[1]),
+                    allocated_bytes=int(t.size * t.dtype.itemsize),
+                )
+            )
+        return stats
+
+    # ----------------------------------------------------------- fork API
+    # TPU-native equivalents of the usearch fork's graph introspection
+    # (reference rad/hnsw_service.py:219-232, examples/DUDEZ_example.ipynb:408).
+    def get_neighbors(self, node_id: int, level: int) -> List[int]:
+        """Adjacency of ``node_id`` at ``level`` as ``[id, key, id, key, ...]``.
+
+        Flat alternating format — parity with the usearch fork's
+        ``get_neighbors`` (reference rad/hnsw_service.py:219-225). Raises on
+        an invalid (node, level) combination like the fork does
+        (reference rad/hnsw_server.py:480-487).
+        """
+        if not 0 <= node_id < len(self):
+            raise ValueError(f"node_id {node_id} out of range [0, {len(self)})")
+        if not 0 <= level <= self.max_level:
+            raise ValueError(
+                f"level {level} out of range [0, {self.max_level}]")
+        if node_id >= self.layer_sizes[level]:
+            raise ValueError(
+                f"node {node_id} does not exist on level {level}")
+        row = np.asarray(self.neighbors[level][node_id])
+        ids = row[row >= 0]
+        keys = np.asarray(self.keys)[ids]
+        out: List[int] = []
+        for i, k in zip(ids.tolist(), keys.tolist()):
+            out.extend((int(i), int(k)))
+        return out
+
+    def get_top_level_nodes(self) -> List[int]:
+        """All nodes on the top layer as ``[id, key, ...]`` (fork parity)."""
+        n_top = self.layer_sizes[self.max_level]
+        keys = np.asarray(self.keys)[:n_top]
+        out: List[int] = []
+        for i in range(n_top):
+            out.extend((i, int(keys[i])))
+        return out
+
+    def get_node_ids_from_keys(self, keys: Sequence[int]) -> List[int]:
+        """Map user keys → internal node ids (fork parity,
+        reference examples/DUDEZ_example.ipynb:405-409)."""
+        if self._key_to_id is None:
+            host_keys = np.asarray(self.keys)
+            object.__setattr__(
+                self, "_key_to_id",
+                {int(k): i for i, k in enumerate(host_keys.tolist())},
+            )
+        return [self._key_to_id[int(k)] for k in keys]
+
+    # -------------------------------------------------------------- persist
+    def save(self, path: str) -> None:
+        """Persist to an ``.npz`` (analogue of usearch file persistence)."""
+        arrays = {
+            "packed": np.asarray(self.packed),
+            "popcounts": np.asarray(self.popcounts),
+            "keys": np.asarray(self.keys),
+            "levels": np.asarray(self.levels),
+        }
+        for l, t in enumerate(self.neighbors):
+            arrays[f"neighbors_{l}"] = np.asarray(t)
+        meta = {
+            "ndim": self.ndim,
+            "connectivity": self.connectivity,
+            "n_layers": len(self.neighbors),
+            "version": 1,
+        }
+        arrays["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), dtype=np.uint8
+        )
+        np.savez(path, **arrays)
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = True) -> "HNSWGraph":
+        """Load from ``.npz``. ``mmap=True`` memory-maps the arrays lazily —
+        the analogue of usearch ``Index(path=…, view=True)``
+        (reference scripts/start_hnsw_server.py:69)."""
+        data = np.load(path, mmap_mode="r" if mmap else None)
+        meta = json.loads(bytes(data["meta_json"]).decode())
+        neighbors = tuple(
+            data[f"neighbors_{l}"] for l in range(meta["n_layers"])
+        )
+        return cls(
+            packed=data["packed"],
+            popcounts=data["popcounts"],
+            keys=data["keys"],
+            levels=data["levels"],
+            neighbors=neighbors,
+            ndim=meta["ndim"],
+            connectivity=meta["connectivity"],
+        )
+
+    # --------------------------------------------------------------- device
+    def device_put(self, sharding=None) -> "HNSWGraph":
+        """Move all arrays to device (optionally with a sharding)."""
+        def put(x):
+            return jax.device_put(jnp.asarray(x), sharding) if sharding \
+                else jax.device_put(jnp.asarray(x))
+        return HNSWGraph(
+            packed=put(self.packed),
+            popcounts=put(self.popcounts),
+            keys=jnp.asarray(np.asarray(self.keys)),
+            levels=jnp.asarray(np.asarray(self.levels)),
+            neighbors=tuple(put(t) for t in self.neighbors),
+            ndim=self.ndim,
+            connectivity=self.connectivity,
+        )
+
+    def info(self) -> dict:
+        """Metadata dict (parity with get_hnsw_info,
+        reference rad/hnsw_service.py:400-412)."""
+        return {
+            "max_level": self.max_level,
+            "size": len(self),
+            "connectivity": self.connectivity,
+            "dtype": self.dtype,
+            "ndim": self.ndim,
+            "capacity": self.capacity,
+            "memory_usage": self.memory_usage,
+            "multi": self.multi,
+            "layer_sizes": list(self.layer_sizes),
+        }

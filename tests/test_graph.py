@@ -1,0 +1,146 @@
+"""Tests for HNSW graph storage + the host reference builder."""
+
+import numpy as np
+import pytest
+
+from rad_tpu.build.reference import build_hnsw, sample_levels, search_hnsw
+from rad_tpu.fp import random_fingerprints, tanimoto_matrix
+from rad_tpu.graph.storage import HNSWGraph
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def small_graph(request):
+    fps = random_fingerprints(200, n_bits=64, density=0.3, seed=42)
+    return build_hnsw(fps, connectivity=8, expansion_add=40, seed=0)
+
+
+def test_levels_sorted_and_layer_sizes(small_graph):
+    g = small_graph
+    levels = np.asarray(g.levels)
+    assert (np.diff(levels) <= 0).all(), "ids must be level-sorted descending"
+    for l, nl in enumerate(g.layer_sizes):
+        assert nl == int((levels >= l).sum())
+    assert g.layer_sizes[0] == len(g) == 200
+    assert g.max_level == int(levels[0])
+
+
+def test_level_distribution_geometric():
+    levels = sample_levels(20000, connectivity=16, seed=3)
+    frac_l1 = (levels >= 1).mean()
+    # P(level >= 1) = exp(-ln 16) = 1/16
+    assert 0.03 < frac_l1 < 0.10
+
+
+def test_adjacency_validity(small_graph):
+    g = small_graph
+    for l, table in enumerate(g.neighbors):
+        t = np.asarray(table)
+        cap = 2 * g.connectivity if l == 0 else g.connectivity
+        assert t.shape == (g.layer_sizes[l], cap)
+        valid = t[t >= 0]
+        # neighbors must exist on the same layer
+        assert (valid < g.layer_sizes[l]).all()
+        # no self loops
+        rows, _ = np.nonzero(t == np.arange(t.shape[0])[:, None])
+        assert rows.size == 0
+
+
+def test_graph_connected_layer0(small_graph):
+    """Every node reachable from the entry point on layer 0 (BFS)."""
+    t = np.asarray(small_graph.neighbors[0])
+    n = t.shape[0]
+    seen = np.zeros(n, bool)
+    stack = [0]
+    seen[0] = True
+    while stack:
+        u = stack.pop()
+        for v in t[u][t[u] >= 0]:
+            if not seen[v]:
+                seen[v] = True
+                stack.append(int(v))
+    assert seen.all(), f"{(~seen).sum()} nodes unreachable on layer 0"
+
+
+def test_fork_api_accessors(small_graph):
+    g = small_graph
+    # get_neighbors returns flat [id, key, id, key, ...] (fork parity)
+    out = g.get_neighbors(0, 0)
+    assert len(out) % 2 == 0 and len(out) > 0
+    ids, keys = out[0::2], out[1::2]
+    host_keys = np.asarray(g.keys)
+    for i, k in zip(ids, keys):
+        assert host_keys[i] == k
+    # top-level nodes
+    top = g.get_top_level_nodes()
+    assert len(top) == 2 * g.layer_sizes[g.max_level]
+    # key -> id round trip
+    some_keys = host_keys[[5, 17, 3]].tolist()
+    assert g.get_node_ids_from_keys(some_keys) == [5, 17, 3]
+    # invalid access raises (parity with rad/hnsw_server.py:480-487)
+    with pytest.raises(ValueError):
+        g.get_neighbors(len(g) + 5, 0)
+    with pytest.raises(ValueError):
+        g.get_neighbors(0, g.max_level + 3)
+    # a node that exists globally but not on the top layer raises
+    if g.max_level > 0 and g.layer_sizes[g.max_level] < len(g):
+        with pytest.raises(ValueError):
+            g.get_neighbors(len(g) - 1, g.max_level)
+
+
+def test_levels_stats(small_graph):
+    stats = small_graph.levels_stats()
+    assert len(stats) == small_graph.max_level + 1
+    assert stats[0].nodes == 200
+    assert stats[0].edges > 0
+    assert all(s.edges <= s.max_edges for s in stats)
+
+
+def test_save_load_roundtrip(tmp_path, small_graph):
+    path = str(tmp_path / "graph.npz")
+    small_graph.save(path)
+    loaded = HNSWGraph.load(path, mmap=True)
+    assert len(loaded) == len(small_graph)
+    assert loaded.connectivity == small_graph.connectivity
+    assert loaded.ndim == small_graph.ndim
+    np.testing.assert_array_equal(np.asarray(loaded.packed),
+                                  np.asarray(small_graph.packed))
+    for a, b in zip(loaded.neighbors, small_graph.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_search_recall_vs_bruteforce():
+    """Graph search must recover most true neighbors (recall oracle,
+    BASELINE metric #1)."""
+    fps = random_fingerprints(500, n_bits=256, density=0.2, seed=11)
+    g = build_hnsw(fps, connectivity=12, expansion_add=80, seed=1)
+    queries = random_fingerprints(20, n_bits=256, density=0.2, seed=99)
+    d, ids = search_hnsw(g, queries, k=10, expansion_search=120)
+    # brute force over the *level-sorted* packed matrix
+    full = np.asarray(
+        tanimoto_matrix(jnp.asarray(queries), jnp.asarray(np.asarray(g.packed)))
+    )
+    true_ids = np.argsort(full, axis=1, kind="stable")[:, :10]
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(true_ids[i].tolist())) / 10
+        for i in range(20)
+    ])
+    assert recall >= 0.85, f"recall@10 = {recall}"
+
+
+def test_search_self_query_finds_self(small_graph):
+    g = small_graph
+    q = np.asarray(g.packed)[[3, 50, 150]]
+    d, ids = search_hnsw(g, q, k=1, expansion_search=40)
+    assert (d[:, 0] == 0).all()
+
+
+def test_device_put_pytree(small_graph):
+    import jax
+    g = small_graph.device_put()
+    leaves, _ = jax.tree_util.tree_flatten(g)
+    assert all(isinstance(l, jax.Array) for l in leaves)
+    g2 = jax.tree_util.tree_map(lambda x: x, g)
+    assert isinstance(g2, HNSWGraph)
+    assert g2.connectivity == g.connectivity
