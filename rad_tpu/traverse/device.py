@@ -1,0 +1,375 @@
+"""Device-resident best-first traversal engine (the TPU-native hot path).
+
+The reference serializes its traversal state through Redis — ZSET frontier,
+visited SET, scored HASH, with Lua scripts for atomicity
+(rad/priority_queue.py, rad/visited.py, rad/scored.py) — because shared
+mutable state on CPU needs an external arbiter. Here the entire state lives
+in HBM as arrays and one jitted step performs pop → neighbor gather →
+dedup → frontier merge as a single compiled program: atomic *by construction*
+(SURVEY.md §7 design stance).
+
+Data layout
+-----------
+All per-layer structures are flattened by the *row* trick: because node ids
+are level-sorted (rad_tpu.graph.storage), layer ``l`` is the id range
+``[0, N_l)``, and the pair (node, level) maps to a single int32
+``row = layer_offset[l] + node`` with ``R = Σ_l N_l ≈ N·M/(M-1)`` total rows.
+The frontier stores (score, row); the per-(node, level) "visited/enqueued"
+set is one ``[R] bool``; the adjacency is one ``[R, M0] int32`` table.
+Level is recovered with a searchsorted over the (≤ ~8-entry) offset vector.
+
+Traversal-step semantics preserved exactly (SURVEY.md §0): pop the global
+minimum; expand its neighbors at its level; score each neighbor at most once
+globally; enqueue each (neighbor, level) at most once; descend the expanded
+node to level-1 with its own score; lower score = better.
+
+The user scoring function is host-side Python (a docking program / ML model),
+so the step is split at the scoring boundary into two jitted halves —
+``expand`` (pop + gather + emit unscored candidate ids) and ``integrate``
+(write scores + visited/enqueued updates + frontier merge) — driven by
+:class:`DeviceTraverser`, which overlaps host scoring of batch *k* with
+device expansion of batch *k+1* (the analogue of the reference's
+prefetch-proxy pipeline, rad/coordination_service.py:314-347).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rad_tpu.graph.storage import HNSWGraph
+
+__all__ = ["DeviceGraph", "TraversalState", "prepare_device_graph",
+           "init_state", "expand", "integrate", "prime"]
+
+INF = jnp.inf
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceGraph:
+    """Traversal view of an HNSWGraph: one flat padded adjacency table.
+
+    adj:        [R, M0] int32 — neighbor node ids, -1 padded; row r encodes
+                (node, level) per the row trick above.
+    offsets:    [L+2] int32 — layer_offset[l] = Σ_{l' < l} N_{l'};
+                offsets[L+1] = R sentinel.
+    """
+
+    adj: jnp.ndarray
+    offsets: jnp.ndarray
+    n_nodes: int
+    n_rows: int
+    m0: int
+    max_level: int
+
+    def tree_flatten(self):
+        return (self.adj, self.offsets), (self.n_nodes, self.n_rows, self.m0,
+                                          self.max_level)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        adj, offsets = leaves
+        return cls(adj, offsets, *aux)
+
+
+def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
+    """Flatten per-layer neighbor tables into the [R, M0] traversal table."""
+    m0 = max(int(t.shape[1]) for t in graph.neighbors)
+    sizes = graph.layer_sizes
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    r = int(offsets[-1])
+    adj = np.full((r, m0), -1, dtype=np.int32)
+    for l, t in enumerate(graph.neighbors):
+        t = np.asarray(t)
+        adj[offsets[l]:offsets[l] + t.shape[0], : t.shape[1]] = t
+    # offsets gets a trailing sentinel so searchsorted(side='right')-1 maps
+    # any row in [offsets[L], R) to level L.
+    offsets_arr = np.concatenate([offsets, [r]]).astype(np.int32)
+    return DeviceGraph(
+        adj=jnp.asarray(adj),
+        offsets=jnp.asarray(offsets_arr),
+        n_nodes=len(graph),
+        n_rows=r,
+        m0=m0,
+        max_level=graph.max_level,
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TraversalState:
+    """Device-resident traversal state (all static shapes).
+
+    f_score/f_row: [C] frontier slots (+inf score = empty).
+    enqueued:      [R] bool — (node, level) ever pushed to the frontier
+                   (replaces the Redis visited SET, rad/visited.py:17-29).
+    scored:        [N] bool; scores: [N] f32 — global once-only scoring
+                   record (replaces rad/scored.py:37-48).
+    order_log:     [cap] i32 — node ids in scoring order (insertion-order
+                   retrieval parity, rad/scored.py:63-85).
+    n_scored, n_dropped, n_steps: scalar counters (n_dropped counts finite
+    frontier entries lost to capacity-C overflow — observability for
+    capacity planning).
+    """
+
+    f_score: jnp.ndarray
+    f_row: jnp.ndarray
+    enqueued: jnp.ndarray
+    scored: jnp.ndarray
+    scores: jnp.ndarray
+    order_log: jnp.ndarray
+    n_scored: jnp.ndarray
+    n_dropped: jnp.ndarray
+    n_steps: jnp.ndarray
+
+    def tree_flatten(self):
+        return dataclasses.astuple(self), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def init_state(dg: DeviceGraph, frontier_capacity: int = 1 << 16,
+               log_capacity: int | None = None) -> TraversalState:
+    cap = log_capacity if log_capacity is not None else dg.n_nodes
+    return TraversalState(
+        f_score=jnp.full((frontier_capacity,), INF, jnp.float32),
+        f_row=jnp.zeros((frontier_capacity,), jnp.int32),
+        enqueued=jnp.zeros((dg.n_rows,), jnp.bool_),
+        scored=jnp.zeros((dg.n_nodes,), jnp.bool_),
+        scores=jnp.full((dg.n_nodes,), INF, jnp.float32),
+        order_log=jnp.full((cap,), -1, jnp.int32),
+        n_scored=jnp.zeros((), jnp.int32),
+        n_dropped=jnp.zeros((), jnp.int32),
+        n_steps=jnp.zeros((), jnp.int32),
+    )
+
+
+def _level_of_row(dg: DeviceGraph, row: jnp.ndarray) -> jnp.ndarray:
+    # offsets has L+2 entries with a sentinel; level = #offsets <= row - 1,
+    # clamped into [0, max_level].
+    lev = jnp.searchsorted(dg.offsets[: dg.max_level + 2], row,
+                           side="right") - 1
+    return jnp.clip(lev, 0, dg.max_level).astype(jnp.int32)
+
+
+def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
+    """Mask of first occurrences of each value (sentinel entries excluded),
+    computed in the *original* order via argsort + inverse scatter."""
+    n = values.shape[0]
+    perm = jnp.argsort(values, stable=True)
+    sorted_vals = values[perm]
+    prev = jnp.concatenate([jnp.array([-1], values.dtype), sorted_vals[:-1]])
+    first_sorted = (sorted_vals != prev) & (sorted_vals != sentinel)
+    first = jnp.zeros((n,), jnp.bool_).at[perm].set(first_sorted)
+    return first
+
+
+@partial(jax.jit, static_argnames=("batch",), donate_argnums=(0,))
+def expand(
+    state: TraversalState, dg: DeviceGraph, batch: int
+) -> Tuple[TraversalState, dict]:
+    """Pop the ``batch`` best frontier entries and gather their neighbors.
+
+    Returns the post-pop state and a dict of device arrays:
+      exp_node/exp_level/exp_score/exp_valid: [B] — the popped expansions.
+      cand:      [B, M0] neighbor node ids (-1 invalid).
+      to_score:  [B*M0] unique unscored node ids, compacted to the front,
+                 -1 padded — the batch handed to the host scoring bridge.
+    """
+    b = batch
+    neg, idx = jax.lax.top_k(-state.f_score, b)
+    pop_score = -neg
+    pop_row = state.f_row[idx]
+    valid = jnp.isfinite(pop_score)
+    f_score = state.f_score.at[idx].set(INF)
+
+    level = _level_of_row(dg, pop_row)
+    node = pop_row - dg.offsets[level]
+    safe_row = jnp.where(valid, pop_row, 0)
+    cand = jnp.where(valid[:, None], dg.adj[safe_row], -1)  # [B, M0]
+
+    n = dg.n_nodes
+    cand_flat = cand.reshape(-1)
+    cand_ok = cand_flat >= 0
+    safe_cand = jnp.where(cand_ok, cand_flat, 0)
+    unscored = cand_ok & ~state.scored[safe_cand]
+    ids = jnp.where(unscored, cand_flat, n)
+    # Unique unscored ids, compacted to the front *preserving adjacency
+    # order* — scoring order then matches the reference's per-work-item
+    # neighbor order exactly (rad/distributed_worker.py:296-308), which the
+    # insertion-order result API exposes.
+    mask = unscored & _first_occurrence(ids, n)
+    k = ids.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    to_score = jnp.full((k,), -1, jnp.int32).at[
+        jnp.where(mask, pos, k)].set(cand_flat, mode="drop")
+
+    new_state = dataclasses.replace(state, f_score=f_score,
+                                    n_steps=state.n_steps + 1)
+    out = {
+        "exp_node": node,
+        "exp_level": level,
+        "exp_score": pop_score,
+        "exp_valid": valid,
+        "cand": cand,
+        "to_score": to_score,
+    }
+    return new_state, out
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def integrate(
+    state: TraversalState,
+    dg: DeviceGraph,
+    exp_node: jnp.ndarray,
+    exp_level: jnp.ndarray,
+    exp_score: jnp.ndarray,
+    exp_valid: jnp.ndarray,
+    cand: jnp.ndarray,
+    to_score: jnp.ndarray,
+    new_scores: jnp.ndarray,
+) -> TraversalState:
+    """Integrate host scores and complete the traversal step.
+
+    Performs, as one fused program: scored-set insert-if-absent + order log
+    append; per-(node, level) enqueued check-and-set; frontier push of new
+    candidates; level descent of the expanded nodes; capacity-C frontier
+    merge (worst entries drop, counted in n_dropped).
+    """
+    n = dg.n_nodes
+    cap = state.order_log.shape[0]
+
+    # -- scored set: write scores for the host-scored ids ------------------
+    ts_ok = to_score >= 0
+    ts_idx = jnp.where(ts_ok, to_score, n)  # n = OOB -> dropped
+    # only first-write wins is guaranteed by construction (ids unique &
+    # previously unscored)
+    scores = state.scores.at[ts_idx].set(new_scores, mode="drop")
+    scored = state.scored.at[ts_idx].set(True, mode="drop")
+    k = to_score.shape[0]
+    log_pos = jnp.where(ts_ok, state.n_scored + jnp.arange(k, dtype=jnp.int32),
+                        cap)
+    order_log = state.order_log.at[log_pos].set(to_score, mode="drop")
+    n_new = jnp.sum(ts_ok).astype(jnp.int32)
+    n_scored = state.n_scored + n_new
+
+    # -- candidate enqueue: visited check-and-set at the expansion level ---
+    b, m0 = cand.shape
+    cand_flat = cand.reshape(-1)
+    cand_ok = cand_flat >= 0
+    safe_cand = jnp.where(cand_ok, cand_flat, 0)
+    lev_flat = jnp.repeat(exp_level, m0)
+    row_flat = dg.offsets[lev_flat] + safe_cand
+    row_key = jnp.where(cand_ok, row_flat, dg.n_rows)
+    first = _first_occurrence(row_key, dg.n_rows)
+    not_enq = ~state.enqueued[jnp.where(cand_ok, row_flat, 0)]
+    push = cand_ok & not_enq & first
+    enq_idx = jnp.where(push, row_flat, dg.n_rows)
+    enqueued = state.enqueued.at[enq_idx].set(True, mode="drop")
+    cand_score = jnp.where(push, scores[safe_cand], INF)
+    cand_row_entry = jnp.where(push, row_flat, 0)
+
+    # -- descent: re-enqueue expanded node at level-1 ----------------------
+    can_desc = exp_valid & (exp_level > 0)
+    down_row = dg.offsets[jnp.maximum(exp_level - 1, 0)] + exp_node
+    down_ok = can_desc & ~enqueued[jnp.where(can_desc, down_row, 0)]
+    # dedup within batch (same node popped at two levels descending to same
+    # row is impossible; but two pops of identical row are)
+    down_key = jnp.where(down_ok, down_row, dg.n_rows)
+    down_first = _first_occurrence(down_key, dg.n_rows)
+    down_ok = down_ok & down_first
+    enqueued = enqueued.at[jnp.where(down_ok, down_row, dg.n_rows)].set(
+        True, mode="drop")
+    desc_score = jnp.where(down_ok, exp_score, INF)
+    desc_row = jnp.where(down_ok, down_row, 0)
+
+    # -- frontier merge: keep best C of (current ∪ new ∪ descent) ----------
+    all_scores = jnp.concatenate([state.f_score, cand_score, desc_score])
+    all_rows = jnp.concatenate([state.f_row, cand_row_entry, desc_row])
+    sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
+                                              num_keys=1)
+    c = state.f_score.shape[0]
+    f_score = sorted_scores[:c]
+    f_row = sorted_rows[:c]
+    n_dropped = state.n_dropped + jnp.sum(
+        jnp.isfinite(sorted_scores[c:])).astype(jnp.int32)
+
+    return dataclasses.replace(
+        state,
+        f_score=f_score,
+        f_row=f_row,
+        enqueued=enqueued,
+        scored=scored,
+        scores=scores,
+        order_log=order_log,
+        n_scored=n_scored,
+        n_dropped=n_dropped,
+    )
+
+
+@jax.jit
+def prime(
+    state: TraversalState,
+    dg: DeviceGraph,
+    node_ids: jnp.ndarray,
+    node_scores: jnp.ndarray,
+) -> TraversalState:
+    """Seed the traversal from scored top-layer nodes.
+
+    Mirrors RADTraverser.prime (reference rad/traverser.py:128-176): insert
+    each top-layer node into the scored set, mark it enqueued at
+    ``start_level = max(0, max_level - 1)``, and push it into the frontier at
+    that level with its score. ``node_ids`` padded with -1.
+    """
+    n = dg.n_nodes
+    cap = state.order_log.shape[0]
+    ok = node_ids >= 0
+    idx = jnp.where(ok, node_ids, n)
+    scores = state.scores.at[idx].set(node_scores, mode="drop")
+    scored = state.scored.at[idx].set(True, mode="drop")
+    k = node_ids.shape[0]
+    log_pos = jnp.where(ok, state.n_scored + jnp.arange(k, dtype=jnp.int32),
+                        cap)
+    order_log = state.order_log.at[log_pos].set(node_ids, mode="drop")
+    n_scored = state.n_scored + jnp.sum(ok).astype(jnp.int32)
+
+    start_level = max(0, dg.max_level - 1)
+    row = dg.offsets[start_level] + jnp.where(ok, node_ids, 0)
+    enq_idx = jnp.where(ok, row, dg.n_rows)
+    enqueued = state.enqueued.at[enq_idx].set(True, mode="drop")
+
+    entry_score = jnp.where(ok, node_scores, INF)
+    entry_row = jnp.where(ok, row, 0)
+    all_scores = jnp.concatenate([state.f_score, entry_score])
+    all_rows = jnp.concatenate([state.f_row, entry_row])
+    sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
+                                              num_keys=1)
+    c = state.f_score.shape[0]
+    return dataclasses.replace(
+        state,
+        f_score=sorted_scores[:c],
+        f_row=sorted_rows[:c],
+        enqueued=enqueued,
+        scored=scored,
+        scores=scores,
+        order_log=order_log,
+        n_scored=n_scored,
+    )
+
+
+def frontier_size(state: TraversalState) -> int:
+    """Host-side: number of live frontier entries."""
+    return int(jnp.sum(jnp.isfinite(state.f_score)))
+
+
+def frontier_empty(state: TraversalState) -> bool:
+    return not bool(jnp.any(jnp.isfinite(state.f_score)))

