@@ -1,0 +1,222 @@
+"""HNSWIndex: the usearch-style index facade.
+
+Mirrors the ``usearch.index.Index`` surface the reference builds on
+(ctor params reference README.md:47-53; ``add`` README.md:58 and
+examples/DUDEZ_example.ipynb:192; load-view scripts/start_hnsw_server.py:69;
+properties rad/hnsw_service.py:400-412) so reference users can switch with
+minimal changes:
+
+    index = HNSWIndex(ndim=1024, dtype='b1', metric='tanimoto',
+                      connectivity=8, expansion_add=400)
+    index.add(keys, packed_fps)
+    dists, keys = index.search(query_fps, k=10)
+    index.save("library.rad.npz"); HNSWIndex.load(path, view=True)
+
+Because virtual-screening libraries are static, ``add`` accumulates vectors
+and the graph is built once on first query/build() — either on-host
+(numpy reference builder) or on-device (batched JAX builder), selected by
+``backend``.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from rad_tpu.fp.pack import packed_words, popcount_rows_np
+from rad_tpu.graph.storage import HNSWGraph, LayerStats
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["HNSWIndex"]
+
+
+class HNSWIndex:
+    def __init__(
+        self,
+        ndim: int = 1024,
+        dtype: str = "b1",
+        metric: str = "tanimoto",
+        connectivity: int = 16,
+        expansion_add: int = 200,
+        expansion_search: int = 64,
+        backend: str = "auto",
+        seed: int = 0,
+    ) -> None:
+        if dtype != "b1":
+            raise ValueError("only packed-bit 'b1' storage is supported "
+                             "(parity with the reference's usage)")
+        if metric != "tanimoto":
+            raise ValueError("only the 'tanimoto' metric is supported")
+        self.ndim = ndim
+        self.metric = metric
+        self.connectivity = connectivity
+        self.expansion_add = expansion_add
+        self.expansion_search = expansion_search
+        self.backend = backend
+        self.seed = seed
+
+        self._pending_keys: List[np.ndarray] = []
+        self._pending_fps: List[np.ndarray] = []
+        self._graph: Optional[HNSWGraph] = None
+
+    # ------------------------------------------------------------------ add
+    def add(self, keys, vectors, log: bool | str = False) -> None:
+        """Queue packed fingerprints for graph construction.
+
+        ``vectors``: ``[N, ndim/32] uint32`` packed rows, or ``[N, ndim]``
+        0/1 bits (auto-packed). ``keys``: int64 user keys (scalar or array).
+        """
+        vectors = np.asarray(vectors)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        w = packed_words(self.ndim)
+        if vectors.shape[1] == self.ndim and vectors.dtype != np.uint32:
+            from rad_tpu.fp.pack import pack_fingerprints
+            vectors = pack_fingerprints(vectors)
+        if vectors.shape[1] != w:
+            raise ValueError(
+                f"expected packed [N, {w}] uint32 or [N, {self.ndim}] bits, "
+                f"got {vectors.shape}")
+        keys = np.atleast_1d(np.asarray(keys, dtype=np.int64))
+        if keys.shape[0] != vectors.shape[0]:
+            raise ValueError("keys and vectors length mismatch")
+        self._pending_keys.append(keys)
+        self._pending_fps.append(vectors.astype(np.uint32))
+        self._graph = None  # graph is stale until rebuilt
+        if log:
+            logger.info("queued %d vectors (total pending %d)",
+                        len(keys), sum(len(k) for k in self._pending_keys))
+
+    # ---------------------------------------------------------------- build
+    def build(self, backend: str | None = None, **kwargs) -> HNSWGraph:
+        """Construct the graph from all added vectors."""
+        if self._graph is not None:
+            return self._graph
+        if not self._pending_fps:
+            raise RuntimeError("no vectors added")
+        fps = np.concatenate(self._pending_fps, axis=0)
+        keys = np.concatenate(self._pending_keys, axis=0)
+        if len(np.unique(keys)) != len(keys):
+            raise ValueError("duplicate keys (multi-key indexes unsupported)")
+        backend = backend or self.backend
+        t0 = time.perf_counter()
+        if backend in ("device", "auto"):
+            try:
+                from rad_tpu.build.device import build_hnsw_device
+                self._graph = build_hnsw_device(
+                    fps, keys=keys, connectivity=self.connectivity,
+                    expansion_add=self.expansion_add, ndim=self.ndim,
+                    seed=self.seed, **kwargs)
+            except ImportError:
+                if backend == "device":
+                    raise
+                backend = "host"
+        if self._graph is None:
+            from rad_tpu.build.reference import build_hnsw
+            self._graph = build_hnsw(
+                fps, keys=keys, connectivity=self.connectivity,
+                expansion_add=self.expansion_add, ndim=self.ndim,
+                seed=self.seed)
+        logger.info("built HNSW over %d vectors in %.2fs (backend=%s)",
+                    len(keys), time.perf_counter() - t0, backend)
+        return self._graph
+
+    @property
+    def graph(self) -> HNSWGraph:
+        if self._graph is None:
+            self.build()
+        return self._graph
+
+    # --------------------------------------------------------------- search
+    def search(self, queries, k: int = 10, expansion_search: int | None = None,
+               exact: bool = False):
+        """Batched k-NN by Tanimoto distance → ``(dists [B,k], keys [B,k])``.
+
+        ``exact=True`` runs brute force (ground truth); otherwise the jitted
+        device beam search.
+        """
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.uint32))
+        g = self.graph
+        ef = expansion_search or self.expansion_search
+        if exact:
+            import jax.numpy as jnp
+            from rad_tpu.fp.tanimoto import bruteforce_topk
+            d, ids = bruteforce_topk(jnp.asarray(queries),
+                                     jnp.asarray(np.asarray(g.packed)), k)
+            d, ids = np.asarray(d), np.asarray(ids)
+        else:
+            from rad_tpu.search.knn import search_device
+            d, ids = search_device(g, queries, k=k, expansion_search=ef)
+            d, ids = np.asarray(d), np.asarray(ids)
+        keys = np.where(ids >= 0, np.asarray(g.keys)[np.maximum(ids, 0)], -1)
+        return d, keys
+
+    # ---------------------------------------------------- usearch-like API
+    def __len__(self) -> int:
+        if self._graph is not None:
+            return len(self._graph)
+        return int(sum(len(k) for k in self._pending_keys))
+
+    @property
+    def size(self) -> int:
+        return len(self)
+
+    @property
+    def max_level(self) -> int:
+        return self.graph.max_level
+
+    @property
+    def dtype(self) -> str:
+        return "b1"
+
+    @property
+    def multi(self) -> bool:
+        return False
+
+    @property
+    def capacity(self) -> int:
+        return len(self)
+
+    @property
+    def memory_usage(self) -> int:
+        return self.graph.memory_usage
+
+    @property
+    def levels_stats(self) -> List[LayerStats]:
+        return self.graph.levels_stats()
+
+    # fork-added graph introspection (reference rad/hnsw_service.py:219-232)
+    def get_neighbors(self, node_id: int, level: int) -> List[int]:
+        return self.graph.get_neighbors(node_id, level)
+
+    def get_top_level_nodes(self) -> List[int]:
+        return self.graph.get_top_level_nodes()
+
+    def get_node_ids_from_keys(self, keys: Sequence[int]) -> List[int]:
+        return self.graph.get_node_ids_from_keys(keys)
+
+    # -------------------------------------------------------------- persist
+    def save(self, path: str) -> None:
+        self.graph.save(path)
+
+    @classmethod
+    def load(cls, path: str, view: bool = True,
+             exclude_vectors: bool = False, **kwargs) -> "HNSWIndex":
+        """Load a persisted index; ``view=True`` memory-maps (parity with
+        usearch ``Index(path=…, view=True)``,
+        reference scripts/start_hnsw_server.py:69). ``exclude_vectors`` is
+        accepted for signature parity; mmap already loads lazily."""
+        graph = HNSWGraph.load(path, mmap=view)
+        idx = cls(ndim=graph.ndim, connectivity=graph.connectivity, **kwargs)
+        idx._graph = graph
+        return idx
+
+    @classmethod
+    def from_graph(cls, graph: HNSWGraph, **kwargs) -> "HNSWIndex":
+        idx = cls(ndim=graph.ndim, connectivity=graph.connectivity, **kwargs)
+        idx._graph = graph
+        return idx

@@ -1,0 +1,157 @@
+"""Jitted batched HNSW k-NN search (greedy descent + layer-0 beam).
+
+The device analogue of usearch's ``Index.search``: one compiled program per
+(shape, ef, k) runs B queries in parallel (vmap), each performing the
+standard HNSW query — greedy routing through the upper layers, then an
+``expansion_search``-wide best-first beam on layer 0 — entirely with static
+shapes (`lax.while_loop` + masked top-k merges), so XLA can pipeline the
+gathers and the VPU popcount distance.
+
+Beam state per query: ``(beam_d [ef], beam_id [ef], expanded [ef])`` plus a
+``[N] bool`` visited map. The loop pops the best unexpanded beam entry,
+gathers its ≤M0 neighbors, computes packed Tanimoto distances, and merges
+into the beam with one sort — converging when every beam slot is expanded
+(the parallel-friendly equivalent of the candidate-heap termination in the
+sequential algorithm; oracle: rad_tpu.build.reference.search_hnsw).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rad_tpu.fp.pack import popcount, popcount_rows
+from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.traverse.device import DeviceGraph, prepare_device_graph
+
+__all__ = ["search_device", "search_device_jit"]
+
+
+def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
+    """Tanimoto distance from one query to gathered rows (masked +inf)."""
+    safe = jnp.maximum(ids, 0)
+    rows = packed[safe]  # [K, W]
+    inter = jnp.sum(popcount(rows & q_packed[None, :]), axis=-1)
+    union = q_pop + pops[safe] - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+    d = (1.0 - sim).astype(jnp.float32)
+    return jnp.where(valid, d, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("k", "ef", "max_level"))
+def search_device_jit(
+    packed: jnp.ndarray,
+    pops: jnp.ndarray,
+    adj: jnp.ndarray,
+    offsets: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    ef: int,
+    max_level: int,
+):
+    """Batched search. Returns ``(dists [B, k], node_ids [B, k])``."""
+    n = packed.shape[0]
+    m0 = adj.shape[1]
+    q_pops = popcount_rows(queries)
+
+    def one_query(q, q_pop):
+        # ---- greedy descent through layers max_level..1 ------------------
+        def descend_layer(carry, l_rev):
+            ep, d_ep = carry
+            l = max_level - l_rev  # static unroll not needed; l is traced
+
+            def cond(c):
+                _, _, improved = c
+                return improved
+
+            def body(c):
+                ep_i, d_i, _ = c
+                row = adj[offsets[l] + ep_i]
+                valid = row >= 0
+                d_n = _query_dist(q, q_pop, packed, pops, row, valid)
+                j = jnp.argmin(d_n)
+                better = d_n[j] < d_i
+                return (jnp.where(better, row[j], ep_i),
+                        jnp.where(better, d_n[j], d_i),
+                        better)
+
+            ep, d_ep, _ = jax.lax.while_loop(
+                cond, body, (ep, d_ep, jnp.bool_(True)))
+            return (ep, d_ep), None
+
+        d0 = _query_dist(q, q_pop, packed, pops,
+                         jnp.zeros((1,), jnp.int32),
+                         jnp.ones((1,), jnp.bool_))[0]
+        if max_level > 0:
+            (ep, d_ep), _ = jax.lax.scan(
+                descend_layer, (jnp.int32(0), d0),
+                jnp.arange(max_level, dtype=jnp.int32))
+        else:
+            ep, d_ep = jnp.int32(0), d0
+
+        # ---- layer-0 beam ------------------------------------------------
+        beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(d_ep)
+        beam_id = jnp.full((ef,), -1, jnp.int32).at[0].set(ep)
+        expanded = jnp.zeros((ef,), jnp.bool_)
+        visited = jnp.zeros((n,), jnp.bool_).at[ep].set(True)
+
+        def cond(c):
+            beam_d, beam_id, expanded, visited = c
+            return jnp.any(~expanded & jnp.isfinite(beam_d))
+
+        def body(c):
+            beam_d, beam_id, expanded, visited = c
+            sel = jnp.argmin(jnp.where(expanded, jnp.inf, beam_d))
+            expanded = expanded.at[sel].set(True)
+            u = beam_id[sel]
+            row = adj[jnp.maximum(u, 0)]  # layer-0 rows are offsets[0]=0
+            valid = (row >= 0) & ~visited[jnp.maximum(row, 0)] \
+                & jnp.isfinite(beam_d[sel])
+            visited = visited.at[jnp.where(valid, row, n)].set(
+                True, mode="drop")
+            d_n = _query_dist(q, q_pop, packed, pops, row, valid)
+            all_d = jnp.concatenate([beam_d, d_n])
+            all_id = jnp.concatenate([beam_id, jnp.where(valid, row, -1)])
+            all_e = jnp.concatenate([expanded,
+                                     jnp.zeros((m0,), jnp.bool_)])
+            sd, sid, se = jax.lax.sort((all_d, all_id, all_e), num_keys=1)
+            return sd[:ef], sid[:ef], se[:ef], visited
+
+        beam_d, beam_id, expanded, visited = jax.lax.while_loop(
+            cond, body, (beam_d, beam_id, expanded, visited))
+        return beam_d[:k], beam_id[:k]
+
+    return jax.vmap(one_query)(queries, q_pops)
+
+
+# cache of per-graph device arrays (adj/offsets) keyed by graph identity
+_PREP_CACHE: dict = {}
+
+
+def _prep(graph: HNSWGraph):
+    key = id(graph)
+    if key not in _PREP_CACHE:
+        dg = prepare_device_graph(graph)
+        packed = jnp.asarray(np.asarray(graph.packed))
+        pops = jnp.asarray(np.asarray(graph.popcounts))
+        _PREP_CACHE[key] = (dg, packed, pops)
+        if len(_PREP_CACHE) > 8:
+            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
+    return _PREP_CACHE[key]
+
+
+def search_device(
+    graph: HNSWGraph,
+    queries: np.ndarray,
+    k: int = 10,
+    expansion_search: int = 64,
+):
+    """Search a built graph: ``(dists [B, k], node_ids [B, k])``."""
+    dg, packed, pops = _prep(graph)
+    queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.uint32)))
+    ef = max(expansion_search, k)
+    return search_device_jit(packed, pops, dg.adj, dg.offsets, queries,
+                             k=k, ef=ef, max_level=dg.max_level)

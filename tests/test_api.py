@@ -1,0 +1,214 @@
+"""Top-level API tests: HNSWIndex facade + RADTraverser lifecycle.
+
+Mirrors the reference's integration-test strategy
+(tests/test_integration.py: full prime+traverse on a small random index,
+single & multi worker, both termination conditions, duplicate-scoring
+regression; tests/test_redis_auth.py MockHNSW patterns)."""
+
+import numpy as np
+import pytest
+
+import rad_tpu
+from rad_tpu import HNSWIndex, RADTraverser
+from rad_tpu.api.factories import (
+    create_distributed_traverser,
+    create_local_traverser,
+)
+from rad_tpu.fp import random_fingerprints, unpack_fingerprints
+from rad_tpu.store.smiles_store import InMemorySmilesStore
+
+
+@pytest.fixture(scope="module")
+def index():
+    idx = HNSWIndex(ndim=64, connectivity=4, expansion_add=20,
+                    backend="host", seed=0)
+    fps = random_fingerprints(120, n_bits=64, density=0.3, seed=9)
+    keys = np.arange(1000, 1000 + 120)  # non-trivial user keys
+    idx.add(keys, fps)
+    idx.build()
+    return idx
+
+
+@pytest.fixture(scope="module")
+def scoring_setup(index):
+    keys = np.asarray(index.graph.keys)
+    rng = np.random.default_rng(4)
+    table = {int(k): float(s)
+             for k, s in zip(keys, rng.permutation(len(keys)).astype(float))}
+    store = InMemorySmilesStore({int(k): f"MOL_{int(k)}" for k in keys})
+
+    def scoring_fn(smiles):
+        return table[int(smiles.split("_")[1])]
+
+    return store, scoring_fn, table
+
+
+def test_index_add_build_properties(index):
+    assert len(index) == 120
+    assert index.size == 120
+    assert index.connectivity == 4
+    assert index.dtype == "b1"
+    assert index.max_level >= 1
+    assert index.memory_usage > 0
+    stats = index.levels_stats
+    assert stats[0].nodes == 120
+
+
+def test_index_accepts_unpacked_bits():
+    idx = HNSWIndex(ndim=64, connectivity=4, expansion_add=10, backend="host")
+    fps = random_fingerprints(30, n_bits=64, seed=1)
+    bits = unpack_fingerprints(fps)
+    idx.add(np.arange(30), bits)
+    assert len(idx.graph) == 30
+
+
+def test_index_search_returns_keys(index):
+    packed = np.asarray(index.graph.packed)
+    d, keys = index.search(packed[[5]], k=3, expansion_search=32)
+    assert d[0, 0] == 0
+    assert int(keys[0, 0]) == int(np.asarray(index.graph.keys)[5])
+
+
+def test_index_search_exact(index):
+    packed = np.asarray(index.graph.packed)
+    d, keys = index.search(packed[[5]], k=3, exact=True)
+    assert d[0, 0] == 0
+
+
+def test_index_save_load_roundtrip(tmp_path, index):
+    p = str(tmp_path / "idx.npz")
+    index.save(p)
+    loaded = HNSWIndex.load(p, view=True)
+    assert len(loaded) == len(index)
+    assert loaded.max_level == index.max_level
+    d, keys = loaded.search(np.asarray(index.graph.packed)[[3]], k=1)
+    assert d[0, 0] == 0
+
+
+def test_index_fork_api(index):
+    top = index.get_top_level_nodes()
+    assert len(top) >= 2
+    nbrs = index.get_neighbors(0, 0)
+    assert len(nbrs) % 2 == 0
+    keys = np.asarray(index.graph.keys)[[3, 7]].tolist()
+    assert index.get_node_ids_from_keys(keys) == [3, 7]
+
+
+def test_index_duplicate_keys_rejected():
+    idx = HNSWIndex(ndim=64, connectivity=4, backend="host")
+    fps = random_fingerprints(4, n_bits=64)
+    idx.add([1, 1, 2, 3], fps)
+    with pytest.raises(ValueError):
+        idx.build()
+
+
+# --------------------------------------------------------------------------
+# RADTraverser lifecycle — local (device engine)
+# --------------------------------------------------------------------------
+
+def test_local_traverser_lifecycle(index, scoring_setup):
+    store, scoring_fn, table = scoring_setup
+    t = create_local_traverser(index, scoring_fn, smiles_store=store,
+                               batch_size=4, n_score_threads=1)
+    assert t.engine == "device"
+    t.prime()
+    stats = t.traverse(n_to_score=50)
+    assert stats["n_scored"] >= 50
+    mols = t.get_molecules()
+    ids = [m[0] for m in mols]
+    assert len(ids) == len(set(ids))  # race regression parity
+    best = t.get_best_molecules(10)
+    assert [m[1] for m in best] == sorted(m[1] for m in mols)[:10]
+    # state property views
+    assert len(t.scored_set) == len(mols)
+    assert len(t.visited_set) > 0
+    assert t.scored_set.getScore(ids[0]) == mols[0][1]
+    tstats = t.get_traversal_stats()
+    assert tstats["engine"] == "device"
+    assert tstats["n_scored"] == len(mols)
+    t.shutdown()
+    with pytest.raises(RuntimeError):
+        t.prime()
+
+
+def test_traverser_requires_prime(index, scoring_setup):
+    store, scoring_fn, _ = scoring_setup
+    t = create_local_traverser(index, scoring_fn, smiles_store=store)
+    with pytest.raises(RuntimeError):
+        t.traverse(n_to_score=5)
+    t.shutdown()
+
+
+def test_traverser_requires_termination_condition(index, scoring_setup):
+    store, scoring_fn, _ = scoring_setup
+    t = create_local_traverser(index, scoring_fn, smiles_store=store)
+    t.prime()
+    with pytest.raises(ValueError):
+        t.traverse()
+    t.shutdown()
+
+
+def test_traverser_requires_scoring_fn(index):
+    with pytest.raises(ValueError):
+        RADTraverser(graph=index.graph, scoring_fn=None)
+
+
+def test_timeout_termination(index, scoring_setup):
+    store, scoring_fn, _ = scoring_setup
+    import time
+
+    def slow_fn(smiles):
+        time.sleep(0.05)
+        return scoring_fn(smiles)
+
+    t = create_local_traverser(index, slow_fn, smiles_store=store,
+                               batch_size=2, n_score_threads=1)
+    t.prime()
+    stats = t.traverse(timeout=0.5)
+    assert stats["termination_reason"] == "timeout"
+    t.shutdown()
+
+
+# --------------------------------------------------------------------------
+# RADTraverser — distributed (host engine, worker pool)
+# --------------------------------------------------------------------------
+
+def test_distributed_traverser_multiworker(index, scoring_setup):
+    store, scoring_fn, table = scoring_setup
+    t = create_distributed_traverser(index, scoring_fn, smiles_store=store,
+                                     heartbeat_interval=0.2)
+    assert t.engine == "host"
+    t.prime()
+    stats = t.traverse(n_workers=3, n_to_score=60, poll_interval=0.02)
+    assert stats["n_scored"] >= 60 or stats["termination_reason"] == "queue_empty"
+    mols = t.get_molecules()
+    ids = [m[0] for m in mols]
+    assert len(ids) == len(set(ids)), "duplicate scoring under 3 workers"
+    keys = np.asarray(index.graph.keys)
+    for nid, score, smi in mols:
+        assert score == table[int(keys[nid])]
+    t.shutdown()
+
+
+def test_device_and_host_modes_agree(index, scoring_setup):
+    store, scoring_fn, _ = scoring_setup
+    t1 = create_local_traverser(index, scoring_fn, smiles_store=store,
+                                batch_size=1, n_score_threads=1)
+    t1.prime()
+    t1.traverse(n_to_score=10**9, timeout=60)
+    dev_mols = t1.get_molecules()
+    t1.shutdown()
+
+    t2 = create_distributed_traverser(index, scoring_fn, smiles_store=store)
+    t2.prime()
+    t2.traverse(n_workers=1, n_to_score=10**9, poll_interval=0.02)
+    host_mols = t2.get_molecules()
+    t2.shutdown()
+
+    assert [m[0] for m in dev_mols] == [m[0] for m in host_mols]
+    assert {m[:2] for m in dev_mols} == {m[:2] for m in host_mols}
+
+
+def test_lazy_top_level_imports():
+    assert rad_tpu.HNSWIndex is HNSWIndex
+    assert callable(rad_tpu.create_remote_traverser)
