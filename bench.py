@@ -1,0 +1,124 @@
+"""Benchmark: Tanimoto distance-evaluations/sec/chip (BASELINE headline).
+
+Computes the full Q x N Tanimoto distance reduction over a packed 1024-bit
+fingerprint library using the MXU mapping (|a∧b| = a·b for 0/1 vectors in
+bf16 with f32 accumulation; |a∨b| from precomputed popcounts), scanned over
+database blocks so nothing Q x N ever materializes. Baseline is the same
+computation on host CPU via numpy's vectorized popcount — the reference's
+compute substrate (usearch SIMD popcount, SURVEY.md §2 row 1).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def cpu_tanimoto_rate(db: np.ndarray, n_q: int = 64, reps: int = 3) -> float:
+    """Distance-evals/sec for a numpy popcount Tanimoto on host CPU."""
+    q = db[:n_q]
+    if hasattr(np, "bitwise_count"):
+        popc = np.bitwise_count
+    else:
+        lut = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+        popc = lambda x: lut[x.view(np.uint8)].reshape(*x.shape[:-1], -1)
+    pops = popc(db).sum(-1, dtype=np.int32)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        inter = popc(q[:, None, :] & db[None, :, :]).sum(-1, dtype=np.int32)
+        union = pops[:n_q, None] + pops[None, :] - inter
+        d = 1.0 - inter / np.maximum(union, 1)
+        d.min(axis=1)
+        best = min(best, time.perf_counter() - t0)
+    return n_q * db.shape[0] / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20,
+                    help="library size (packed 1024-bit fingerprints)")
+    ap.add_argument("--q", type=int, default=2048, help="query batch")
+    ap.add_argument("--block", type=int, default=1 << 14)
+    ap.add_argument("--cpu-n", type=int, default=1 << 15,
+                    help="library size for the CPU baseline measurement")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.fp.pack import random_fingerprints, popcount_rows
+    from rad_tpu.fp.tanimoto import unpack_to_dtype
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    n, q, blk = args.n, args.q, args.block
+    n = (n // blk) * blk
+    log(f"generating {n} x 1024-bit fingerprints ...")
+    db = random_fingerprints(n, n_bits=1024, density=0.1, seed=0)
+    queries = db[:q].copy()
+
+    db_j = jnp.asarray(db)
+    q_j = jnp.asarray(queries)
+
+    @jax.jit
+    def min_dist(db_packed, q_packed):
+        q_bits = unpack_to_dtype(q_packed, jnp.bfloat16)        # [Q, 1024]
+        q_pops = popcount_rows(q_packed).astype(jnp.float32)
+        nblocks = db_packed.shape[0] // blk
+        blocks = db_packed.reshape(nblocks, blk, db_packed.shape[1])
+
+        def body(carry, db_blk):
+            d_pops = popcount_rows(db_blk).astype(jnp.float32)
+            d_bits = unpack_to_dtype(db_blk, jnp.bfloat16)      # [blk, 1024]
+            inter = jnp.dot(q_bits, d_bits.T,
+                            preferred_element_type=jnp.float32)
+            union = q_pops[:, None] + d_pops[None, :] - inter
+            dist = 1.0 - inter / jnp.maximum(union, 1.0)
+            return jnp.minimum(carry, dist.min(axis=1)), None
+
+        init = jnp.full((q_packed.shape[0],), jnp.inf, jnp.float32)
+        out, _ = jax.lax.scan(body, init, blocks)
+        return out
+
+    log("compiling ...")
+    t0 = time.perf_counter()
+    r = min_dist(db_j, q_j)
+    r.block_until_ready()
+    log(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s")
+
+    best = np.inf
+    for i in range(3):
+        t0 = time.perf_counter()
+        min_dist(db_j, q_j).block_until_ready()
+        dt = time.perf_counter() - t0
+        log(f"run {i}: {dt*1e3:.1f} ms")
+        best = min(best, dt)
+    tpu_rate = q * n / best
+    log(f"device rate: {tpu_rate:.3e} dist-evals/s")
+
+    log("measuring CPU baseline ...")
+    cpu_rate = cpu_tanimoto_rate(db[: args.cpu_n])
+    log(f"cpu rate: {cpu_rate:.3e} dist-evals/s")
+
+    print(json.dumps({
+        "metric": "tanimoto_dist_evals_per_sec_per_chip",
+        "value": tpu_rate,
+        "unit": "dist-evals/s",
+        "vs_baseline": tpu_rate / cpu_rate,
+    }))
+
+
+if __name__ == "__main__":
+    main()

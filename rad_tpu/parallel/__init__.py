@@ -1,0 +1,17 @@
+"""Multi-chip scaling: mesh construction + graph-sharded kernels over ICI."""
+
+from rad_tpu.parallel.mesh import make_mesh
+from rad_tpu.parallel.sharded import (
+    ShardedGraph,
+    shard_graph,
+    sharded_bruteforce_topk,
+    sharded_fused_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "ShardedGraph",
+    "shard_graph",
+    "sharded_bruteforce_topk",
+    "sharded_fused_step",
+]

@@ -1,0 +1,262 @@
+"""Graph-sharded kernels: the pod-scale engine over ICI.
+
+Partitioning scheme (SURVEY.md §5 / §7 layer 8): the *graph* is the long
+axis. Fingerprints ``[N, W]`` and the flat adjacency ``[R, M0]`` are sharded
+row-wise across the mesh's ``graph`` axis; the traversal state (frontier,
+visited/scored bitmaps, counters) is replicated — it is tiny next to the
+fingerprint matrix (2B molecules × 128 B = 256 GB vs ~MBs of state). Each
+step, every chip:
+
+1. pops the same replicated frontier batch (deterministic, no collective);
+2. contributes the adjacency/fingerprint rows it owns; a single ``psum``
+   combines them (each row has exactly one owner, so the sum *is* the
+   gather) — this is the all-to-all neighbor exchange riding ICI;
+3. runs the identical integrate/merge on the replicated state.
+
+Per-step ICI traffic is O(B·M0) ints + O(B·M0·W) words — independent of N.
+XLA inserts the collectives from the ``shard_map`` specs; nothing here
+hand-schedules DMA (scaling-book recipe: pick a mesh, annotate, let XLA
+place collectives).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rad_tpu.fp.pack import popcount
+from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.traverse.device import (
+    DeviceGraph,
+    TraversalState,
+    expand_impl,
+    integrate_impl,
+    prepare_device_graph,
+)
+
+__all__ = [
+    "ShardedGraph",
+    "shard_graph",
+    "sharded_bruteforce_topk",
+    "sharded_fused_step",
+    "make_sharded_step",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ShardedGraph:
+    """A DeviceGraph + fingerprints laid out for a 1-D graph mesh.
+
+    packed/pops padded to a multiple of the mesh size and row-sharded;
+    adj likewise; offsets replicated. ``n_nodes``/``n_rows`` are the true
+    (unpadded) sizes; ``n_pad_nodes``/``n_pad_rows`` the padded ones.
+    """
+
+    packed: jnp.ndarray
+    pops: jnp.ndarray
+    adj: jnp.ndarray
+    offsets: jnp.ndarray
+    n_nodes: int
+    n_rows: int
+    n_pad_nodes: int
+    n_pad_rows: int
+    m0: int
+    max_level: int
+    axis: str
+
+    def tree_flatten(self):
+        return (self.packed, self.pops, self.adj, self.offsets), (
+            self.n_nodes, self.n_rows, self.n_pad_nodes, self.n_pad_rows,
+            self.m0, self.max_level, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    def device_graph(self) -> DeviceGraph:
+        return DeviceGraph(adj=self.adj, offsets=self.offsets,
+                           n_nodes=self.n_nodes, n_rows=self.n_rows,
+                           m0=self.m0, max_level=self.max_level)
+
+
+def _pad_rows(arr: np.ndarray, mult: int, fill) -> np.ndarray:
+    n = arr.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return arr
+    return np.concatenate(
+        [arr, np.full((pad, *arr.shape[1:]), fill, arr.dtype)], axis=0)
+
+
+def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph"
+                ) -> ShardedGraph:
+    """Lay a built graph out across the mesh's ``axis`` (row-sharded)."""
+    dg = prepare_device_graph(graph)
+    nd = mesh.shape[axis]
+    packed = _pad_rows(np.asarray(graph.packed), nd, 0)
+    pops = _pad_rows(np.asarray(graph.popcounts), nd, 0)
+    adj = _pad_rows(np.asarray(dg.adj), nd, -1)
+    row_sh = NamedSharding(mesh, P(axis))
+    row2_sh = NamedSharding(mesh, P(axis, None))
+    rep = NamedSharding(mesh, P())
+    return ShardedGraph(
+        packed=jax.device_put(jnp.asarray(packed), row2_sh),
+        pops=jax.device_put(jnp.asarray(pops), row_sh),
+        adj=jax.device_put(jnp.asarray(adj), row2_sh),
+        offsets=jax.device_put(dg.offsets, rep),
+        n_nodes=dg.n_nodes,
+        n_rows=dg.n_rows,
+        n_pad_nodes=packed.shape[0],
+        n_pad_rows=adj.shape[0],
+        m0=dg.m0,
+        max_level=dg.max_level,
+        axis=axis,
+    )
+
+
+def _owned_gather(local: jnp.ndarray, global_idx: jnp.ndarray,
+                  shard_size: int, axis: str, fill_shift: int):
+    """Gather rows of a row-sharded array by global index inside shard_map.
+
+    Exactly one shard owns each index; every shard contributes
+    ``value + fill_shift`` for owned rows and 0 elsewhere, and one psum
+    reconstructs the row on all shards (then the shift is removed).
+    ``fill_shift=1`` lets -1 sentinels survive the zero-fill.
+    """
+    me = jax.lax.axis_index(axis)
+    start = me * shard_size
+    loc = global_idx - start
+    own = (loc >= 0) & (loc < shard_size)
+    safe = jnp.clip(loc, 0, shard_size - 1)
+    vals = local[safe]
+    contrib = jnp.where(
+        own.reshape(own.shape + (1,) * (vals.ndim - own.ndim)),
+        vals + jnp.asarray(fill_shift, vals.dtype),
+        jnp.zeros((), vals.dtype))
+    total = jax.lax.psum(contrib, axis)
+    return total - jnp.asarray(fill_shift, vals.dtype)
+
+
+@partial(jax.jit, static_argnames=("k", "mesh", "axis"))
+def _sharded_topk_impl(packed, pops, queries, q_pops, n_nodes, k, mesh, axis):
+    nd = mesh.shape[axis]
+    shard = packed.shape[0] // nd
+
+    def local_topk(packed_l, pops_l, q, qp):
+        me = jax.lax.axis_index(axis)
+        inter = jnp.sum(popcount(q[:, None, :] & packed_l[None, :, :]),
+                        axis=-1)
+        union = qp[:, None] + pops_l[None, :] - inter
+        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        d = (1.0 - sim).astype(jnp.float32)
+        gids = me * shard + jnp.arange(shard, dtype=jnp.int32)[None, :]
+        d = jnp.where(gids < n_nodes, d, jnp.inf)
+        neg, idx = jax.lax.top_k(-d, k)
+        local_ids = jnp.take_along_axis(
+            jnp.broadcast_to(gids, d.shape), idx, axis=1)
+        # all-gather each shard's top-k and reduce to the global top-k
+        all_d = jax.lax.all_gather(-neg, axis, axis=1).reshape(q.shape[0], -1)
+        all_i = jax.lax.all_gather(local_ids, axis, axis=1).reshape(
+            q.shape[0], -1)
+        neg2, idx2 = jax.lax.top_k(-all_d, k)
+        return -neg2, jnp.take_along_axis(all_i, idx2, axis=1)
+
+    # check_vma=False: the outputs *are* replicated (both sides of the final
+    # top_k come from an all_gather), but varying-mesh-axis inference cannot
+    # prove it through top_k.
+    return jax.shard_map(
+        local_topk, mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )(packed, pops, queries, q_pops)
+
+
+def sharded_bruteforce_topk(sg: ShardedGraph, queries, k: int,
+                            mesh: Mesh) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN with the distance matrix sharded over the graph axis.
+
+    Each chip scans its fingerprint shard (dist-evals scale 1/n_dev), then a
+    k-sized all-gather + final top-k merges — the standard sharded-search
+    reduction; per-query ICI traffic is O(n_dev·k), not O(N).
+    """
+    queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.uint32)))
+    from rad_tpu.fp.pack import popcount_rows
+    q_pops = popcount_rows(queries)
+    return _sharded_topk_impl(sg.packed, sg.pops, queries, q_pops,
+                              sg.n_nodes, k, mesh, sg.axis)
+
+
+def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
+    """Build the jitted pod traversal step: replicated state, sharded graph.
+
+    Returns ``step(state, target_packed, target_pop) -> state`` — the
+    multi-chip equivalent of :func:`rad_tpu.traverse.device.fused_step`.
+    """
+    axis = sg.axis
+    nd = mesh.shape[axis]
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+    dg_meta = DeviceGraph(adj=jnp.zeros((1, 1), jnp.int32),
+                          offsets=sg.offsets, n_nodes=sg.n_nodes,
+                          n_rows=sg.n_rows, m0=sg.m0,
+                          max_level=sg.max_level)
+
+    def shard_body(state: TraversalState, adj_l, packed_l, pops_l,
+                   offsets, target_packed, target_pop):
+        dg = dataclasses.replace(dg_meta, offsets=offsets)
+
+        def gather_adj(rows):
+            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+
+        state, out = expand_impl(state, dg, batch, gather_adj=gather_adj)
+        ts = out["to_score"]
+        ok = ts >= 0
+        safe = jnp.where(ok, ts, 0)
+        fp_rows = _owned_gather(packed_l, safe, fp_shard, axis, fill_shift=0)
+        pop_rows = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
+        inter = jnp.sum(popcount(fp_rows & target_packed[None, :]), axis=-1)
+        union = target_pop + pop_rows - inter
+        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        return integrate_impl(state, dg, out["exp_node"], out["exp_level"],
+                              out["exp_score"], out["exp_valid"], out["cand"],
+                              out["to_score"], scores)
+
+    state_spec = jax.tree_util.tree_map(lambda _: P(),
+                                        _state_structure())
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_spec, P(axis, None), P(axis, None), P(axis),
+                  P(), P(), P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TraversalState, target_packed, target_pop):
+        return mapped(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                      target_packed, target_pop)
+
+    return step
+
+
+def _state_structure():
+    """A TraversalState skeleton for building replicated PartitionSpecs."""
+    z = jnp.zeros(())
+    return TraversalState(z, z, z, z, z, z, z, z, z)
+
+
+def sharded_fused_step(state: TraversalState, sg: ShardedGraph, mesh: Mesh,
+                       target_packed, target_pop, batch: int):
+    """One-shot convenience wrapper over :func:`make_sharded_step`."""
+    step = make_sharded_step(sg, mesh, batch)
+    return step(state, target_packed, target_pop)

@@ -173,9 +173,9 @@ def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
     return first
 
 
-@partial(jax.jit, static_argnames=("batch",), donate_argnums=(0,))
-def expand(
-    state: TraversalState, dg: DeviceGraph, batch: int
+def expand_impl(
+    state: TraversalState, dg: DeviceGraph, batch: int,
+    gather_adj=None,
 ) -> Tuple[TraversalState, dict]:
     """Pop the ``batch`` best frontier entries and gather their neighbors.
 
@@ -184,6 +184,10 @@ def expand(
       cand:      [B, M0] neighbor node ids (-1 invalid).
       to_score:  [B*M0] unique unscored node ids, compacted to the front,
                  -1 padded — the batch handed to the host scoring bridge.
+
+    ``gather_adj(rows) -> [B, M0]`` overrides the adjacency row gather —
+    the hook the sharded pod engine uses to fetch rows from whichever chip
+    owns them (rad_tpu.parallel.sharded).
     """
     b = batch
     neg, idx = jax.lax.top_k(-state.f_score, b)
@@ -195,7 +199,11 @@ def expand(
     level = _level_of_row(dg, pop_row)
     node = pop_row - dg.offsets[level]
     safe_row = jnp.where(valid, pop_row, 0)
-    cand = jnp.where(valid[:, None], dg.adj[safe_row], -1)  # [B, M0]
+    if gather_adj is None:
+        adj_rows = dg.adj[safe_row]
+    else:
+        adj_rows = gather_adj(safe_row)
+    cand = jnp.where(valid[:, None], adj_rows, -1)  # [B, M0]
 
     n = dg.n_nodes
     cand_flat = cand.reshape(-1)
@@ -226,8 +234,11 @@ def expand(
     return new_state, out
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def integrate(
+expand = jax.jit(expand_impl, static_argnames=("batch",),
+                 donate_argnums=(0,))
+
+
+def integrate_impl(
     state: TraversalState,
     dg: DeviceGraph,
     exp_node: jnp.ndarray,
@@ -316,6 +327,9 @@ def integrate(
     )
 
 
+integrate = jax.jit(integrate_impl, donate_argnums=(0,))
+
+
 @jax.jit
 def prime(
     state: TraversalState,
@@ -364,6 +378,40 @@ def prime(
         order_log=order_log,
         n_scored=n_scored,
     )
+
+
+@partial(jax.jit, static_argnames=("batch",), donate_argnums=(0,))
+def fused_step(
+    state: TraversalState,
+    dg: DeviceGraph,
+    packed: jnp.ndarray,
+    pops: jnp.ndarray,
+    target_packed: jnp.ndarray,
+    target_pop: jnp.ndarray,
+    batch: int,
+) -> TraversalState:
+    """One fully device-resident traversal step with an on-device scorer.
+
+    For scoring functions expressible on-device (similarity-to-target,
+    ML surrogates), the entire pop→score→integrate step fuses into one
+    compiled program with no host round trip — the zero-callback fast path
+    used by benchmarks and the sharded pod engine. The scorer here is
+    Tanimoto distance to ``target_packed`` (the virtual-actives analogue of
+    the reference's lookup-table scorer, examples/DUDEZ_example.ipynb).
+    """
+    from rad_tpu.fp.pack import popcount  # local import to avoid cycle
+
+    state, out = expand(state, dg, batch)
+    ts = out["to_score"]
+    ok = ts >= 0
+    rows = packed[jnp.where(ok, ts, 0)]
+    inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
+    union = target_pop + pops[jnp.where(ok, ts, 0)] - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+    scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+    return integrate(state, dg, out["exp_node"], out["exp_level"],
+                     out["exp_score"], out["exp_valid"], out["cand"],
+                     out["to_score"], scores)
 
 
 def frontier_size(state: TraversalState) -> int:

@@ -1,0 +1,108 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+The analogue of the reference's no-cluster multi-node testing strategy
+(SURVEY.md §4): pod behavior exercised on one host."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints, popcount_rows
+from rad_tpu.fp.tanimoto import bruteforce_topk, tanimoto_matrix
+from rad_tpu.parallel import (
+    make_mesh,
+    shard_graph,
+    sharded_bruteforce_topk,
+)
+from rad_tpu.parallel.sharded import make_sharded_step
+from rad_tpu.traverse import device as dev
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8, axis_names=("graph",))
+
+
+@pytest.fixture(scope="module")
+def built():
+    fps = random_fingerprints(300, n_bits=128, density=0.25, seed=31)
+    graph = build_hnsw(fps, connectivity=6, expansion_add=40, seed=4)
+    return graph
+
+
+def test_make_mesh_shapes():
+    m1 = make_mesh(4)
+    assert m1.shape == {"graph": 4}
+    m2 = make_mesh((2, 4), axis_names=("data", "graph"))
+    assert m2.shape == {"data": 2, "graph": 4}
+    with pytest.raises(ValueError):
+        make_mesh(9)
+
+
+def test_shard_graph_layout(mesh, built):
+    sg = shard_graph(built, mesh)
+    assert sg.n_pad_nodes % 8 == 0
+    assert sg.n_pad_rows % 8 == 0
+    assert sg.n_nodes == len(built)
+    # padded tails are inert (-1 adjacency, zero fingerprints)
+    adj = np.asarray(sg.adj)
+    assert (adj[sg.n_rows:] == -1).all()
+
+
+def test_sharded_bruteforce_matches_dense(mesh, built):
+    sg = shard_graph(built, mesh)
+    queries = random_fingerprints(6, n_bits=128, density=0.25, seed=90)
+    d_sh, i_sh = sharded_bruteforce_topk(sg, queries, k=8, mesh=mesh)
+    d_ref, i_ref = bruteforce_topk(
+        jnp.asarray(queries), jnp.asarray(np.asarray(built.packed)), 8)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref), atol=1e-6)
+    # ids may differ on exact ties; distances must agree
+
+
+def test_sharded_traversal_matches_single_device(mesh, built):
+    """The pod step must produce bit-identical traversal state to the
+    single-device fused step."""
+    graph = built
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=55)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+
+    # single-device reference
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    state1 = dev.init_state(dg, frontier_capacity=1 << 10)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = np.asarray(tanimoto_matrix(
+        jnp.asarray(target[None, :]),
+        jnp.asarray(np.asarray(graph.packed)[:n_top])))[0]
+    state1 = dev.prime(state1, dg, ids, jnp.asarray(seed_scores))
+    for _ in range(12):
+        state1 = dev.fused_step(state1, dg, packed, pops, t_packed, t_pop,
+                                batch=4)
+
+    # sharded
+    sg = shard_graph(graph, mesh)
+    step = make_sharded_step(sg, mesh, batch=4)
+    state2 = dev.init_state(dg, frontier_capacity=1 << 10)
+    state2 = dev.prime(state2, dg, ids, jnp.asarray(seed_scores))
+    for _ in range(12):
+        state2 = step(state2, t_packed, t_pop)
+
+    assert int(state1.n_scored) == int(state2.n_scored) > n_top
+    np.testing.assert_array_equal(np.asarray(state1.scored),
+                                  np.asarray(state2.scored))
+    np.testing.assert_allclose(np.asarray(state1.scores),
+                               np.asarray(state2.scores), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(state1.order_log),
+                                  np.asarray(state2.order_log))
+    np.testing.assert_array_equal(np.asarray(state1.enqueued),
+                                  np.asarray(state2.enqueued))
+    # frontier contents identical
+    np.testing.assert_allclose(np.asarray(state1.f_score),
+                               np.asarray(state2.f_score), atol=1e-6)
