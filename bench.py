@@ -94,14 +94,17 @@ def main():
 
     log("compiling ...")
     t0 = time.perf_counter()
-    r = min_dist(db_j, q_j)
-    r.block_until_ready()
-    log(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s")
+    # np.asarray forces a device->host readback of the [Q] result — the only
+    # reliable completion barrier through remote-execution backends where
+    # block_until_ready can return early.
+    r = np.asarray(min_dist(db_j, q_j))
+    log(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s; "
+        f"min dist overall = {r.min():.4f}")
 
     best = np.inf
-    for i in range(3):
+    for i in range(4):
         t0 = time.perf_counter()
-        min_dist(db_j, q_j).block_until_ready()
+        np.asarray(min_dist(db_j, q_j))
         dt = time.perf_counter() - t0
         log(f"run {i}: {dt*1e3:.1f} ms")
         best = min(best, dt)

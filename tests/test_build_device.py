@@ -1,0 +1,109 @@
+"""On-device batched HNSW builder tests: validity, recall, determinism."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rad_tpu.build.device import build_hnsw_device
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints, tanimoto_matrix
+from rad_tpu.search.knn import search_device
+
+
+@pytest.fixture(scope="module")
+def fps():
+    return random_fingerprints(600, n_bits=256, density=0.2, seed=17)
+
+
+@pytest.fixture(scope="module")
+def dev_graph(fps):
+    return build_hnsw_device(fps, connectivity=8, expansion_add=48,
+                             seed=3, batch_size=64)
+
+
+def test_device_graph_valid(dev_graph):
+    g = dev_graph
+    levels = np.asarray(g.levels)
+    assert (np.diff(levels) <= 0).all()
+    for l, table in enumerate(g.neighbors):
+        t = np.asarray(table)
+        cap = 2 * g.connectivity if l == 0 else g.connectivity
+        assert t.shape == (g.layer_sizes[l], cap)
+        valid = t[t >= 0]
+        assert (valid < g.layer_sizes[l]).all()
+        rows, _ = np.nonzero(t == np.arange(t.shape[0])[:, None])
+        assert rows.size == 0, "self loops"
+        # no duplicate neighbors within a row
+        for r in range(0, t.shape[0], 37):
+            row = t[r][t[r] >= 0]
+            assert len(row) == len(set(row.tolist()))
+
+
+def test_device_graph_has_edges(dev_graph):
+    t0 = np.asarray(dev_graph.neighbors[0])
+    frac_nonempty = ((t0 >= 0).sum(axis=1) > 0).mean()
+    assert frac_nonempty > 0.99
+    # mean degree should be near capacity for a dense library
+    mean_deg = (t0 >= 0).sum(axis=1).mean()
+    assert mean_deg >= dev_graph.connectivity
+
+
+def test_device_build_recall(fps, dev_graph):
+    queries = random_fingerprints(24, n_bits=256, density=0.2, seed=71)
+    d, ids = search_device(dev_graph, queries, k=10, expansion_search=128)
+    ids = np.asarray(ids)
+    full = np.asarray(tanimoto_matrix(
+        jnp.asarray(queries), jnp.asarray(np.asarray(dev_graph.packed))))
+    true_ids = np.argsort(full, axis=1, kind="stable")[:, :10]
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(true_ids[i].tolist())) / 10
+        for i in range(len(queries))
+    ])
+    assert recall >= 0.8, f"device-built recall@10 = {recall}"
+
+
+def test_device_build_comparable_to_host(fps):
+    """Device-built graph recall within a reasonable gap of the host
+    (sequential, heuristic-exact) builder."""
+    host_g = build_hnsw(fps, connectivity=8, expansion_add=48, seed=3)
+    dev_g = build_hnsw_device(fps, connectivity=8, expansion_add=48,
+                              seed=3, batch_size=64)
+    queries = random_fingerprints(24, n_bits=256, density=0.2, seed=72)
+    full = np.asarray(tanimoto_matrix(
+        jnp.asarray(queries), jnp.asarray(np.asarray(host_g.packed))))
+    true_sets_host = [set(np.argsort(full[i], kind="stable")[:10].tolist())
+                      for i in range(24)]
+
+    def recall(graph):
+        # recompute truth in this graph's id space
+        packed = np.asarray(graph.packed)
+        fullg = np.asarray(tanimoto_matrix(jnp.asarray(queries),
+                                           jnp.asarray(packed)))
+        truth = [set(np.argsort(fullg[i], kind="stable")[:10].tolist())
+                 for i in range(24)]
+        _, ids = search_device(graph, queries, k=10, expansion_search=128)
+        ids = np.asarray(ids)
+        return np.mean([len(set(ids[i].tolist()) & truth[i]) / 10
+                        for i in range(24)])
+
+    r_host, r_dev = recall(host_g), recall(dev_g)
+    assert r_dev >= r_host - 0.15, f"host={r_host} device={r_dev}"
+
+
+def test_device_build_deterministic(fps):
+    g1 = build_hnsw_device(fps[:200], connectivity=6, expansion_add=24,
+                           seed=9, batch_size=32)
+    g2 = build_hnsw_device(fps[:200], connectivity=6, expansion_add=24,
+                           seed=9, batch_size=32)
+    for a, b in zip(g1.neighbors, g2.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_build_tiny():
+    fps = random_fingerprints(10, n_bits=64, seed=1)
+    g = build_hnsw_device(fps, connectivity=4, expansion_add=8,
+                          batch_size=4)
+    assert len(g) == 10
+    t0 = np.asarray(g.neighbors[0])
+    assert (t0 >= 0).any()
