@@ -104,23 +104,26 @@ class HNSWIndex:
             raise ValueError("duplicate keys (multi-key indexes unsupported)")
         backend = backend or self.backend
         t0 = time.perf_counter()
-        if backend in ("device", "auto"):
-            try:
-                from rad_tpu.build.device import build_hnsw_device
-                self._graph = build_hnsw_device(
-                    fps, keys=keys, connectivity=self.connectivity,
-                    expansion_add=self.expansion_add, ndim=self.ndim,
-                    seed=self.seed, **kwargs)
-            except ImportError:
-                if backend == "device":
-                    raise
-                backend = "host"
-        if self._graph is None:
+        common = dict(keys=keys, connectivity=self.connectivity,
+                      expansion_add=self.expansion_add, ndim=self.ndim,
+                      seed=self.seed)
+        if backend == "auto":
+            # native C++ builder (exact reference semantics, host-speed)
+            # when the toolchain allows; else the numpy reference builder.
+            # The batched JAX builder is opt-in via backend="device".
+            from rad_tpu.native import native_available
+            backend = "native" if native_available() else "host"
+        if backend == "device":
+            from rad_tpu.build.device import build_hnsw_device
+            self._graph = build_hnsw_device(fps, **common, **kwargs)
+        elif backend == "native":
+            from rad_tpu.native import build_hnsw_native
+            self._graph = build_hnsw_native(fps, **common, **kwargs)
+        elif backend == "host":
             from rad_tpu.build.reference import build_hnsw
-            self._graph = build_hnsw(
-                fps, keys=keys, connectivity=self.connectivity,
-                expansion_add=self.expansion_add, ndim=self.ndim,
-                seed=self.seed)
+            self._graph = build_hnsw(fps, **common)
+        else:
+            raise ValueError(f"unknown build backend {backend!r}")
         logger.info("built HNSW over %d vectors in %.2fs (backend=%s)",
                     len(keys), time.perf_counter() - t0, backend)
         return self._graph

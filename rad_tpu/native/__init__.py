@@ -1,0 +1,183 @@
+"""Native (C++) host components: multithreaded HNSW builder + exact kNN.
+
+ctypes bindings over ``hnsw_builder.cpp``, compiled on first use with g++
+(no pybind11 in this environment; the C ABI + ctypes keeps the build
+dependency-free). The native builder is the host-speed path for large
+library construction — the role usearch's C++ core plays in the reference
+(SURVEY.md §2 rows 1-2) — while the JAX builder (rad_tpu.build.device) is
+the on-device path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+import tempfile
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["native_available", "build_hnsw_native", "bruteforce_topk_native"]
+
+_SRC = os.path.join(os.path.dirname(__file__), "hnsw_builder.cpp")
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_ERR: Optional[str] = None
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get("RAD_TPU_NATIVE_CACHE",
+                           os.path.join(tempfile.gettempdir(),
+                                        "rad_tpu_native"))
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"hnsw_builder_{digest}.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_ERR
+    if _LIB is not None or _LIB_ERR is not None:
+        return _LIB
+    path = _lib_path()
+    if not os.path.exists(path):
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+               "-o", path + ".tmp", _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+            os.replace(path + ".tmp", path)
+            logger.info("compiled native builder -> %s", path)
+        except (subprocess.CalledProcessError, OSError) as e:
+            _LIB_ERR = getattr(e, "stderr", str(e)) or str(e)
+            logger.warning("native build unavailable: %s", _LIB_ERR)
+            return None
+    lib = ctypes.CDLL(path)
+    lib.rad_build_hnsw.restype = ctypes.c_int
+    lib.rad_build_hnsw.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),   # packed
+        ctypes.POINTER(ctypes.c_int32),    # pops
+        ctypes.c_int64,                    # n
+        ctypes.c_int32,                    # words
+        ctypes.POINTER(ctypes.c_int32),    # levels
+        ctypes.POINTER(ctypes.c_int64),    # layer_sizes
+        ctypes.c_int32,                    # max_level
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # tables
+        ctypes.POINTER(ctypes.c_int32),    # layer_caps
+        ctypes.c_int32,                    # connectivity
+        ctypes.c_int32,                    # ef_construction
+        ctypes.c_int32,                    # n_threads
+    ]
+    lib.rad_bruteforce_topk.restype = None
+    lib.rad_bruteforce_topk.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def build_hnsw_native(
+    packed: np.ndarray,
+    keys: np.ndarray | None = None,
+    connectivity: int = 16,
+    expansion_add: int = 200,
+    ndim: int | None = None,
+    seed: int = 0,
+    n_threads: int = 0,
+):
+    """Build an HNSWGraph with the C++ core. Same semantics/params as
+    rad_tpu.build.reference.build_hnsw; ``n_threads=0`` = all cores."""
+    from rad_tpu.build.reference import sample_levels
+    from rad_tpu.fp.pack import popcount_rows_np
+    from rad_tpu.graph.storage import HNSWGraph
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native builder unavailable: {_LIB_ERR}")
+
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    ndim = ndim or w * 32
+    m = connectivity
+    if keys is None:
+        keys = np.arange(n, dtype=np.int64)
+    keys = np.asarray(keys, dtype=np.int64)
+
+    levels_raw = sample_levels(n, m, seed)
+    order = np.lexsort((np.arange(n), -levels_raw))
+    packed = np.ascontiguousarray(packed[order])
+    keys = keys[order]
+    levels = np.ascontiguousarray(levels_raw[order].astype(np.int32))
+    max_level = int(levels[0]) if n else 0
+    layer_sizes = np.array([(levels >= l).sum()
+                            for l in range(max_level + 1)], dtype=np.int64)
+    caps = np.array([2 * m if l == 0 else m
+                     for l in range(max_level + 1)], dtype=np.int32)
+    pops = np.ascontiguousarray(popcount_rows_np(packed).astype(np.int32))
+
+    tables = [np.full((int(layer_sizes[l]), int(caps[l])), -1, np.int32)
+              for l in range(max_level + 1)]
+    table_ptrs = (ctypes.POINTER(ctypes.c_int32) * (max_level + 1))(
+        *[t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for t in tables])
+
+    rc = lib.rad_build_hnsw(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, w,
+        levels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        layer_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_level, table_ptrs,
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        m, expansion_add, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native build failed with code {rc}")
+
+    return HNSWGraph(
+        packed=packed,
+        popcounts=popcount_rows_np(packed),
+        keys=keys,
+        levels=levels,
+        neighbors=tuple(tables),
+        ndim=ndim,
+        connectivity=m,
+    )
+
+
+def bruteforce_topk_native(packed: np.ndarray, queries: np.ndarray,
+                           k: int = 10):
+    """Exact CPU top-k via the C++ popcount scan: (dists, ids)."""
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_LIB_ERR}")
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.uint32)
+    n, w = packed.shape
+    nq = queries.shape[0]
+    pops = np.ascontiguousarray(popcount_rows_np(packed).astype(np.int32))
+    q_pops = np.ascontiguousarray(
+        popcount_rows_np(queries).astype(np.int32))
+    out_d = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    lib.rad_bruteforce_topk(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, w,
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        q_pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nq, k,
+        out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out_d, out_i

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Launch an HNSW index HTTP server.
+
+CLI parity with the reference launcher (reference
+scripts/start_hnsw_server.py:84-163): load a persisted index (memory-mapped)
+or build a random test index, optionally attach a SMILES SQLite database and
+an API key, and serve.
+
+    python scripts/start_hnsw_server.py --hnsw-path library.rad.npz \
+        --database-path smiles.db --host 0.0.0.0 --port 8000
+
+    python scripts/start_hnsw_server.py --test-data 1000   # random index
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="rad_tpu HNSW index server")
+    ap.add_argument("--hnsw-path", help="path to a persisted index (.npz)")
+    ap.add_argument("--test-data", type=int, default=None, metavar="N",
+                    help="serve a random N-vector test index instead")
+    ap.add_argument("--test-dim", type=int, default=64,
+                    help="fingerprint bits for --test-data")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--database-path", help="SMILES SQLite (nodes table)")
+    ap.add_argument("--api-key", default=None)
+    ap.add_argument("--enable-cors", action="store_true")
+    ap.add_argument("--cache-dir", default=".rad_tpu_cache",
+                    help="persistent top-level-node cache directory")
+    ap.add_argument("--no-view", action="store_true",
+                    help="load the index fully instead of memory-mapping")
+    ap.add_argument("--debug", action="store_true")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.DEBUG if args.debug else logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    log = logging.getLogger("start_hnsw_server")
+
+    if not args.hnsw_path and args.test_data is None:
+        ap.error("provide --hnsw-path or --test-data")
+
+    from rad_tpu.graph.storage import HNSWGraph
+    from rad_tpu.server.http_server import run_hnsw_server
+    from rad_tpu.store.smiles_store import SQLiteSmilesStore
+
+    if args.hnsw_path:
+        log.info("loading index from %s (mmap=%s)", args.hnsw_path,
+                 not args.no_view)
+        graph = HNSWGraph.load(args.hnsw_path, mmap=not args.no_view)
+    else:
+        log.info("building random test index (%d x %d bits)",
+                 args.test_data, args.test_dim)
+        from rad_tpu.build.reference import build_hnsw
+        from rad_tpu.fp import random_fingerprints
+        fps = random_fingerprints(args.test_data, n_bits=args.test_dim,
+                                  seed=0)
+        graph = build_hnsw(fps, connectivity=8, expansion_add=40)
+
+    store = None
+    if args.database_path:
+        store = SQLiteSmilesStore(args.database_path)
+        log.info("SMILES DB: %s (%d rows)", args.database_path, len(store))
+
+    log.info("index: %d nodes, max_level=%d", len(graph), graph.max_level)
+    run_hnsw_server(graph, host=args.host, port=args.port,
+                    smiles_store=store, api_key=args.api_key,
+                    enable_cors=args.enable_cors, cache_dir=args.cache_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Native C++ builder tests: compile, validity, recall, kNN parity, speed."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rad_tpu.fp import random_fingerprints, tanimoto_matrix
+from rad_tpu.native import (
+    build_hnsw_native,
+    bruteforce_topk_native,
+    native_available,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="g++ unavailable")
+
+
+@pytest.fixture(scope="module")
+def fps():
+    return random_fingerprints(800, n_bits=256, density=0.2, seed=23)
+
+
+@pytest.fixture(scope="module")
+def native_graph(fps):
+    return build_hnsw_native(fps, connectivity=8, expansion_add=64, seed=5)
+
+
+def test_native_graph_valid(native_graph):
+    g = native_graph
+    levels = np.asarray(g.levels)
+    assert (np.diff(levels) <= 0).all()
+    for l, table in enumerate(g.neighbors):
+        t = np.asarray(table)
+        cap = 2 * g.connectivity if l == 0 else g.connectivity
+        assert t.shape == (g.layer_sizes[l], cap)
+        valid = t[t >= 0]
+        assert (valid < g.layer_sizes[l]).all()
+        rows, _ = np.nonzero(t == np.arange(t.shape[0])[:, None])
+        assert rows.size == 0
+        for r in range(0, t.shape[0], 53):
+            row = t[r][t[r] >= 0]
+            assert len(row) == len(set(row.tolist())), f"dup in layer {l}"
+
+
+def test_native_recall(fps, native_graph):
+    from rad_tpu.search.knn import search_device
+    queries = random_fingerprints(24, n_bits=256, density=0.2, seed=88)
+    _, ids = search_device(native_graph, queries, k=10, expansion_search=128)
+    ids = np.asarray(ids)
+    full = np.asarray(tanimoto_matrix(
+        jnp.asarray(queries),
+        jnp.asarray(np.asarray(native_graph.packed))))
+    true_ids = np.argsort(full, axis=1, kind="stable")[:, :10]
+    recall = np.mean([
+        len(set(ids[i].tolist()) & set(true_ids[i].tolist())) / 10
+        for i in range(24)
+    ])
+    assert recall >= 0.85, f"native-built recall@10 = {recall}"
+
+
+def test_native_matches_python_reference_single_thread(fps):
+    """Single-threaded native build is deterministic and equals the numpy
+    reference builder edge-for-edge (same algorithm, same level sequence)."""
+    from rad_tpu.build.reference import build_hnsw
+    g_py = build_hnsw(fps[:300], connectivity=6, expansion_add=32, seed=7)
+    g_cc = build_hnsw_native(fps[:300], connectivity=6, expansion_add=32,
+                             seed=7, n_threads=1)
+    assert g_py.layer_sizes == g_cc.layer_sizes
+    for a, b in zip(g_py.neighbors, g_cc.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_native_bruteforce_matches_jax(fps):
+    queries = fps[:5]
+    d_cc, i_cc = bruteforce_topk_native(fps, queries, k=7)
+    from rad_tpu.fp.tanimoto import bruteforce_topk
+    d_j, i_j = bruteforce_topk(jnp.asarray(queries), jnp.asarray(fps), 7)
+    np.testing.assert_allclose(d_cc, np.asarray(d_j), atol=1e-5)
+
+
+def test_native_build_speed(fps):
+    """Native build should beat the pure-python reference builder by a wide
+    margin (it exists to give usearch-class host builds)."""
+    import time
+    from rad_tpu.build.reference import build_hnsw
+    sub = fps[:400]
+    t0 = time.perf_counter()
+    build_hnsw_native(sub, connectivity=8, expansion_add=40, seed=1)
+    t_cc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    build_hnsw(sub, connectivity=8, expansion_add=40, seed=1)
+    t_py = time.perf_counter() - t0
+    assert t_cc < t_py / 5, f"native {t_cc:.3f}s vs python {t_py:.3f}s"
