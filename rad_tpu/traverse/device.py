@@ -259,18 +259,21 @@ def integrate_impl(
     n = dg.n_nodes
     cap = state.order_log.shape[0]
 
-    # -- scored set: write scores for the host-scored ids ------------------
+    # -- scored set: insert-if-absent (reference rad/scored.py:37-48) ------
+    # With pipelined drivers the same id can arrive in two in-flight
+    # batches; the first integration wins and later ones are no-ops, so the
+    # order log never duplicates.
     ts_ok = to_score >= 0
-    ts_idx = jnp.where(ts_ok, to_score, n)  # n = OOB -> dropped
-    # only first-write wins is guaranteed by construction (ids unique &
-    # previously unscored)
+    already = state.scored[jnp.where(ts_ok, to_score, 0)]
+    fresh = ts_ok & ~already
+    ts_idx = jnp.where(fresh, to_score, n)  # n = OOB -> dropped
     scores = state.scores.at[ts_idx].set(new_scores, mode="drop")
     scored = state.scored.at[ts_idx].set(True, mode="drop")
     k = to_score.shape[0]
-    log_pos = jnp.where(ts_ok, state.n_scored + jnp.arange(k, dtype=jnp.int32),
-                        cap)
+    pos_in_batch = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    log_pos = jnp.where(fresh, state.n_scored + pos_in_batch, cap)
     order_log = state.order_log.at[log_pos].set(to_score, mode="drop")
-    n_new = jnp.sum(ts_ok).astype(jnp.int32)
+    n_new = jnp.sum(fresh).astype(jnp.int32)
     n_scored = state.n_scored + n_new
 
     # -- candidate enqueue: visited check-and-set at the expansion level ---

@@ -109,55 +109,104 @@ class DeviceTraverser:
                 max_workers=self.n_score_threads,
                 thread_name_prefix="rad-score")
 
+    def _score_batch(self, to_score: np.ndarray) -> np.ndarray:
+        ids = to_score[to_score >= 0]
+        new_scores = np.zeros(to_score.shape, np.float32)
+        if ids.size:
+            smiles = self._smiles_for_ids(ids)
+            new_scores[: ids.size] = self._score_smiles(smiles)
+        return new_scores
+
     def traverse(
         self,
         n_to_score: Optional[int] = None,
         timeout: Optional[float] = None,
+        pipeline_depth: int = 1,
     ) -> dict:
         """Run the best-first sweep until a stop condition
         (reference rad/traverser.py:178-245 semantics: n_to_score reached,
-        timeout elapsed, or frontier exhausted)."""
+        timeout elapsed, or frontier exhausted).
+
+        ``pipeline_depth > 1`` keeps that many expansion batches in flight:
+        the device expands batch k+1 while the host scores batch k — the
+        same overlap the reference gets from multiple outstanding work
+        items (rad/coordination_service.py:314-347). Equivalent to running
+        the reference with ``pipeline_depth`` workers; traversal order may
+        interleave but all once-only invariants hold.
+        """
         if not self._primed:
             raise RuntimeError("prime() must be called before traverse() "
                                "(reference raises the same way)")
         if n_to_score is None and timeout is None:
             raise ValueError("provide n_to_score and/or timeout")
         self._ensure_pool()
+        import collections
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        score_pool = _TPE(max_workers=max(pipeline_depth, 1),
+                          thread_name_prefix="rad-batch") \
+            if pipeline_depth > 1 else None
         start = time.monotonic()
         self.stats["started_at"] = start
         reason = None
-        while True:
-            if timeout is not None and time.monotonic() - start > timeout:
-                reason = "timeout"
-                break
-            if n_to_score is not None and self.n_scored >= n_to_score:
-                reason = "n_to_score"
-                break
-            t0 = time.perf_counter()
-            self.state, out = dev.expand(self.state, self.dg, self.batch_size)
-            to_score = np.asarray(out["to_score"])
-            exp_valid = np.asarray(out["exp_valid"])
-            self.stats["device_time"] += time.perf_counter() - t0
-            if not exp_valid.any():
-                reason = "queue_empty"
-                break
-            ids = to_score[to_score >= 0]
-            if ids.size:
-                smiles = self._smiles_for_ids(ids)
-                scores = self._score_smiles(smiles)
-                new_scores = np.zeros(to_score.shape, np.float32)
-                new_scores[: ids.size] = scores
-            else:
-                new_scores = np.zeros(to_score.shape, np.float32)
-            t0 = time.perf_counter()
-            self.state = dev.integrate(
-                self.state, self.dg,
-                out["exp_node"], out["exp_level"], out["exp_score"],
-                out["exp_valid"], out["cand"], out["to_score"],
-                jax.numpy.asarray(new_scores),
-            )
-            self.stats["device_time"] += time.perf_counter() - t0
-            self.stats["steps"] += 1
+        inflight = collections.deque()
+        try:
+            while True:
+                if timeout is not None and time.monotonic() - start > timeout:
+                    reason = "timeout"
+                    break
+                if n_to_score is not None and self.n_scored >= n_to_score:
+                    reason = "n_to_score"
+                    break
+                # fill the pipeline
+                expanded_empty = False
+                while len(inflight) < max(pipeline_depth, 1):
+                    t0 = time.perf_counter()
+                    self.state, out = dev.expand(self.state, self.dg,
+                                                 self.batch_size)
+                    to_score = np.asarray(out["to_score"])
+                    exp_valid = np.asarray(out["exp_valid"])
+                    self.stats["device_time"] += time.perf_counter() - t0
+                    if not exp_valid.any():
+                        expanded_empty = True
+                        break
+                    if score_pool is not None:
+                        fut = score_pool.submit(self._score_batch, to_score)
+                    else:
+                        fut = None
+                    inflight.append((out, to_score, fut))
+                if not inflight:
+                    if expanded_empty:
+                        reason = "queue_empty"
+                        break
+                    continue
+                out, to_score, fut = inflight.popleft()
+                new_scores = (fut.result() if fut is not None
+                              else self._score_batch(to_score))
+                t0 = time.perf_counter()
+                self.state = dev.integrate(
+                    self.state, self.dg,
+                    out["exp_node"], out["exp_level"], out["exp_score"],
+                    out["exp_valid"], out["cand"], out["to_score"],
+                    jax.numpy.asarray(new_scores),
+                )
+                self.stats["device_time"] += time.perf_counter() - t0
+                self.stats["steps"] += 1
+            # drain remaining in-flight batches so their pops aren't lost
+            while inflight:
+                out, to_score, fut = inflight.popleft()
+                new_scores = (fut.result() if fut is not None
+                              else self._score_batch(to_score))
+                self.state = dev.integrate(
+                    self.state, self.dg,
+                    out["exp_node"], out["exp_level"], out["exp_score"],
+                    out["exp_valid"], out["cand"], out["to_score"],
+                    jax.numpy.asarray(new_scores),
+                )
+                self.stats["steps"] += 1
+        finally:
+            if score_pool is not None:
+                score_pool.shutdown(wait=False)
         self.stats["termination_reason"] = reason
         self.stats["runtime_seconds"] = time.monotonic() - start
         return dict(self.stats, n_scored=self.n_scored)

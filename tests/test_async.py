@@ -1,0 +1,110 @@
+"""Async scoring bridge tests: pipelined driver + jitted io_callback loop."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints
+from rad_tpu.store.smiles_store import InMemorySmilesStore
+from rad_tpu.traverse import device as dev
+from rad_tpu.traverse.callback import (
+    make_callback_scorer,
+    traverse_with_callback,
+)
+from rad_tpu.traverse.driver import DeviceTraverser
+
+
+@pytest.fixture(scope="module")
+def setup():
+    n = 250
+    fps = random_fingerprints(n, n_bits=64, density=0.3, seed=19)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=20, seed=6)
+    keys = np.asarray(graph.keys)
+    rng = np.random.default_rng(2)
+    table = {int(k): float(s)
+             for k, s in zip(keys, rng.permutation(n).astype(float))}
+    store = InMemorySmilesStore({int(k): f"P_{int(k)}" for k in keys})
+
+    def scoring_fn(smiles):
+        return table[int(smiles.split("_")[1])]
+
+    return graph, store, scoring_fn, table
+
+
+def test_pipelined_traversal_invariants(setup):
+    graph, store, scoring_fn, table = setup
+    tr = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    tr.prime()
+    stats = tr.traverse(n_to_score=10**9, timeout=120, pipeline_depth=3)
+    assert stats["termination_reason"] == "queue_empty"
+    mols = tr.get_molecules()
+    ids = [m[0] for m in mols]
+    assert len(ids) == len(set(ids)), "order log duplicated under pipelining"
+    assert len(ids) == stats["n_scored"]
+    keys = np.asarray(graph.keys)
+    for nid, score, _ in mols:
+        assert score == table[int(keys[nid])]
+    tr.shutdown()
+
+
+def test_pipelined_same_scored_set_as_sync(setup):
+    graph, store, scoring_fn, _ = setup
+    t1 = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    t1.prime()
+    t1.traverse(n_to_score=10**9, timeout=120, pipeline_depth=1)
+    t2 = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    t2.prime()
+    t2.traverse(n_to_score=10**9, timeout=120, pipeline_depth=4)
+    s1 = {(m[0], m[1]) for m in t1.get_molecules()}
+    s2 = {(m[0], m[1]) for m in t2.get_molecules()}
+    assert s1 == s2
+    t1.shutdown()
+    t2.shutdown()
+
+
+def test_callback_loop_matches_stepwise(setup):
+    graph, store, scoring_fn, table = setup
+    dg = dev.prepare_device_graph(graph)
+
+    # stepwise reference
+    tr = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    tr.prime()
+    tr.traverse(n_to_score=10**9, timeout=120)
+    ref_mols = tr.get_molecules()
+    tr.shutdown()
+
+    # compiled io_callback loop
+    score_ids = make_callback_scorer(graph, scoring_fn, store)
+    state = dev.init_state(dg, frontier_capacity=1 << 12)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = np.arange(n_top, dtype=np.int32)
+    seed_scores = score_ids(ids).astype(np.float32)
+    state = dev.prime(state, dg, jnp.asarray(ids), jnp.asarray(seed_scores))
+    state, steps = traverse_with_callback(state, dg, score_ids,
+                                          n_to_score=10**9, batch=4)
+    assert steps > 0
+    count = int(state.n_scored)
+    log = np.asarray(state.order_log)[:count]
+    scores = np.asarray(state.scores)[log]
+    assert [m[0] for m in ref_mols] == log.tolist()
+    np.testing.assert_allclose([m[1] for m in ref_mols], scores, atol=1e-6)
+
+
+def test_callback_loop_n_to_score(setup):
+    graph, store, scoring_fn, _ = setup
+    dg = dev.prepare_device_graph(graph)
+    score_ids = make_callback_scorer(graph, scoring_fn, store)
+    state = dev.init_state(dg, frontier_capacity=1 << 12)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = np.arange(n_top, dtype=np.int32)
+    state = dev.prime(state, dg, jnp.asarray(ids),
+                      jnp.asarray(score_ids(ids).astype(np.float32)))
+    state, _ = traverse_with_callback(state, dg, score_ids,
+                                      n_to_score=60, batch=4)
+    assert int(state.n_scored) >= 60
