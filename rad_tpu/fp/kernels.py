@@ -3,18 +3,29 @@
 The hot op of the framework (SURVEY.md §7 hard part #2). The XLA path
 (rad_tpu.fp.tanimoto.tanimoto_matrix_mxu) must materialize the unpacked
 ``[N, d]`` bf16 database in HBM — 16× the packed footprint. These kernels
-keep HBM traffic at the packed ``[N, d/32] uint32`` representation and
-unpack *inside* VMEM, right before the MXU dot:
+keep HBM traffic at the packed representation and unpack *inside* VMEM,
+right before the MXU dot:
 
     HBM (packed 128 B/row) ──DMA──> VMEM ──VPU unpack──> bf16 tile ──MXU──>
     inter = q·dbᵀ;  dist = 1 − inter / (|q| + |db| − inter)
 
+Performance-critical choices:
+  * the packed block is viewed as **bytes** ``[NT, W*4] uint8`` so the
+    unpack runs on full 128-lane registers (a uint32 view leaves 3/4 of the
+    lanes idle for 1024-bit fingerprints);
+  * the unpacked feature order is **bit-major permuted**
+    (``out[:, b*(W*4) + byte] = (x[:, byte] >> b) & 1``) — each of the 8
+    shift-mask steps writes one contiguous full-width slice. Dot products
+    are invariant to any fixed feature permutation, so the query side is
+    unpacked with the same permutation (:func:`unpack_bitmajor`);
+  * the grid is ``(n_tiles, q_tiles)`` with q innermost, and the unpacked
+    db tile lives in scratch — each database block is unpacked **once** and
+    reused for every query tile.
+
 Two entry points:
-  * :func:`tanimoto_matrix_pallas` — full ``[Q, N]`` distance block
-    (building block for batched search / recall sweeps);
-  * :func:`tanimoto_nn_pallas` — running min + argmin over the N grid axis
-    (1-NN distance without ever writing the Q×N matrix to HBM) — the
-    benchmark headline configuration.
+  * :func:`tanimoto_matrix_pallas` — full ``[Q, N]`` distance block;
+  * :func:`tanimoto_nn_pallas` — running min+argmin over the N axis
+    (1-NN without ever writing the Q×N matrix to HBM).
 
 Both validate against the SWAR reference on CPU via ``interpret=True``
 (tests/test_kernels.py) and run compiled on TPU.
@@ -30,100 +41,115 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rad_tpu.fp.pack import popcount_rows
-from rad_tpu.fp.tanimoto import unpack_to_dtype
 
-__all__ = ["tanimoto_matrix_pallas", "tanimoto_nn_pallas"]
+__all__ = ["tanimoto_matrix_pallas", "tanimoto_nn_pallas", "unpack_bitmajor"]
 
 
-def _unpack_block(db_ref, scratch, nt: int, words: int):
-    """VPU unpack of a packed [NT, W] uint32 block into bf16 [NT, W*32].
+def unpack_bitmajor(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Unpack ``[..., W] uint32`` → ``[..., W*32]`` 0/1 in bit-major order.
 
-    Bit layout matches rad_tpu.fp.pack: out[n, w*32 + b] = (db[n, w] >> b)&1.
+    Feature ``b * (W*4) + byte`` is bit ``b`` of byte ``byte`` — the
+    permutation the kernels' in-VMEM unpack produces. Any fixed permutation
+    leaves dot products (and hence Tanimoto) unchanged.
     """
-    shifts = jax.lax.broadcasted_iota(jnp.uint32, (1, 32), 1)
-    for w in range(words):
-        word = db_ref[:, w][:, None]                    # [NT, 1] uint32
-        bits = (word >> shifts) & jnp.uint32(1)         # [NT, 32]
-        # Mosaic has no uint32->bf16 cast; hop through int32
-        scratch[:, w * 32:(w + 1) * 32] = bits.astype(
-            jnp.int32).astype(jnp.bfloat16)
+    *lead, w = packed.shape
+    as_bytes = jax.lax.bitcast_convert_type(
+        packed.astype(jnp.uint32), jnp.uint8).reshape(*lead, w * 4)
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (as_bytes[..., None, :] >> shifts[:, None]) & jnp.uint8(1)
+    return bits.reshape(*lead, 8 * w * 4).astype(dtype)
+
+
+def _unpack_block_bytes(db_bytes_ref, scratch, nbytes: int):
+    """VPU unpack of [NT, nbytes] uint8 → bf16 [NT, 8*nbytes] bit-major."""
+    blk = db_bytes_ref[:, :].astype(jnp.int32)          # [NT, nbytes]
+    for b in range(8):
+        bits = (blk >> b) & 1
+        scratch[:, b * nbytes:(b + 1) * nbytes] = bits.astype(jnp.bfloat16)
+
+
+def _tanimoto_block(q_bits, q_pops, scratch, db_pops_t):
+    inter = jax.lax.dot_general(
+        q_bits, scratch[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)             # [QT, NT]
+    union = q_pops + db_pops_t - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
+    return 1.0 - sim
 
 
 def _matrix_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref, out_ref,
-                   scratch, *, words: int):
-    nt = db_ref.shape[0]
-    _unpack_block(db_ref, scratch, nt, words)
-    inter = jax.lax.dot_general(
-        q_bits_ref[:, :], scratch[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [QT, NT]
-    union = q_pops_ref[:, :] + db_pops_ref[:, :].T - inter
-    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
-    out_ref[:, :] = 1.0 - sim
+                   scratch, *, nbytes: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _unpack_block_bytes(db_ref, scratch, nbytes)
+
+    out_ref[:, :] = _tanimoto_block(
+        q_bits_ref[:, :], q_pops_ref[:, :], scratch, db_pops_ref[:, :].T)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("q_tile", "n_tile", "interpret"))
 def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
-                           q_tile: int = 256, n_tile: int = 512,
+                           q_tile: int = 512, n_tile: int = 1024,
                            interpret: bool = False) -> jnp.ndarray:
     """Full [Q, N] Tanimoto distance matrix with in-kernel unpack.
 
     Q must divide by ``q_tile`` and N by ``n_tile`` (pad with zero rows and
-    slice if needed — zero rows give distance 1 to everything non-empty).
+    slice — zero rows are distance 1 to everything non-empty).
     """
     q, w = q_packed.shape
     n, _ = db_packed.shape
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
+    nbytes = w * 4
     d = w * 32
-    q_bits = unpack_to_dtype(q_packed, jnp.bfloat16)
+    q_bits = unpack_bitmajor(q_packed, jnp.bfloat16)
     q_pops = popcount_rows(q_packed).astype(jnp.float32)[:, None]
     db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
+    db_bytes = jax.lax.bitcast_convert_type(
+        db_packed, jnp.uint8).reshape(n, nbytes)
 
-    grid = (q // q_tile, n // n_tile)
-    kernel = functools.partial(_matrix_kernel, words=w)
+    grid = (n // n_tile, q // q_tile)
+    kernel = functools.partial(_matrix_kernel, nbytes=nbytes)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, w), lambda i, j: (j, 0),
+            pl.BlockSpec((n_tile, nbytes), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((n_tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q_tile, n_tile), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((q_tile, n_tile), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((n_tile, d), jnp.bfloat16)],
         interpret=interpret,
-    )(q_bits, q_pops, db_packed, db_pops)
+    )(q_bits, q_pops, db_bytes, db_pops)
 
 
 def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
-               min_ref, arg_ref, scratch, *, words: int, n_tile: int):
-    j = pl.program_id(1)
+               min_ref, arg_ref, scratch, *, nbytes: int, n_tile: int):
+    i = pl.program_id(0)  # db block (outer)
 
-    @pl.when(j == 0)
+    @pl.when(i == 0)
     def _():
         min_ref[:, :] = jnp.full_like(min_ref[:, :], jnp.inf)
         arg_ref[:, :] = jnp.full_like(arg_ref[:, :], -1)
 
-    _unpack_block(db_ref, scratch, db_ref.shape[0], words)
-    inter = jax.lax.dot_general(
-        q_bits_ref[:, :], scratch[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    union = q_pops_ref[:, :] + db_pops_ref[:, :].T - inter
-    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
-    dist = 1.0 - sim                                      # [QT, NT]
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _unpack_block_bytes(db_ref, scratch, nbytes)
 
+    dist = _tanimoto_block(
+        q_bits_ref[:, :], q_pops_ref[:, :], scratch, db_pops_ref[:, :].T)
     bmin = jnp.min(dist, axis=1, keepdims=True)           # [QT, 1]
     barg = jnp.argmin(dist, axis=1)[:, None].astype(jnp.int32)
-    gid = j * n_tile + barg
+    gid = i * n_tile + barg
     better = bmin < min_ref[:, :]
     min_ref[:, :] = jnp.where(better, bmin, min_ref[:, :])
     arg_ref[:, :] = jnp.where(better, gid, arg_ref[:, :])
@@ -132,40 +158,39 @@ def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
 @functools.partial(jax.jit,
                    static_argnames=("q_tile", "n_tile", "interpret"))
 def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
-                       q_tile: int = 256, n_tile: int = 512,
+                       q_tile: int = 512, n_tile: int = 1024,
                        interpret: bool = False):
-    """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q]).
-
-    Scans the full database in n_tile blocks, carrying a running min —
-    the Q×N matrix never leaves VMEM.
-    """
+    """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q])."""
     q, w = q_packed.shape
     n, _ = db_packed.shape
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
+    nbytes = w * 4
     d = w * 32
-    q_bits = unpack_to_dtype(q_packed, jnp.bfloat16)
+    q_bits = unpack_bitmajor(q_packed, jnp.bfloat16)
     q_pops = popcount_rows(q_packed).astype(jnp.float32)[:, None]
     db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
+    db_bytes = jax.lax.bitcast_convert_type(
+        db_packed, jnp.uint8).reshape(n, nbytes)
 
-    grid = (q // q_tile, n // n_tile)
-    kernel = functools.partial(_nn_kernel, words=w, n_tile=n_tile)
+    grid = (n // n_tile, q // q_tile)
+    kernel = functools.partial(_nn_kernel, nbytes=nbytes, n_tile=n_tile)
     min_d, arg = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, w), lambda i, j: (j, 0),
+            pl.BlockSpec((n_tile, nbytes), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, 1), lambda i, j: (j, 0),
+            pl.BlockSpec((n_tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -174,5 +199,5 @@ def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
         ),
         scratch_shapes=[pltpu.VMEM((n_tile, d), jnp.bfloat16)],
         interpret=interpret,
-    )(q_bits, q_pops, db_packed, db_pops)
+    )(q_bits, q_pops, db_bytes, db_pops)
     return min_d[:, 0], arg[:, 0]
