@@ -417,6 +417,27 @@ def fused_step(
                      out["to_score"], scores)
 
 
+def save_state(state: TraversalState, path: str) -> None:
+    """Checkpoint a traversal to disk.
+
+    The analogue of the reference's implicit Redis-namespace resume
+    (SURVEY.md §5 checkpoint/resume): traversal state is a pytree of
+    arrays, so a checkpoint is one ``.npz``.
+    """
+    arrays = {f.name: np.asarray(getattr(state, f.name))
+              for f in dataclasses.fields(TraversalState)}
+    np.savez(path, **arrays)
+
+
+def load_state(path: str) -> TraversalState:
+    """Restore a traversal checkpoint written by :func:`save_state`."""
+    data = np.load(path)
+    return TraversalState(**{
+        f.name: jnp.asarray(data[f.name])
+        for f in dataclasses.fields(TraversalState)
+    })
+
+
 def frontier_size(state: TraversalState) -> int:
     """Host-side: number of live frontier entries."""
     return int(jnp.sum(jnp.isfinite(state.f_score)))

@@ -216,6 +216,20 @@ class DeviceTraverser:
             self._pool.shutdown(wait=False)
             self._pool = None
 
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Persist traversal state; a new DeviceTraverser over the same
+        graph resumes with :meth:`load_checkpoint` (the analogue of
+        re-attaching to a Redis namespace, reference rad/traverser.py:66)."""
+        dev.save_state(self.state, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        state = dev.load_state(path)
+        if state.scored.shape[0] != self.dg.n_nodes:
+            raise ValueError("checkpoint is for a different graph size")
+        self.state = state
+        self._primed = bool(int(state.n_scored) > 0)
+
     # -------------------------------------------------------------- results
     @property
     def n_scored(self) -> int:

@@ -1,0 +1,81 @@
+"""Traversal checkpoint/resume + profiling utils."""
+
+import numpy as np
+
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints
+from rad_tpu.store.smiles_store import InMemorySmilesStore
+from rad_tpu.traverse.driver import DeviceTraverser
+from rad_tpu.utils import Timer
+
+
+def _setup():
+    n = 200
+    fps = random_fingerprints(n, n_bits=64, density=0.3, seed=29)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=16, seed=8)
+    keys = np.asarray(graph.keys)
+    rng = np.random.default_rng(5)
+    table = {int(k): float(s)
+             for k, s in zip(keys, rng.permutation(n).astype(float))}
+    store = InMemorySmilesStore({int(k): f"C_{int(k)}" for k in keys})
+    return graph, store, lambda s: table[int(s.split("_")[1])]
+
+
+def test_checkpoint_resume_continues_identically(tmp_path):
+    graph, store, fn = _setup()
+    # run to completion in one go
+    t_full = DeviceTraverser(graph, fn, store, batch_size=4,
+                             frontier_capacity=1 << 12, n_score_threads=1)
+    t_full.prime()
+    t_full.traverse(n_to_score=10**9, timeout=60)
+    full_mols = t_full.get_molecules()
+    t_full.shutdown()
+
+    # run halfway, checkpoint, resume in a fresh traverser
+    t1 = DeviceTraverser(graph, fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    t1.prime()
+    t1.traverse(n_to_score=60)
+    ckpt = str(tmp_path / "trav.npz")
+    t1.save_checkpoint(ckpt)
+    mid_count = t1.n_scored
+    t1.shutdown()
+
+    t2 = DeviceTraverser(graph, fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1)
+    t2.load_checkpoint(ckpt)
+    assert t2.n_scored == mid_count
+    t2.traverse(n_to_score=10**9, timeout=60)
+    resumed_mols = t2.get_molecules()
+    t2.shutdown()
+
+    assert [m[0] for m in full_mols] == [m[0] for m in resumed_mols]
+    assert [m[1] for m in full_mols] == [m[1] for m in resumed_mols]
+
+
+def test_checkpoint_rejects_wrong_graph(tmp_path):
+    graph, store, fn = _setup()
+    t = DeviceTraverser(graph, fn, store, n_score_threads=1)
+    t.prime()
+    ckpt = str(tmp_path / "c.npz")
+    t.save_checkpoint(ckpt)
+    t.shutdown()
+
+    other = build_hnsw(random_fingerprints(50, n_bits=64, seed=1),
+                       connectivity=4, expansion_add=8)
+    t2 = DeviceTraverser(other, fn, store, n_score_threads=1)
+    import pytest
+    with pytest.raises(ValueError):
+        t2.load_checkpoint(ckpt)
+    t2.shutdown()
+
+
+def test_timer_sections():
+    t = Timer()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    s = t.stats()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_seconds"] >= 0
