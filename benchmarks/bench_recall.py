@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Recall/ef sweep vs brute force (BASELINE config 2, ZINC-style).
+
+Builds a graph over N random 1024-bit fingerprints, sweeps
+``expansion_search`` for batched device kNN, and reports recall@10 against
+exact Tanimoto top-k — the parity axis against usearch (BASELINE metric #1).
+
+    python benchmarks/bench_recall.py --n 100000 --q 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--q", type=int, default=256)
+    ap.add_argument("--n-bits", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--connectivity", type=int, default=16)
+    ap.add_argument("--expansion-add", type=int, default=128)
+    ap.add_argument("--efs", type=int, nargs="+",
+                    default=[16, 32, 64, 128, 256])
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.tanimoto import bruteforce_topk_blocked
+    from rad_tpu.search.knn import search_device
+
+    fps = random_fingerprints(args.n, n_bits=args.n_bits, density=0.1,
+                              seed=0)
+    queries = random_fingerprints(args.q, n_bits=args.n_bits, density=0.1,
+                                  seed=99)
+    log(f"building {args.n}-node graph ...")
+    t0 = time.perf_counter()
+    try:
+        from rad_tpu.native import build_hnsw_native
+        graph = build_hnsw_native(fps, connectivity=args.connectivity,
+                                  expansion_add=args.expansion_add, seed=0)
+    except Exception:
+        from rad_tpu.build.reference import build_hnsw
+        graph = build_hnsw(fps, connectivity=args.connectivity,
+                           expansion_add=args.expansion_add, seed=0)
+    log(f"build: {time.perf_counter()-t0:.1f}s")
+
+    log("exact ground truth ...")
+    _, true_ids = bruteforce_topk_blocked(
+        jnp.asarray(queries), jnp.asarray(np.asarray(graph.packed)),
+        args.k, block=1 << 14)
+    true_sets = [set(np.asarray(true_ids)[i].tolist())
+                 for i in range(args.q)]
+
+    results = []
+    for ef in args.efs:
+        t0 = time.perf_counter()
+        _, ids = search_device(graph, queries, k=args.k,
+                               expansion_search=ef)
+        ids = np.asarray(ids)
+        dt = time.perf_counter() - t0
+        recall = float(np.mean([
+            len(set(ids[i].tolist()) & true_sets[i]) / args.k
+            for i in range(args.q)
+        ]))
+        qps = args.q / dt
+        log(f"ef={ef:4d}  recall@{args.k}={recall:.3f}  {qps:.0f} q/s "
+            f"(incl. compile on first)")
+        results.append({"ef": ef, "recall": recall, "qps": qps})
+
+    print(json.dumps({
+        "metric": f"recall@{args.k}_sweep",
+        "n": args.n,
+        "connectivity": args.connectivity,
+        "expansion_add": args.expansion_add,
+        "results": results,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,18 +61,23 @@ def unpack_bitmajor(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _unpack_block_bytes(db_bytes_ref, scratch, nbytes: int):
-    """VPU unpack of [NT, nbytes] uint8 → bf16 [NT, 8*nbytes] bit-major."""
+    """VPU unpack of [NT, nbytes] uint8 → [NT, 8*nbytes] bit-major 0/1.
+
+    Output dtype follows the scratch buffer: int8 for the 2×-peak integer
+    MXU path (exact — 0/1 dots accumulate in int32), bf16 otherwise."""
     blk = db_bytes_ref[:, :].astype(jnp.int32)          # [NT, nbytes]
+    out_dtype = scratch.dtype
     for b in range(8):
         bits = (blk >> b) & 1
-        scratch[:, b * nbytes:(b + 1) * nbytes] = bits.astype(jnp.bfloat16)
+        scratch[:, b * nbytes:(b + 1) * nbytes] = bits.astype(out_dtype)
 
 
 def _tanimoto_block(q_bits, q_pops, scratch, db_pops_t):
+    acc = jnp.int32 if scratch.dtype == jnp.int8 else jnp.float32
     inter = jax.lax.dot_general(
         q_bits, scratch[:, :],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)             # [QT, NT]
+        preferred_element_type=acc).astype(jnp.float32)  # [QT, NT]
     union = q_pops + db_pops_t - inter
     sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
     return 1.0 - sim
@@ -89,21 +94,25 @@ def _matrix_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref, out_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("q_tile", "n_tile", "interpret"))
+                   static_argnames=("q_tile", "n_tile", "interpret",
+                                    "compute_dtype"))
 def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
                            q_tile: int = 512, n_tile: int = 1024,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           compute_dtype=jnp.int8) -> jnp.ndarray:
     """Full [Q, N] Tanimoto distance matrix with in-kernel unpack.
 
     Q must divide by ``q_tile`` and N by ``n_tile`` (pad with zero rows and
     slice — zero rows are distance 1 to everything non-empty).
+    ``compute_dtype=jnp.int8`` rides the 2×-peak integer MXU (exact);
+    ``jnp.bfloat16`` is the fallback.
     """
     q, w = q_packed.shape
     n, _ = db_packed.shape
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
     nbytes = w * 4
     d = w * 32
-    q_bits = unpack_bitmajor(q_packed, jnp.bfloat16)
+    q_bits = unpack_bitmajor(q_packed, compute_dtype)
     q_pops = popcount_rows(q_packed).astype(jnp.float32)[:, None]
     db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
     db_bytes = jax.lax.bitcast_convert_type(
@@ -127,7 +136,7 @@ def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
         out_specs=pl.BlockSpec((q_tile, n_tile), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((q, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_tile, d), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
         interpret=interpret,
     )(q_bits, q_pops, db_bytes, db_pops)
 
@@ -156,17 +165,18 @@ def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("q_tile", "n_tile", "interpret"))
+                   static_argnames=("q_tile", "n_tile", "interpret",
+                                    "compute_dtype"))
 def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
                        q_tile: int = 512, n_tile: int = 1024,
-                       interpret: bool = False):
+                       interpret: bool = False, compute_dtype=jnp.int8):
     """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q])."""
     q, w = q_packed.shape
     n, _ = db_packed.shape
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
     nbytes = w * 4
     d = w * 32
-    q_bits = unpack_bitmajor(q_packed, jnp.bfloat16)
+    q_bits = unpack_bitmajor(q_packed, compute_dtype)
     q_pops = popcount_rows(q_packed).astype(jnp.float32)[:, None]
     db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
     db_bytes = jax.lax.bitcast_convert_type(
@@ -197,7 +207,7 @@ def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
             jax.ShapeDtypeStruct((q, 1), jnp.float32),
             jax.ShapeDtypeStruct((q, 1), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((n_tile, d), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
         interpret=interpret,
     )(q_bits, q_pops, db_bytes, db_pops)
     return min_d[:, 0], arg[:, 0]

@@ -417,6 +417,53 @@ def fused_step(
                      out["to_score"], scores)
 
 
+@partial(jax.jit, static_argnames=("batch", "max_steps"),
+         donate_argnums=(0,))
+def fused_run(
+    state: TraversalState,
+    dg: DeviceGraph,
+    packed: jnp.ndarray,
+    pops: jnp.ndarray,
+    target_packed: jnp.ndarray,
+    target_pop: jnp.ndarray,
+    n_to_score: jnp.ndarray,
+    batch: int,
+    max_steps: int = 1 << 20,
+) -> TraversalState:
+    """Run the fully device-resident traversal to ``n_to_score`` in ONE
+    compiled program — a `lax.while_loop` over :func:`fused_step`'s body.
+
+    This is BASELINE config 3 (device-side traversal with an on-device
+    scorer): zero host round trips until termination, so throughput is pure
+    device speed regardless of dispatch latency.
+    """
+    from rad_tpu.fp.pack import popcount
+
+    def cond(carry):
+        st, steps = carry
+        return ((st.n_scored < n_to_score)
+                & (steps < max_steps)
+                & jnp.any(jnp.isfinite(st.f_score)))
+
+    def body(carry):
+        st, steps = carry
+        st, out = expand_impl(st, dg, batch)
+        ts = out["to_score"]
+        ok = ts >= 0
+        rows = packed[jnp.where(ok, ts, 0)]
+        inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
+        union = target_pop + pops[jnp.where(ok, ts, 0)] - inter
+        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        st = integrate_impl(st, dg, out["exp_node"], out["exp_level"],
+                            out["exp_score"], out["exp_valid"], out["cand"],
+                            out["to_score"], scores)
+        return st, steps + 1
+
+    state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state
+
+
 def save_state(state: TraversalState, path: str) -> None:
     """Checkpoint a traversal to disk.
 
