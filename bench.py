@@ -57,14 +57,14 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from rad_tpu.fp.pack import random_fingerprints, popcount_rows
-    from rad_tpu.fp.tanimoto import unpack_to_dtype
+    from rad_tpu.fp.pack import random_fingerprints
+    from rad_tpu.fp.kernels import tanimoto_nn_pallas
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
-    n, q, blk = args.n, args.q, args.block
-    n = (n // blk) * blk
+    n, q = args.n, args.q
+    n = (n // 1024) * 1024
     log(f"generating {n} x 1024-bit fingerprints ...")
     db = random_fingerprints(n, n_bits=1024, density=0.1, seed=0)
     queries = db[:q].copy()
@@ -72,25 +72,10 @@ def main():
     db_j = jnp.asarray(db)
     q_j = jnp.asarray(queries)
 
-    @jax.jit
-    def min_dist(db_packed, q_packed):
-        q_bits = unpack_to_dtype(q_packed, jnp.bfloat16)        # [Q, 1024]
-        q_pops = popcount_rows(q_packed).astype(jnp.float32)
-        nblocks = db_packed.shape[0] // blk
-        blocks = db_packed.reshape(nblocks, blk, db_packed.shape[1])
-
-        def body(carry, db_blk):
-            d_pops = popcount_rows(db_blk).astype(jnp.float32)
-            d_bits = unpack_to_dtype(db_blk, jnp.bfloat16)      # [blk, 1024]
-            inter = jnp.dot(q_bits, d_bits.T,
-                            preferred_element_type=jnp.float32)
-            union = q_pops[:, None] + d_pops[None, :] - inter
-            dist = 1.0 - inter / jnp.maximum(union, 1.0)
-            return jnp.minimum(carry, dist.min(axis=1)), None
-
-        init = jnp.full((q_packed.shape[0],), jnp.inf, jnp.float32)
-        out, _ = jax.lax.scan(body, init, blocks)
-        return out
+    # The Pallas fused unpack+int8-MXU 1-NN kernel: HBM carries only packed
+    # rows; intersections ride the 2x-peak integer systolic array.
+    def min_dist(dbp, qp):
+        return tanimoto_nn_pallas(qp, dbp)[0]
 
     log("compiling ...")
     t0 = time.perf_counter()

@@ -128,6 +128,10 @@ class RADTraverser:
     ) -> None:
         if scoring_fn is None:
             raise ValueError("scoring_fn is required")
+        if deployment_mode == "hybrid":
+            # reference rad/traverser.py:56 names a "hybrid" mode (local
+            # index + external workers); that is our distributed engine
+            deployment_mode = "distributed"
         if deployment_mode not in ("local", "distributed", "remote"):
             raise ValueError(f"unknown deployment_mode {deployment_mode!r}")
         self.scoring_fn = scoring_fn
