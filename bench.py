@@ -72,10 +72,34 @@ def main():
     db_j = jnp.asarray(db)
     q_j = jnp.asarray(queries)
 
-    # The Pallas fused unpack+int8-MXU 1-NN kernel: HBM carries only packed
-    # rows; intersections ride the 2x-peak integer systolic array.
-    def min_dist(dbp, qp):
-        return tanimoto_nn_pallas(qp, dbp)[0]
+    if dev.platform == "tpu":
+        # Pallas fused unpack+int8-MXU 1-NN kernel: HBM carries only packed
+        # rows; intersections ride the 2x-peak integer systolic array.
+        def min_dist(dbp, qp):
+            return tanimoto_nn_pallas(qp, dbp)[0]
+    else:
+        # non-TPU smoke path: XLA scan over blocks with the MXU mapping
+        from rad_tpu.fp.pack import popcount_rows
+        from rad_tpu.fp.tanimoto import unpack_to_dtype
+        blk = args.block
+
+        @jax.jit
+        def min_dist(dbp, qp):
+            q_bits = unpack_to_dtype(qp, jnp.bfloat16)
+            q_pops = popcount_rows(qp).astype(jnp.float32)
+            blocks = dbp.reshape(dbp.shape[0] // blk, blk, dbp.shape[1])
+
+            def body(carry, db_blk):
+                d_pops = popcount_rows(db_blk).astype(jnp.float32)
+                d_bits = unpack_to_dtype(db_blk, jnp.bfloat16)
+                inter = jnp.dot(q_bits, d_bits.T,
+                                preferred_element_type=jnp.float32)
+                union = q_pops[:, None] + d_pops[None, :] - inter
+                dist = 1.0 - inter / jnp.maximum(union, 1.0)
+                return jnp.minimum(carry, dist.min(axis=1)), None
+
+            init = jnp.full((qp.shape[0],), jnp.inf, jnp.float32)
+            return jax.lax.scan(body, init, blocks)[0]
 
     log("compiling ...")
     t0 = time.perf_counter()
