@@ -255,6 +255,128 @@ def _state_structure():
     return TraversalState(z, z, z, z, z, z, z, z, z)
 
 
+def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
+                        batch: int):
+    """Graph-sharded HNSW kNN: the beam walks a graph no chip holds whole.
+
+    Queries are replicated (one beam per query, vmapped); every beam
+    iteration gathers the expanded node's adjacency row and the candidate
+    fingerprints from whichever chips own them via the owned-gather psum.
+    Per-iteration ICI traffic is O(B·M0·W) — independent of N. Loop
+    decisions depend only on replicated values, so all chips execute
+    identical trip counts.
+
+    Returns ``search(queries [B, W] uint32) -> (dists [B, k], ids [B, k])``
+    with B == ``batch``.
+    """
+    axis = sg.axis
+    nd = mesh.shape[axis]
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+    n = sg.n_nodes
+    m0 = sg.m0
+    max_level = sg.max_level
+
+    def shard_body(adj_l, packed_l, pops_l, offsets, queries, q_pops):
+        def gather_adj_rows(rows):           # [B] -> [B, M0]
+            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+
+        def gather_fps(ids):                 # [B, K] -> [B, K, W], [B, K]
+            flat = ids.reshape(-1)
+            safe = jnp.maximum(flat, 0)
+            fps = _owned_gather(packed_l, safe, fp_shard, axis, fill_shift=0)
+            pops = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
+            return (fps.reshape(*ids.shape, -1), pops.reshape(ids.shape))
+
+        b = queries.shape[0]
+
+        def dist_to(ids, valid):             # [B, K] ids -> [B, K] dists
+            fps, pops = gather_fps(jnp.where(valid, ids, 0))
+            inter = jnp.sum(popcount(fps & queries[:, None, :]), axis=-1)
+            union = q_pops[:, None] + pops - inter
+            sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+            return jnp.where(valid, (1.0 - sim).astype(jnp.float32),
+                             jnp.inf)
+
+        # greedy descent through upper layers (all queries in lockstep)
+        ep = jnp.zeros((b,), jnp.int32)
+        d_ep = dist_to(ep[:, None], jnp.ones((b, 1), jnp.bool_))[:, 0]
+        for l in range(max_level, 0, -1):
+            def cond(c):
+                _, _, improved = c
+                return jnp.any(improved)
+
+            def body(c):
+                ep_i, d_i, improved = c
+                rows = gather_adj_rows(offsets[l] + ep_i)
+                valid = (rows >= 0) & improved[:, None]
+                d_n = dist_to(rows, valid)
+                j = jnp.argmin(d_n, axis=1)
+                dbest = d_n[jnp.arange(b), j]
+                better = dbest < d_i
+                return (jnp.where(better, rows[jnp.arange(b), j], ep_i),
+                        jnp.where(better, dbest, d_i),
+                        better)
+
+            ep, d_ep, _ = jax.lax.while_loop(
+                cond, body, (ep, d_ep, jnp.ones((b,), jnp.bool_)))
+
+        # layer-0 beam, batched across queries
+        beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(d_ep)
+        beam_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(ep)
+        expanded = jnp.zeros((b, ef), jnp.bool_)
+        visited = jnp.zeros((b, n), jnp.bool_)
+        visited = visited.at[jnp.arange(b), jnp.maximum(ep, 0)].set(True)
+
+        def bcond(c):
+            beam_d, beam_id, expanded, visited = c
+            return jnp.any(~expanded & jnp.isfinite(beam_d))
+
+        def bbody(c):
+            beam_d, beam_id, expanded, visited = c
+            sel = jnp.argmin(jnp.where(expanded, jnp.inf, beam_d), axis=1)
+            rowsel = jnp.arange(b)
+            has_work = ~expanded[rowsel, sel] \
+                & jnp.isfinite(beam_d[rowsel, sel])
+            expanded = expanded.at[rowsel, sel].set(True)
+            u = jnp.maximum(beam_id[rowsel, sel], 0)
+            nbrs = gather_adj_rows(u)                      # layer-0 rows
+            valid = (nbrs >= 0) & has_work[:, None]
+            seen = visited[rowsel[:, None], jnp.maximum(nbrs, 0)]
+            valid = valid & ~seen
+            visited = visited.at[
+                rowsel[:, None], jnp.where(valid, nbrs, n)].set(
+                True, mode="drop")
+            d_n = dist_to(nbrs, valid)
+            all_d = jnp.concatenate([beam_d, d_n], axis=1)
+            all_i = jnp.concatenate(
+                [beam_id, jnp.where(valid, nbrs, -1)], axis=1)
+            all_e = jnp.concatenate(
+                [expanded, jnp.zeros((b, m0), jnp.bool_)], axis=1)
+            sd, si, se = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
+            return sd[:, :ef], si[:, :ef], se[:, :ef], visited
+
+        beam_d, beam_id, expanded, visited = jax.lax.while_loop(
+            bcond, bbody, (beam_d, beam_id, expanded, visited))
+        return beam_d[:, :k], beam_id[:, :k]
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def search(queries):
+        from rad_tpu.fp.pack import popcount_rows
+        q_pops = popcount_rows(queries)
+        return mapped(sg.adj, sg.packed, sg.pops, sg.offsets, queries,
+                      q_pops)
+
+    return search
+
+
 def sharded_fused_step(state: TraversalState, sg: ShardedGraph, mesh: Mesh,
                        target_packed, target_pop, batch: int):
     """One-shot convenience wrapper over :func:`make_sharded_step`."""

@@ -63,6 +63,29 @@ def test_sharded_bruteforce_matches_dense(mesh, built):
     # ids may differ on exact ties; distances must agree
 
 
+def test_sharded_beam_search_matches_single_device(mesh, built):
+    """Graph-sharded kNN beam must return the same results as the
+    single-device jitted search."""
+    from rad_tpu.parallel.sharded import make_sharded_search
+    from rad_tpu.search.knn import search_device
+
+    sg = shard_graph(built, mesh)
+    queries = random_fingerprints(8, n_bits=128, density=0.25, seed=61)
+    search = make_sharded_search(sg, mesh, k=5, ef=32, batch=8)
+    d_sh, i_sh = search(jnp.asarray(queries))
+    d_ref, i_ref = search_device(built, queries, k=5, expansion_search=32)
+    np.testing.assert_allclose(np.asarray(d_sh), np.asarray(d_ref),
+                               atol=1e-5)
+    # id-level agreement modulo exact distance ties
+    d_sh, i_sh, i_ref = map(np.asarray, (d_sh, i_sh, i_ref))
+    for b in range(8):
+        tie_free = np.ones(5, bool)
+        vals, counts = np.unique(np.round(d_sh[b], 6), return_counts=True)
+        dup = set(vals[counts > 1].tolist())
+        tie_free = ~np.isin(np.round(d_sh[b], 6), list(dup))
+        np.testing.assert_array_equal(i_sh[b][tie_free], i_ref[b][tie_free])
+
+
 def test_sharded_traversal_matches_single_device(mesh, built):
     """The pod step must produce bit-identical traversal state to the
     single-device fused step."""
