@@ -244,6 +244,13 @@ class HNSWServerApp:
         m = re.fullmatch(r"/coordination/score/(-?\d+)", path)
         if m and method == "GET":
             return 200, {"score": coord.scored_set.getScore(int(m.group(1)))}
+        if method == "POST" and path == "/coordination/scores":
+            ids = [int(i) for i in body.get("node_ids", [])]
+            if hasattr(coord.scored_set, "get_scores_batch"):
+                found = coord.scored_set.get_scores_batch(ids)
+            else:
+                found = {i: coord.scored_set.getScore(i) for i in ids}
+            return 200, {"scores": {str(i): s for i, s in found.items()}}
         if method == "GET" and path == "/coordination/stats":
             return 200, coord.get_coordination_stats()
         return 404, {"detail": f"no coordination route {method} {path}"}

@@ -198,7 +198,7 @@ class RemoteCoordinationClient:
 
 
 class _RemoteScoredProxy:
-    """getScore-only view used by workers for pre-scoring dedup."""
+    """Score-lookup view used by workers for pre-scoring dedup."""
 
     def __init__(self, svc: RemoteHNSWService) -> None:
         self._svc = svc
@@ -206,3 +206,8 @@ class _RemoteScoredProxy:
     def getScore(self, node_id: int):
         return self._svc._request(
             "GET", f"/coordination/score/{int(node_id)}")["score"]
+
+    def get_scores_batch(self, node_ids):
+        out = self._svc._request("POST", "/coordination/scores",
+                                 {"node_ids": [int(i) for i in node_ids]})
+        return {int(k): v for k, v in out["scores"].items()}

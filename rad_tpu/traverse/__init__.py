@@ -21,6 +21,18 @@ from rad_tpu.traverse.structures import (
     HostVisitedSet,
     HostScoredSet,
 )
+from rad_tpu.traverse.coordinator import (
+    WorkItem,
+    WorkerInfo,
+    CoordinationService,
+    create_coordination_service,
+)
+from rad_tpu.traverse.workers import (
+    ScoringWorker,
+    WorkerPool,
+    create_worker_pool,
+)
+from rad_tpu.traverse.driver import DeviceTraverser
 
 __all__ = [
     "PriorityQueue",
@@ -29,4 +41,12 @@ __all__ = [
     "HostPriorityQueue",
     "HostVisitedSet",
     "HostScoredSet",
+    "WorkItem",
+    "WorkerInfo",
+    "CoordinationService",
+    "create_coordination_service",
+    "ScoringWorker",
+    "WorkerPool",
+    "create_worker_pool",
+    "DeviceTraverser",
 ]

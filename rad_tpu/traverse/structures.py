@@ -166,6 +166,12 @@ class HostScoredSet(ScoredSet):
         with self._lock:
             return self._scores.get(int(node_id))
 
+    def get_scores_batch(self, node_ids) -> Dict[int, Optional[float]]:
+        """One-shot lookup for many ids (cuts per-neighbor round trips on
+        the remote-worker path)."""
+        with self._lock:
+            return {int(i): self._scores.get(int(i)) for i in node_ids}
+
     def insert(self, node_id: int, score: float, smiles: str = "") -> None:
         node_id = int(node_id)
         with self._lock:

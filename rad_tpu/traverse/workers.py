@@ -116,13 +116,24 @@ class ScoringWorker:
 
     def _process_work_item(self, item) -> List[tuple]:
         """Score every neighbor not yet in the scored set
-        (reference rad/distributed_worker.py:272-333)."""
+        (reference rad/distributed_worker.py:272-333). Pre-scored neighbors
+        are looked up in one batched call when the scored set supports it —
+        one round trip per work item instead of one per neighbor."""
         scored_set = self.coordination_service.scored_set
+        existing: dict = {}
+        if hasattr(scored_set, "get_scores_batch"):
+            try:
+                existing = scored_set.get_scores_batch(
+                    [nid for nid, _ in item.neighbors])
+            except Exception:
+                existing = {}
         results = []
         for neighbor_id, smiles in item.neighbors:
-            existing = scored_set.getScore(neighbor_id)
-            if existing is not None:
-                results.append((neighbor_id, existing, smiles))
+            prior = existing.get(neighbor_id, Ellipsis)
+            if prior is Ellipsis:
+                prior = scored_set.getScore(neighbor_id)
+            if prior is not None:
+                results.append((neighbor_id, prior, smiles))
                 continue
             t0 = time.perf_counter()
             score = float(self.scoring_fn(smiles))
