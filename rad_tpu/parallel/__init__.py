@@ -6,7 +6,10 @@ from rad_tpu.parallel.sharded import (
     shard_graph,
     sharded_bruteforce_topk,
     sharded_fused_step,
+    make_sharded_step,
+    make_sharded_search,
 )
+from rad_tpu.parallel.pod import PodTraverser
 
 __all__ = [
     "make_mesh",
@@ -14,4 +17,7 @@ __all__ = [
     "shard_graph",
     "sharded_bruteforce_topk",
     "sharded_fused_step",
+    "make_sharded_step",
+    "make_sharded_search",
+    "PodTraverser",
 ]

@@ -63,6 +63,28 @@ def test_sharded_bruteforce_matches_dense(mesh, built):
     # ids may differ on exact ties; distances must agree
 
 
+def test_pod_traverser_lifecycle(mesh, built):
+    from rad_tpu.parallel.pod import PodTraverser
+
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=77)[0]
+    pod = PodTraverser(built, target, mesh=mesh, batch_size=8,
+                       frontier_capacity=1 << 10)
+    with pytest.raises(RuntimeError):
+        pod.traverse(n_to_score=5)
+    n_top = pod.prime()
+    stats = pod.traverse(n_to_score=120, timeout=120)
+    assert stats["n_scored"] >= 120
+    mols = pod.get_molecules()
+    ids = [m[0] for m in mols]
+    assert len(ids) == len(set(ids))
+    best = pod.get_best_molecules(5)
+    assert [m[1] for m in best] == sorted(m[1] for m in mols)[:5]
+    # traversal prioritizes molecules similar to the target: the best found
+    # should be much closer than the library median
+    all_scores = [m[1] for m in mols]
+    assert best[0][1] < np.median(all_scores)
+
+
 def test_sharded_beam_search_matches_single_device(mesh, built):
     """Graph-sharded kNN beam must return the same results as the
     single-device jitted search."""
