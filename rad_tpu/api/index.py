@@ -26,7 +26,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from rad_tpu.fp.pack import packed_words, popcount_rows_np
+from rad_tpu.fp.pack import packed_words
 from rad_tpu.graph.storage import HNSWGraph, LayerStats
 
 logger = logging.getLogger(__name__)

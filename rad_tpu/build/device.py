@@ -42,7 +42,6 @@ from __future__ import annotations
 
 import logging
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from rad_tpu.fp.pack import popcount, popcount_rows
+from rad_tpu.fp.pack import popcount
 
 __all__ = [
     "tanimoto_distance",

@@ -25,7 +25,7 @@ import numpy as np
 
 from rad_tpu.fp.pack import popcount, popcount_rows
 from rad_tpu.graph.storage import HNSWGraph
-from rad_tpu.traverse.device import DeviceGraph, prepare_device_graph
+from rad_tpu.traverse.device import prepare_device_graph
 
 __all__ = ["search_device", "search_device_jit"]
 
