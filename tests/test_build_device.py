@@ -88,7 +88,9 @@ def test_device_build_comparable_to_host(fps):
                         for i in range(24)])
 
     r_host, r_dev = recall(host_g), recall(dev_g)
-    assert r_dev >= r_host - 0.15, f"host={r_host} device={r_dev}"
+    # measured: device recall matches/exceeds host at batch<=128 (the
+    # intra-batch stitch compensates for prefix masking)
+    assert r_dev >= r_host - 0.05, f"host={r_host} device={r_dev}"
 
 
 def test_device_build_deterministic(fps):
