@@ -45,14 +45,27 @@ def _load() -> Optional[ctypes.CDLL]:
         return _LIB
     path = _lib_path()
     if not os.path.exists(path):
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-               "-o", path + ".tmp", _SRC]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-            os.replace(path + ".tmp", path)
-            logger.info("compiled native builder -> %s", path)
-        except (subprocess.CalledProcessError, OSError) as e:
-            _LIB_ERR = getattr(e, "stderr", str(e)) or str(e)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                "-funroll-loops", "-o", path + ".tmp", _SRC]
+        # prefer native ISA (POPCNT/AVX2 for the distance loop); fall back
+        # for cross-compilation or exotic hosts
+        attempts = [base[:1] + ["-march=native"] + base[1:],
+                    base[:1] + ["-mpopcnt"] + base[1:],
+                    base]
+        err = None
+        for cmd in attempts:
+            try:
+                subprocess.run(cmd, check=True, capture_output=True,
+                               text=True)
+                os.replace(path + ".tmp", path)
+                logger.info("compiled native builder -> %s (%s)", path,
+                            cmd[1])
+                err = None
+                break
+            except (subprocess.CalledProcessError, OSError) as e:
+                err = getattr(e, "stderr", str(e)) or str(e)
+        if err is not None:
+            _LIB_ERR = err
             logger.warning("native build unavailable: %s", _LIB_ERR)
             return None
     lib = ctypes.CDLL(path)

@@ -33,7 +33,15 @@ struct Dist {
         const uint32_t* pa = packed + a * words;
         const uint32_t* pb = packed + b * words;
         int inter = 0;
-        for (int w = 0; w < words; ++w)
+        int w = 0;
+        // 64-bit strides: one POPCNT per two words (compile with -mpopcnt)
+        for (; w + 2 <= words; w += 2) {
+            uint64_t xa, xb;
+            std::memcpy(&xa, pa + w, 8);
+            std::memcpy(&xb, pb + w, 8);
+            inter += __builtin_popcountll(xa & xb);
+        }
+        for (; w < words; ++w)
             inter += __builtin_popcount(pa[w] & pb[w]);
         int uni = pops[a] + pops[b] - inter;
         if (uni <= 0) return 0.0f;
