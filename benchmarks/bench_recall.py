@@ -35,17 +35,33 @@ def main(argv=None) -> int:
     ap.add_argument("--expansion-add", type=int, default=128)
     ap.add_argument("--efs", type=int, nargs="+",
                     default=[16, 32, 64, 128, 256])
+    ap.add_argument("--library", choices=["tree", "uniform"],
+                    default="tree",
+                    help="'tree' = clustered analog-series manifold (the "
+                         "structure of real chemical libraries; recall=1.0 "
+                         "regime); 'uniform' = i.i.d. random bits — the "
+                         "distance-concentration adversarial case where "
+                         "any HNSW's recall decays with N")
     args = ap.parse_args(argv)
 
+    import numpy as _np
     import jax.numpy as jnp
     from rad_tpu.fp import random_fingerprints
     from rad_tpu.fp.tanimoto import bruteforce_topk_blocked
     from rad_tpu.search.knn import search_device
 
-    fps = random_fingerprints(args.n, n_bits=args.n_bits, density=0.1,
-                              seed=0)
-    queries = random_fingerprints(args.q, n_bits=args.n_bits, density=0.1,
-                                  seed=99)
+    if args.library == "tree":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "examples"))
+        from enrichment_example import make_library
+        fps, _, _ = make_library(args.n, args.n_bits, seed=0)
+        rng = _np.random.default_rng(99)
+        queries = fps[rng.choice(args.n, args.q, replace=False)]
+    else:
+        fps = random_fingerprints(args.n, n_bits=args.n_bits, density=0.1,
+                                  seed=0)
+        queries = random_fingerprints(args.q, n_bits=args.n_bits,
+                                      density=0.1, seed=99)
     log(f"building {args.n}-node graph ...")
     t0 = time.perf_counter()
     try:
