@@ -96,6 +96,40 @@ def test_callback_loop_matches_stepwise(setup):
     np.testing.assert_allclose([m[1] for m in ref_mols], scores, atol=1e-6)
 
 
+def test_fused_run_matches_fused_steps(setup):
+    """The single-program while_loop (fused_run) must equal iterated
+    fused_step calls exactly."""
+    graph, store, scoring_fn, _ = setup
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    target = jnp.asarray(random_fingerprints(1, 64, 0.3, 123)[0])
+    tp = popcount_rows(target[None, :])[0]
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(target[None, :], packed[:n_top])[0]
+
+    s1 = dev.prime(dev.init_state(dg, frontier_capacity=1 << 12), dg, ids,
+                   seeds)
+    for _ in range(20):
+        s1 = dev.fused_step(s1, dg, packed, pops, target, tp, batch=4)
+
+    s2 = dev.prime(dev.init_state(dg, frontier_capacity=1 << 12), dg, ids,
+                   seeds)
+    s2 = dev.fused_run(s2, dg, packed, pops, target, tp,
+                       jnp.int32(10**9), batch=4, max_steps=20)
+
+    assert int(s1.n_scored) == int(s2.n_scored) > n_top
+    np.testing.assert_array_equal(np.asarray(s1.order_log),
+                                  np.asarray(s2.order_log))
+    np.testing.assert_allclose(np.asarray(s1.f_score),
+                               np.asarray(s2.f_score), atol=1e-6)
+
+
 def test_callback_loop_n_to_score(setup):
     graph, store, scoring_fn, _ = setup
     dg = dev.prepare_device_graph(graph)
