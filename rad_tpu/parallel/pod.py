@@ -84,7 +84,7 @@ class PodTraverser:
             if n_to_score is not None and scored >= n_to_score:
                 reason = "n_to_score"
                 break
-            if not bool(jnp.any(jnp.isfinite(self.state.f_score))):
+            if dev.frontier_empty(self.state):
                 reason = "queue_empty"
                 break
             self.state = self._step(self.state, self._target,

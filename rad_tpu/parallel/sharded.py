@@ -251,8 +251,10 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
 
 def _state_structure():
     """A TraversalState skeleton for building replicated PartitionSpecs."""
+    import dataclasses as _dc
     z = jnp.zeros(())
-    return TraversalState(z, z, z, z, z, z, z, z, z)
+    n_fields = len(_dc.fields(TraversalState))
+    return TraversalState(*([z] * n_fields))
 
 
 def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,

@@ -70,7 +70,8 @@ def _traversal_loop(state, dg, n_to_score, batch: int, max_steps: int,
         state, steps = carry
         return ((state.n_scored < n_to_score)
                 & (steps < max_steps)
-                & jnp.any(jnp.isfinite(state.f_score)))
+                & (jnp.any(jnp.isfinite(state.f_score))
+                   | jnp.any(jnp.isfinite(state.f_buf_score))))
 
     def body(carry):
         state, steps = carry

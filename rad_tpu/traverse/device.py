@@ -121,6 +121,9 @@ class TraversalState:
 
     f_score: jnp.ndarray
     f_row: jnp.ndarray
+    f_buf_score: jnp.ndarray
+    f_buf_row: jnp.ndarray
+    f_buf_n: jnp.ndarray
     enqueued: jnp.ndarray
     scored: jnp.ndarray
     scores: jnp.ndarray
@@ -138,11 +141,23 @@ class TraversalState:
 
 
 def init_state(dg: DeviceGraph, frontier_capacity: int = 1 << 16,
-               log_capacity: int | None = None) -> TraversalState:
+               log_capacity: int | None = None,
+               buffer_capacity: int = 1 << 15) -> TraversalState:
+    """The frontier is a main array [C] plus an append buffer [P].
+
+    Pushes go to the buffer (no sort); pops take the global best across
+    both; a full merge-sort happens only when the buffer fills — amortizing
+    the O(C log C) merge over ~P/pushes-per-step steps. Pop order is
+    identical to a sort-every-step frontier; only the *timing* of
+    capacity-overflow drops differs (none happen until a merge).
+    """
     cap = log_capacity if log_capacity is not None else dg.n_nodes
     return TraversalState(
         f_score=jnp.full((frontier_capacity,), INF, jnp.float32),
         f_row=jnp.zeros((frontier_capacity,), jnp.int32),
+        f_buf_score=jnp.full((buffer_capacity,), INF, jnp.float32),
+        f_buf_row=jnp.zeros((buffer_capacity,), jnp.int32),
+        f_buf_n=jnp.zeros((), jnp.int32),
         enqueued=jnp.zeros((dg.n_rows,), jnp.bool_),
         scored=jnp.zeros((dg.n_nodes,), jnp.bool_),
         scores=jnp.full((dg.n_nodes,), INF, jnp.float32),
@@ -190,11 +205,19 @@ def expand_impl(
     owns them (rad_tpu.parallel.sharded).
     """
     b = batch
-    neg, idx = jax.lax.top_k(-state.f_score, b)
+    c = state.f_score.shape[0]
+    p = state.f_buf_score.shape[0]
+    all_scores = jnp.concatenate([state.f_score, state.f_buf_score])
+    all_rows = jnp.concatenate([state.f_row, state.f_buf_row])
+    neg, idx = jax.lax.top_k(-all_scores, b)
     pop_score = -neg
-    pop_row = state.f_row[idx]
+    pop_row = all_rows[idx]
     valid = jnp.isfinite(pop_score)
-    f_score = state.f_score.at[idx].set(INF)
+    in_main = idx < c
+    f_score = state.f_score.at[
+        jnp.where(in_main, idx, c)].set(INF, mode="drop")
+    f_buf_score = state.f_buf_score.at[
+        jnp.where(in_main, p, idx - c)].set(INF, mode="drop")
 
     level = _level_of_row(dg, pop_row)
     node = pop_row - dg.offsets[level]
@@ -222,6 +245,7 @@ def expand_impl(
         jnp.where(mask, pos, k)].set(cand_flat, mode="drop")
 
     new_state = dataclasses.replace(state, f_score=f_score,
+                                    f_buf_score=f_buf_score,
                                     n_steps=state.n_steps + 1)
     out = {
         "exp_node": node,
@@ -306,21 +330,53 @@ def integrate_impl(
     desc_score = jnp.where(down_ok, exp_score, INF)
     desc_row = jnp.where(down_ok, down_row, 0)
 
-    # -- frontier merge: keep best C of (current ∪ new ∪ descent) ----------
-    all_scores = jnp.concatenate([state.f_score, cand_score, desc_score])
-    all_rows = jnp.concatenate([state.f_row, cand_row_entry, desc_row])
-    sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
-                                              num_keys=1)
+    # -- frontier push: append to buffer; merge-sort only when full --------
+    new_scores_all = jnp.concatenate([cand_score, desc_score])
+    new_rows_all = jnp.concatenate([cand_row_entry, desc_row])
+    # compact finite pushes to the front (small sort over B*M0+B)
+    new_scores_all, new_rows_all = jax.lax.sort(
+        (new_scores_all, new_rows_all), num_keys=1)
+    n_push = jnp.sum(jnp.isfinite(new_scores_all)).astype(jnp.int32)
+    p_new = new_scores_all.shape[0]
     c = state.f_score.shape[0]
-    f_score = sorted_scores[:c]
-    f_row = sorted_rows[:c]
-    n_dropped = state.n_dropped + jnp.sum(
-        jnp.isfinite(sorted_scores[c:])).astype(jnp.int32)
+    p = state.f_buf_score.shape[0]
+
+    def do_append(args):
+        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = args
+        pos = buf_n + jnp.arange(p_new, dtype=jnp.int32)
+        pos = jnp.where(jnp.isfinite(new_scores_all), pos, p)  # drop pad
+        buf_s = buf_s.at[pos].set(new_scores_all, mode="drop")
+        buf_r = buf_r.at[pos].set(new_rows_all, mode="drop")
+        return f_score, f_row, buf_s, buf_r, buf_n + n_push, n_dropped
+
+    def do_merge(args):
+        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = args
+        all_s = jnp.concatenate([f_score, buf_s, new_scores_all])
+        all_r = jnp.concatenate([f_row, buf_r, new_rows_all])
+        ss, sr = jax.lax.sort((all_s, all_r), num_keys=1)
+        n_dropped = n_dropped + jnp.sum(
+            jnp.isfinite(ss[c:])).astype(jnp.int32)
+        return (ss[:c], sr[:c],
+                jnp.full((p,), INF, jnp.float32),
+                jnp.zeros((p,), jnp.int32),
+                jnp.zeros((), jnp.int32), n_dropped)
+
+    args = (state.f_score, state.f_row, state.f_buf_score, state.f_buf_row,
+            state.f_buf_n, state.n_dropped)
+    if p_new > p:
+        # buffer smaller than one step's pushes: always merge
+        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = do_merge(args)
+    else:
+        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = jax.lax.cond(
+            state.f_buf_n + n_push <= p, do_append, do_merge, args)
 
     return dataclasses.replace(
         state,
         f_score=f_score,
         f_row=f_row,
+        f_buf_score=buf_s,
+        f_buf_row=buf_r,
+        f_buf_n=buf_n,
         enqueued=enqueued,
         scored=scored,
         scores=scores,
@@ -443,7 +499,8 @@ def fused_run(
         st, steps = carry
         return ((st.n_scored < n_to_score)
                 & (steps < max_steps)
-                & jnp.any(jnp.isfinite(st.f_score)))
+                & (jnp.any(jnp.isfinite(st.f_score))
+                   | jnp.any(jnp.isfinite(st.f_buf_score))))
 
     def body(carry):
         st, steps = carry
@@ -486,9 +543,11 @@ def load_state(path: str) -> TraversalState:
 
 
 def frontier_size(state: TraversalState) -> int:
-    """Host-side: number of live frontier entries."""
-    return int(jnp.sum(jnp.isfinite(state.f_score)))
+    """Host-side: number of live frontier entries (main + append buffer)."""
+    return int(jnp.sum(jnp.isfinite(state.f_score))
+               + jnp.sum(jnp.isfinite(state.f_buf_score)))
 
 
 def frontier_empty(state: TraversalState) -> bool:
-    return not bool(jnp.any(jnp.isfinite(state.f_score)))
+    return not bool(jnp.any(jnp.isfinite(state.f_score))
+                    | jnp.any(jnp.isfinite(state.f_buf_score)))
