@@ -83,10 +83,12 @@ def main(argv=None) -> int:
 
     results = []
     for ef in args.efs:
-        t0 = time.perf_counter()
         _, ids = search_device(graph, queries, k=args.k,
-                               expansion_search=ef)
+                               expansion_search=ef)   # compile + warm
         ids = np.asarray(ids)
+        t0 = time.perf_counter()
+        ids2 = np.asarray(search_device(graph, queries, k=args.k,
+                                        expansion_search=ef)[1])
         dt = time.perf_counter() - t0
         recall = float(np.mean([
             len(set(ids[i].tolist()) & true_sets[i]) / args.k
@@ -94,7 +96,7 @@ def main(argv=None) -> int:
         ]))
         qps = args.q / dt
         log(f"ef={ef:4d}  recall@{args.k}={recall:.3f}  {qps:.0f} q/s "
-            f"(incl. compile on first)")
+            f"(steady state)")
         results.append({"ef": ef, "recall": recall, "qps": qps})
 
     print(json.dumps({

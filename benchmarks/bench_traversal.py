@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--expansion-add", type=int, default=128)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--frontier", type=int, default=1 << 18)
+    ap.add_argument("--buffer", type=int, default=1 << 17,
+                    help="frontier append-buffer capacity")
     ap.add_argument("--n-to-score", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -71,7 +73,8 @@ def main(argv=None) -> int:
     seed_scores = tanimoto_matrix(target[None, :], packed[:n_top])[0]
 
     def fresh_state():
-        s = dev.init_state(dg, frontier_capacity=args.frontier)
+        s = dev.init_state(dg, frontier_capacity=args.frontier,
+                           buffer_capacity=args.buffer)
         return dev.prime(s, dg, ids, seed_scores)
 
     log("compiling fused_run ...")

@@ -41,7 +41,7 @@ def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
     return jnp.where(valid, d, jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "max_level"))
+@partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width"))
 def search_device_jit(
     packed: jnp.ndarray,
     pops: jnp.ndarray,
@@ -51,10 +51,19 @@ def search_device_jit(
     k: int,
     ef: int,
     max_level: int,
+    expand_width: int = 4,
 ):
-    """Batched search. Returns ``(dists [B, k], node_ids [B, k])``."""
+    """Batched search. Returns ``(dists [B, k], node_ids [B, k])``.
+
+    ``expand_width`` (E) beam entries expand per iteration — the standard
+    accelerator trade: E× fewer lockstep loop iterations and E·M0-wide
+    distance batches, at slightly more distance evals than strictly
+    best-first expansion (recall is unaffected: expansion *order* within a
+    converged beam does not change the converged set).
+    """
     n = packed.shape[0]
     m0 = adj.shape[1]
+    e = expand_width
     q_pops = popcount_rows(queries)
 
     def one_query(q, q_pop):
@@ -104,19 +113,34 @@ def search_device_jit(
 
         def body(c):
             beam_d, beam_id, expanded, visited = c
-            sel = jnp.argmin(jnp.where(expanded, jnp.inf, beam_d))
-            expanded = expanded.at[sel].set(True)
-            u = beam_id[sel]
-            row = adj[jnp.maximum(u, 0)]  # layer-0 rows are offsets[0]=0
-            valid = (row >= 0) & ~visited[jnp.maximum(row, 0)] \
-                & jnp.isfinite(beam_d[sel])
-            visited = visited.at[jnp.where(valid, row, n)].set(
+            # take the E best unexpanded entries this iteration
+            neg, sel = jax.lax.top_k(
+                jnp.where(expanded, -jnp.inf, -beam_d), e)
+            has_work = jnp.isfinite(-neg)
+            expanded = expanded.at[jnp.where(has_work, sel, ef)].set(
                 True, mode="drop")
-            d_n = _query_dist(q, q_pop, packed, pops, row, valid)
+            u = jnp.maximum(beam_id[sel], 0)               # [E]
+            rows = adj[u].reshape(-1)                      # [E*M0]
+            valid = (rows >= 0) & jnp.repeat(has_work, m0)
+            seen = visited[jnp.maximum(rows, 0)]
+            valid = valid & ~seen
+            # intra-iteration dedup: the same node may appear in two
+            # expanded rows; keep the first occurrence
+            key = jnp.where(valid, rows, n)
+            perm = jnp.argsort(key, stable=True)
+            sk = key[perm]
+            prev = jnp.concatenate([jnp.array([-1], jnp.int32), sk[:-1]])
+            first_sorted = (sk != prev) & (sk < n)
+            first = jnp.zeros((e * m0,), jnp.bool_).at[perm].set(
+                first_sorted)
+            valid = valid & first
+            visited = visited.at[jnp.where(valid, rows, n)].set(
+                True, mode="drop")
+            d_n = _query_dist(q, q_pop, packed, pops, rows, valid)
             all_d = jnp.concatenate([beam_d, d_n])
-            all_id = jnp.concatenate([beam_id, jnp.where(valid, row, -1)])
+            all_id = jnp.concatenate([beam_id, jnp.where(valid, rows, -1)])
             all_e = jnp.concatenate([expanded,
-                                     jnp.zeros((m0,), jnp.bool_)])
+                                     jnp.zeros((e * m0,), jnp.bool_)])
             sd, sid, se = jax.lax.sort((all_d, all_id, all_e), num_keys=1)
             return sd[:ef], sid[:ef], se[:ef], visited
 
@@ -148,10 +172,12 @@ def search_device(
     queries: np.ndarray,
     k: int = 10,
     expansion_search: int = 64,
+    expand_width: int = 4,
 ):
     """Search a built graph: ``(dists [B, k], node_ids [B, k])``."""
     dg, packed, pops = _prep(graph)
     queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.uint32)))
     ef = max(expansion_search, k)
     return search_device_jit(packed, pops, dg.adj, dg.offsets, queries,
-                             k=k, ef=ef, max_level=dg.max_level)
+                             k=k, ef=ef, max_level=dg.max_level,
+                             expand_width=expand_width)
