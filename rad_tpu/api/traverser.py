@@ -86,8 +86,8 @@ class _DeviceFrontierView:
 
     def peek_score(self) -> Optional[float]:
         import jax.numpy as jnp
-        s = self._t._device_engine.state.f_score
-        m = float(jnp.min(s))
+        st = self._t._device_engine.state
+        m = float(jnp.minimum(jnp.min(st.f_score), jnp.min(st.f_buf_score)))
         return None if not np.isfinite(m) else m
 
 
@@ -121,6 +121,7 @@ class RADTraverser:
         batch_size: int = 32,
         frontier_capacity: int = 1 << 16,
         log_capacity: int | None = None,
+        buffer_capacity: int = 1 << 15,
         n_score_threads: int = 8,
         worker_timeout: float = 60.0,
         heartbeat_interval: float = 10.0,
@@ -171,6 +172,7 @@ class RADTraverser:
                 batch_size=batch_size,
                 frontier_capacity=frontier_capacity,
                 log_capacity=log_capacity,
+                buffer_capacity=buffer_capacity,
                 n_score_threads=n_score_threads,
             )
         else:

@@ -42,6 +42,7 @@ class PodTraverser:
         batch_size: int = 64,
         frontier_capacity: int = 1 << 16,
         log_capacity: int | None = None,
+        buffer_capacity: int = 1 << 15,
     ) -> None:
         self.graph = graph
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -50,7 +51,8 @@ class PodTraverser:
         self.dg = self.sg.device_graph()
         self.batch_size = batch_size
         self._step = make_sharded_step(self.sg, self.mesh, batch_size)
-        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity)
+        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
+                                    buffer_capacity)
         t = jnp.asarray(np.asarray(target_packed, np.uint32))
         from rad_tpu.fp.pack import popcount_rows
         self._target = t

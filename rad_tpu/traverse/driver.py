@@ -42,6 +42,7 @@ class DeviceTraverser:
         batch_size: int = 32,
         frontier_capacity: int = 1 << 16,
         log_capacity: int | None = None,
+        buffer_capacity: int = 1 << 15,
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
     ) -> None:
@@ -53,7 +54,8 @@ class DeviceTraverser:
         self.n_score_threads = n_score_threads
 
         self.dg = dev.prepare_device_graph(graph)
-        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity)
+        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
+                                    buffer_capacity)
         self._keys = np.asarray(graph.keys)
         self._primed = False
         self._pool: Optional[ThreadPoolExecutor] = None

@@ -1,0 +1,67 @@
+"""CLI tests: build_index end-to-end into a served + traversed index."""
+
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SCRIPTS = Path(__file__).resolve().parent.parent / "scripts"
+sys.path.insert(0, str(SCRIPTS))
+
+
+def test_build_index_cli_end_to_end(tmp_path):
+    import build_index
+
+    # molecule file: "key smiles" lines
+    mols = [(100 + i, f"C{'C' * (i % 7)}N{i % 5}") for i in range(150)]
+    mol_file = tmp_path / "mols.smi"
+    mol_file.write_text(
+        "\n".join(f"{k}\t{s}" for k, s in mols) + "\n")
+
+    out = str(tmp_path / "lib")
+    rc = build_index.main([str(mol_file), "--out", out, "--ndim", "128",
+                           "--connectivity", "6", "--expansion-add", "24",
+                           "--backend", "host"])
+    assert rc == 0
+    assert (tmp_path / "lib.npz").exists()
+    assert (tmp_path / "lib.db").exists()
+
+    # load + serve + traverse the built artifacts
+    from rad_tpu import HNSWIndex, create_local_traverser
+    from rad_tpu.store import SQLiteSmilesStore
+
+    index = HNSWIndex.load(out + ".npz", view=True)
+    assert len(index) == 150
+    store = SQLiteSmilesStore(out + ".db")
+    assert len(store) == 150
+    smi_map = {s: i for i, (k, s) in enumerate(mols)}
+
+    def scoring_fn(smiles):
+        return float(smi_map[smiles])
+
+    t = create_local_traverser(index, scoring_fn, smiles_store=store,
+                               n_score_threads=1)
+    t.prime()
+    t.traverse(n_to_score=50)
+    mols_out = t.get_molecules()
+    assert len(mols_out) >= 50
+    ids = [m[0] for m in mols_out]
+    assert len(ids) == len(set(ids))
+    # SMILES round-tripped through the DB
+    keys = np.asarray(index.graph.keys)
+    for nid, score, smi in mols_out[:10]:
+        assert smi != ""
+        assert scoring_fn(smi) == score
+    t.shutdown()
+
+
+def test_build_index_reads_bare_smiles(tmp_path):
+    import build_index
+
+    f = tmp_path / "bare.smi"
+    f.write_text("CCO\nCCN\nc1ccccc1\n")
+    keys, smiles = build_index.read_molecules(str(f), None)
+    assert keys == [0, 1, 2]
+    assert smiles == ["CCO", "CCN", "c1ccccc1"]
