@@ -173,11 +173,38 @@ def search_device(
     k: int = 10,
     expansion_search: int = 64,
     expand_width: int = 4,
+    chunk_size: int | None = None,
 ):
-    """Search a built graph: ``(dists [B, k], node_ids [B, k])``."""
+    """Search a built graph: ``(dists [B, k], node_ids [B, k])``.
+
+    ``chunk_size`` bounds the per-query visited memory (B·N bytes): query
+    batches larger than it are processed in equal chunks through the same
+    compiled program. Defaults to capping visited at ~512 MB.
+    """
     dg, packed, pops = _prep(graph)
-    queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.uint32)))
+    queries = np.atleast_2d(np.asarray(queries, np.uint32))
     ef = max(expansion_search, k)
-    return search_device_jit(packed, pops, dg.adj, dg.offsets, queries,
-                             k=k, ef=ef, max_level=dg.max_level,
-                             expand_width=expand_width)
+    b = queries.shape[0]
+    if chunk_size is None:
+        chunk_size = max(1, min(b, (512 << 20) // max(len(graph), 1)))
+    if b <= chunk_size:
+        return search_device_jit(packed, pops, dg.adj, dg.offsets,
+                                 jnp.asarray(queries), k=k, ef=ef,
+                                 max_level=dg.max_level,
+                                 expand_width=expand_width)
+    # pad to a multiple of chunk_size so every chunk reuses one compile
+    pad = (-b) % chunk_size
+    if pad:
+        queries = np.concatenate(
+            [queries, np.repeat(queries[-1:], pad, axis=0)], axis=0)
+    outs_d, outs_i = [], []
+    for lo in range(0, queries.shape[0], chunk_size):
+        d, i = search_device_jit(
+            packed, pops, dg.adj, dg.offsets,
+            jnp.asarray(queries[lo:lo + chunk_size]), k=k, ef=ef,
+            max_level=dg.max_level, expand_width=expand_width)
+        outs_d.append(np.asarray(d))
+        outs_i.append(np.asarray(i))
+    d = np.concatenate(outs_d)[:b]
+    i = np.concatenate(outs_i)[:b]
+    return jnp.asarray(d), jnp.asarray(i)
