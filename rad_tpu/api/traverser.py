@@ -87,7 +87,10 @@ class _DeviceFrontierView:
     def peek_score(self) -> Optional[float]:
         import jax.numpy as jnp
         st = self._t._device_engine.state
-        m = float(jnp.minimum(jnp.min(st.f_score), jnp.min(st.f_buf_score)))
+        c = st.f_score.shape[0]
+        live = jnp.arange(c) >= st.f_cursor
+        m = float(jnp.minimum(jnp.min(jnp.where(live, st.f_score, jnp.inf)),
+                              jnp.min(st.f_buf_score)))
         return None if not np.isfinite(m) else m
 
 

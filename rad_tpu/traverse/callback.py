@@ -70,8 +70,7 @@ def _traversal_loop(state, dg, n_to_score, batch: int, max_steps: int,
         state, steps = carry
         return ((state.n_scored < n_to_score)
                 & (steps < max_steps)
-                & (jnp.any(jnp.isfinite(state.f_score))
-                   | jnp.any(jnp.isfinite(state.f_buf_score))))
+                & (dev.frontier_live(state) > 0))
 
     def body(carry):
         state, steps = carry

@@ -121,6 +121,7 @@ class TraversalState:
 
     f_score: jnp.ndarray
     f_row: jnp.ndarray
+    f_cursor: jnp.ndarray
     f_buf_score: jnp.ndarray
     f_buf_row: jnp.ndarray
     f_buf_n: jnp.ndarray
@@ -143,18 +144,22 @@ class TraversalState:
 def init_state(dg: DeviceGraph, frontier_capacity: int = 1 << 16,
                log_capacity: int | None = None,
                buffer_capacity: int = 1 << 15) -> TraversalState:
-    """The frontier is a main array [C] plus an append buffer [P].
+    """The frontier is a sorted main array [C] plus an append buffer [P].
 
-    Pushes go to the buffer (no sort); pops take the global best across
-    both; a full merge-sort happens only when the buffer fills — amortizing
-    the O(C log C) merge over ~P/pushes-per-step steps. Pop order is
-    identical to a sort-every-step frontier; only the *timing* of
-    capacity-overflow drops differs (none happen until a merge).
+    Pushes go to the buffer (no sort); a full merge-sort happens only when
+    the buffer fills — amortizing the O(C log C) merge over many steps.
+    Because the main array is sorted and pops always take the global
+    minimum, main-array pops consume a moving *prefix* tracked by
+    ``f_cursor`` — each pop is then just a B-slice of main + a top-k over
+    the (small) buffer, never a scan of C. Pop order is identical to a
+    sort-every-step frontier; only the *timing* of capacity-overflow drops
+    differs (none happen until a merge).
     """
     cap = log_capacity if log_capacity is not None else dg.n_nodes
     return TraversalState(
         f_score=jnp.full((frontier_capacity,), INF, jnp.float32),
         f_row=jnp.zeros((frontier_capacity,), jnp.int32),
+        f_cursor=jnp.zeros((), jnp.int32),
         f_buf_score=jnp.full((buffer_capacity,), INF, jnp.float32),
         f_buf_row=jnp.zeros((buffer_capacity,), jnp.int32),
         f_buf_n=jnp.zeros((), jnp.int32),
@@ -207,17 +212,29 @@ def expand_impl(
     b = batch
     c = state.f_score.shape[0]
     p = state.f_buf_score.shape[0]
-    all_scores = jnp.concatenate([state.f_score, state.f_buf_score])
-    all_rows = jnp.concatenate([state.f_row, state.f_buf_row])
-    neg, idx = jax.lax.top_k(-all_scores, b)
+    assert c >= b, "frontier_capacity must be >= batch"
+    # main candidates: the next B entries at the sorted prefix's cursor
+    start = jnp.minimum(state.f_cursor, c - b)
+    offs = start + jnp.arange(b, dtype=jnp.int32)
+    main_s = jnp.where(offs >= state.f_cursor,
+                       jax.lax.dynamic_slice(state.f_score, (start,), (b,)),
+                       INF)
+    main_r = jax.lax.dynamic_slice(state.f_row, (start,), (b,))
+    # buffer candidates: its top-B (the only selection over a large array,
+    # and P is small)
+    bneg, bidx = jax.lax.top_k(-state.f_buf_score, b)
+    cat_s = jnp.concatenate([main_s, -bneg])
+    cat_r = jnp.concatenate([main_r, state.f_buf_row[bidx]])
+    neg, sel = jax.lax.top_k(-cat_s, b)
     pop_score = -neg
-    pop_row = all_rows[idx]
+    pop_row = cat_r[sel]
     valid = jnp.isfinite(pop_score)
-    in_main = idx < c
-    f_score = state.f_score.at[
-        jnp.where(in_main, idx, c)].set(INF, mode="drop")
-    f_buf_score = state.f_buf_score.at[
-        jnp.where(in_main, p, idx - c)].set(INF, mode="drop")
+    from_main = (sel < b) & valid
+    f_cursor = state.f_cursor + jnp.sum(from_main).astype(jnp.int32)
+    from_buf = (sel >= b) & valid
+    buf_slot = jnp.where(from_buf, bidx[jnp.maximum(sel - b, 0)], p)
+    f_score = state.f_score
+    f_buf_score = state.f_buf_score.at[buf_slot].set(INF, mode="drop")
 
     level = _level_of_row(dg, pop_row)
     node = pop_row - dg.offsets[level]
@@ -245,6 +262,7 @@ def expand_impl(
         jnp.where(mask, pos, k)].set(cand_flat, mode="drop")
 
     new_state = dataclasses.replace(state, f_score=f_score,
+                                    f_cursor=f_cursor,
                                     f_buf_score=f_buf_score,
                                     n_steps=state.n_steps + 1)
     out = {
@@ -342,38 +360,44 @@ def integrate_impl(
     p = state.f_buf_score.shape[0]
 
     def do_append(args):
-        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = args
+        f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = args
         pos = buf_n + jnp.arange(p_new, dtype=jnp.int32)
         pos = jnp.where(jnp.isfinite(new_scores_all), pos, p)  # drop pad
         buf_s = buf_s.at[pos].set(new_scores_all, mode="drop")
         buf_r = buf_r.at[pos].set(new_rows_all, mode="drop")
-        return f_score, f_row, buf_s, buf_r, buf_n + n_push, n_dropped
+        return f_score, f_row, cursor, buf_s, buf_r, buf_n + n_push, \
+            n_dropped
 
     def do_merge(args):
-        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = args
-        all_s = jnp.concatenate([f_score, buf_s, new_scores_all])
+        f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = args
+        # entries before the cursor were already popped: mask them out
+        live = jnp.arange(c, dtype=jnp.int32) >= cursor
+        all_s = jnp.concatenate([jnp.where(live, f_score, INF), buf_s,
+                                 new_scores_all])
         all_r = jnp.concatenate([f_row, buf_r, new_rows_all])
         ss, sr = jax.lax.sort((all_s, all_r), num_keys=1)
         n_dropped = n_dropped + jnp.sum(
             jnp.isfinite(ss[c:])).astype(jnp.int32)
-        return (ss[:c], sr[:c],
+        return (ss[:c], sr[:c], jnp.zeros((), jnp.int32),
                 jnp.full((p,), INF, jnp.float32),
                 jnp.zeros((p,), jnp.int32),
                 jnp.zeros((), jnp.int32), n_dropped)
 
-    args = (state.f_score, state.f_row, state.f_buf_score, state.f_buf_row,
-            state.f_buf_n, state.n_dropped)
+    args = (state.f_score, state.f_row, state.f_cursor, state.f_buf_score,
+            state.f_buf_row, state.f_buf_n, state.n_dropped)
     if p_new > p:
         # buffer smaller than one step's pushes: always merge
-        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = do_merge(args)
+        out_args = do_merge(args)
     else:
-        f_score, f_row, buf_s, buf_r, buf_n, n_dropped = jax.lax.cond(
+        out_args = jax.lax.cond(
             state.f_buf_n + n_push <= p, do_append, do_merge, args)
+    f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = out_args
 
     return dataclasses.replace(
         state,
         f_score=f_score,
         f_row=f_row,
+        f_cursor=cursor,
         f_buf_score=buf_s,
         f_buf_row=buf_r,
         f_buf_n=buf_n,
@@ -422,15 +446,18 @@ def prime(
 
     entry_score = jnp.where(ok, node_scores, INF)
     entry_row = jnp.where(ok, row, 0)
-    all_scores = jnp.concatenate([state.f_score, entry_score])
+    c = state.f_score.shape[0]
+    live = jnp.arange(c, dtype=jnp.int32) >= state.f_cursor
+    all_scores = jnp.concatenate(
+        [jnp.where(live, state.f_score, INF), entry_score])
     all_rows = jnp.concatenate([state.f_row, entry_row])
     sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
                                               num_keys=1)
-    c = state.f_score.shape[0]
     return dataclasses.replace(
         state,
         f_score=sorted_scores[:c],
         f_row=sorted_rows[:c],
+        f_cursor=jnp.zeros((), jnp.int32),
         enqueued=enqueued,
         scored=scored,
         scores=scores,
@@ -499,8 +526,7 @@ def fused_run(
         st, steps = carry
         return ((st.n_scored < n_to_score)
                 & (steps < max_steps)
-                & (jnp.any(jnp.isfinite(st.f_score))
-                   | jnp.any(jnp.isfinite(st.f_buf_score))))
+                & (frontier_live(st) > 0))
 
     def body(carry):
         st, steps = carry
@@ -542,12 +568,18 @@ def load_state(path: str) -> TraversalState:
     })
 
 
+def frontier_live(state: TraversalState) -> jnp.ndarray:
+    """Traced count of live frontier entries (main past cursor + buffer)."""
+    c = state.f_score.shape[0]
+    live = jnp.arange(c, dtype=jnp.int32) >= state.f_cursor
+    return (jnp.sum(live & jnp.isfinite(state.f_score))
+            + jnp.sum(jnp.isfinite(state.f_buf_score))).astype(jnp.int32)
+
+
 def frontier_size(state: TraversalState) -> int:
     """Host-side: number of live frontier entries (main + append buffer)."""
-    return int(jnp.sum(jnp.isfinite(state.f_score))
-               + jnp.sum(jnp.isfinite(state.f_buf_score)))
+    return int(frontier_live(state))
 
 
 def frontier_empty(state: TraversalState) -> bool:
-    return not bool(jnp.any(jnp.isfinite(state.f_score))
-                    | jnp.any(jnp.isfinite(state.f_buf_score)))
+    return frontier_size(state) == 0
