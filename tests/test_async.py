@@ -130,6 +130,24 @@ def test_fused_run_matches_fused_steps(setup):
                                np.asarray(s2.f_score), atol=1e-6)
 
 
+def test_frontier_buffer_sizes_agree(setup):
+    """Tiny buffer (always-merge), moderate buffer (frequent merges), and
+    huge buffer (no merge until the end) must all produce identical
+    traversals — the buffer only changes *when* merges happen."""
+    graph, store, scoring_fn, _ = setup
+    logs = []
+    for bufc in (16, 256, 1 << 14):
+        tr = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                             frontier_capacity=1 << 12,
+                             buffer_capacity=bufc, n_score_threads=1)
+        tr.prime()
+        tr.traverse(n_to_score=10**9, timeout=120)
+        logs.append([m[:2] for m in tr.get_molecules()])
+        assert int(tr.state.n_dropped) == 0
+        tr.shutdown()
+    assert logs[0] == logs[1] == logs[2]
+
+
 def test_callback_loop_n_to_score(setup):
     graph, store, scoring_fn, _ = setup
     dg = dev.prepare_device_graph(graph)
