@@ -91,6 +91,7 @@ class HNSWServerApp:
         enable_cors: bool = False,
         cache_dir: Optional[str] = None,
         coordination=None,
+        static_dir: Optional[str] = None,
         server_name: str = "rad-tpu-hnsw",
     ) -> None:
         self.graph = graph
@@ -99,6 +100,7 @@ class HNSWServerApp:
         self.enable_cors = enable_cors
         self.cache_dir = cache_dir
         self.coordination = coordination
+        self.static_dir = os.path.abspath(static_dir) if static_dir else None
         self.server_name = server_name
         self.metrics = HNSWServerMetrics()
         import numpy as np
@@ -215,6 +217,18 @@ class HNSWServerApp:
         if self.coordination is not None and path.startswith("/coordination/"):
             return self._handle_coordination(method, path, body)
 
+        if (self.static_dir and method == "GET"
+                and path.startswith("/static/")):
+            # static homepage assets (reference rad/hnsw_server.py:621-635)
+            target = os.path.abspath(
+                os.path.join(self.static_dir, path[len("/static/"):]))
+            if not target.startswith(self.static_dir + os.sep):
+                return 403, {"detail": "path escapes static root"}
+            if os.path.isfile(target):
+                with open(target, "rb") as f:
+                    return 200, {"__raw__": f.read(), "__path__": target}
+            return 404, {"detail": "not found"}
+
         return 404, {"detail": f"no route for {method} {path}"}
 
     # -------------------------------------------- coordination (distributed)
@@ -289,6 +303,18 @@ def _make_handler(app: HNSWServerApp):
             self._send(status, payload, request_id)
 
         def _send(self, status: int, payload, request_id: str) -> None:
+            if isinstance(payload, dict) and "__raw__" in payload:
+                import mimetypes
+                data = payload["__raw__"]
+                ctype = mimetypes.guess_type(payload.get("__path__", ""))[0] \
+                    or "application/octet-stream"
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.send_header("X-Request-ID", request_id)
+                self.end_headers()
+                self.wfile.write(data)
+                return
             data = json.dumps(payload).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

@@ -33,6 +33,8 @@ def main(argv=None) -> int:
     ap.add_argument("--enable-cors", action="store_true")
     ap.add_argument("--cache-dir", default=".rad_tpu_cache",
                     help="persistent top-level-node cache directory")
+    ap.add_argument("--static-dir", default=None,
+                    help="directory served under /static/")
     ap.add_argument("--no-view", action="store_true",
                     help="load the index fully instead of memory-mapping")
     ap.add_argument("--debug", action="store_true")
@@ -71,7 +73,8 @@ def main(argv=None) -> int:
     log.info("index: %d nodes, max_level=%d", len(graph), graph.max_level)
     run_hnsw_server(graph, host=args.host, port=args.port,
                     smiles_store=store, api_key=args.api_key,
-                    enable_cors=args.enable_cors, cache_dir=args.cache_dir)
+                    enable_cors=args.enable_cors, cache_dir=args.cache_dir,
+                    static_dir=args.static_dir)
     return 0
 
 

@@ -129,6 +129,29 @@ def test_auth_required(graph, store):
         srv.shutdown()
 
 
+def test_static_file_serving(graph, store, tmp_path):
+    import requests as rq
+
+    static = tmp_path / "static"
+    static.mkdir()
+    (static / "index.html").write_text("<h1>rad-tpu</h1>")
+    srv, _ = create_hnsw_server(graph, host="127.0.0.1", port=0,
+                                smiles_store=store, static_dir=str(static))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        r = rq.get(f"{url}/static/index.html", timeout=5)
+        assert r.status_code == 200
+        assert "rad-tpu" in r.text
+        assert "text/html" in r.headers["Content-Type"]
+        assert rq.get(f"{url}/static/../secret", timeout=5).status_code \
+            in (403, 404)
+        assert rq.get(f"{url}/static/nope.js", timeout=5).status_code == 404
+    finally:
+        srv.shutdown()
+
+
 def test_remote_traversal_end_to_end(server, graph):
     """Full prime+traverse through the HTTP service (remote deployment)."""
     url, _ = server
