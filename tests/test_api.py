@@ -209,6 +209,24 @@ def test_device_and_host_modes_agree(index, scoring_setup):
     assert {m[:2] for m in dev_mols} == {m[:2] for m in host_mols}
 
 
+def test_traverse_resumable_in_session(index, scoring_setup):
+    """Calling traverse() again continues from the current frontier (the
+    analogue of re-attaching to a Redis namespace mid-run)."""
+    store, scoring_fn, _ = scoring_setup
+    t = create_local_traverser(index, scoring_fn, smiles_store=store,
+                               batch_size=4, n_score_threads=1)
+    t.prime()
+    t.traverse(n_to_score=30)
+    first = len(t.scored_set)
+    assert first >= 30
+    t.traverse(n_to_score=60)
+    second = len(t.scored_set)
+    assert second >= 60 > first - 10
+    ids = [m[0] for m in t.get_molecules()]
+    assert len(ids) == len(set(ids))
+    t.shutdown()
+
+
 def test_lazy_top_level_imports():
     assert rad_tpu.HNSWIndex is HNSWIndex
     assert callable(rad_tpu.create_remote_traverser)
