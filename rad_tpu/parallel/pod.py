@@ -28,9 +28,10 @@ __all__ = ["PodTraverser"]
 class PodTraverser:
     """Best-first traversal with the graph sharded over a device mesh.
 
-    ``target_packed``: the on-device scorer's target fingerprint (scores =
-    Tanimoto distance to it; lower = better). Swap in a learned surrogate by
-    editing `rad_tpu.parallel.sharded.make_sharded_step`'s scoring block.
+    ``target_packed``: the on-device scorer's target fingerprint (default
+    scorer = Tanimoto distance to it; lower = better). Pass any jittable
+    ``scorer(fp_rows, pop_rows, target_packed, target_pop) -> scores`` (an
+    ML surrogate, a pharmacophore model) to replace it.
     """
 
     def __init__(
@@ -43,6 +44,7 @@ class PodTraverser:
         frontier_capacity: int = 1 << 16,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
+        scorer=None,
     ) -> None:
         self.graph = graph
         self.mesh = mesh if mesh is not None else make_mesh(
@@ -50,7 +52,8 @@ class PodTraverser:
         self.sg: ShardedGraph = shard_graph(graph, self.mesh)
         self.dg = self.sg.device_graph()
         self.batch_size = batch_size
-        self._step = make_sharded_step(self.sg, self.mesh, batch_size)
+        self._step = make_sharded_step(self.sg, self.mesh, batch_size,
+                                       scorer=scorer)
         self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
                                     buffer_capacity)
         t = jnp.asarray(np.asarray(target_packed, np.uint32))

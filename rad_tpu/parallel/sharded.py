@@ -195,11 +195,18 @@ def sharded_bruteforce_topk(sg: ShardedGraph, queries, k: int,
                               sg.n_nodes, k, mesh, sg.axis)
 
 
-def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
+def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
+                      scorer=None):
     """Build the jitted pod traversal step: replicated state, sharded graph.
 
     Returns ``step(state, target_packed, target_pop) -> state`` — the
     multi-chip equivalent of :func:`rad_tpu.traverse.device.fused_step`.
+
+    ``scorer(fp_rows [K, W] uint32, pop_rows [K] int32, target_packed,
+    target_pop) -> [K] float32`` is any jittable surrogate (an ML scorer, a
+    pharmacophore model, ...); the default is Tanimoto distance to
+    ``target_packed``. It runs replicated on every chip over candidates
+    gathered from their owning shards.
     """
     axis = sg.axis
     nd = mesh.shape[axis]
@@ -209,6 +216,8 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
                           offsets=sg.offsets, n_nodes=sg.n_nodes,
                           n_rows=sg.n_rows, m0=sg.m0,
                           max_level=sg.max_level)
+    if scorer is None:
+        scorer = tanimoto_to_target_scorer
 
     def shard_body(state: TraversalState, adj_l, packed_l, pops_l,
                    offsets, target_packed, target_pop):
@@ -223,10 +232,8 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
         safe = jnp.where(ok, ts, 0)
         fp_rows = _owned_gather(packed_l, safe, fp_shard, axis, fill_shift=0)
         pop_rows = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
-        inter = jnp.sum(popcount(fp_rows & target_packed[None, :]), axis=-1)
-        union = target_pop + pop_rows - inter
-        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        raw = scorer(fp_rows, pop_rows, target_packed, target_pop)
+        scores = jnp.where(ok, raw.astype(jnp.float32), jnp.inf)
         return integrate_impl(state, dg, out["exp_node"], out["exp_level"],
                               out["exp_score"], out["exp_valid"], out["cand"],
                               out["to_score"], scores)
@@ -247,6 +254,15 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int):
                       target_packed, target_pop)
 
     return step
+
+
+def tanimoto_to_target_scorer(fp_rows, pop_rows, target_packed, target_pop):
+    """Default on-device scorer: Tanimoto distance to a target fingerprint
+    (the virtual-actives analogue of the reference notebook's lookup table)."""
+    inter = jnp.sum(popcount(fp_rows & target_packed[None, :]), axis=-1)
+    union = target_pop + pop_rows - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+    return (1.0 - sim).astype(jnp.float32)
 
 
 def _state_structure():

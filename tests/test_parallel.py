@@ -85,6 +85,29 @@ def test_pod_traverser_lifecycle(mesh, built):
     assert best[0][1] < np.median(all_scores)
 
 
+def test_pod_traverser_custom_scorer(mesh, built):
+    """A user-supplied jittable surrogate drives the sharded traversal."""
+    from rad_tpu.parallel.pod import PodTraverser
+
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=78)[0]
+
+    def weird_scorer(fp_rows, pop_rows, target_packed, target_pop):
+        # popcount parity surrogate — arbitrary but deterministic/jittable
+        return (pop_rows % 7).astype(jnp.float32)
+
+    pod = PodTraverser(built, target, mesh=mesh, batch_size=8,
+                       frontier_capacity=1 << 10, scorer=weird_scorer)
+    pod.prime()
+    pod.traverse(n_to_score=60, timeout=60)
+    mols = pod.get_molecules()
+    assert len(mols) >= 60
+    # scores produced by the surrogate, except the primed seeds (which the
+    # prime path scores with the default target distance)
+    n_top = built.layer_sizes[built.max_level]
+    assert all(m[1] == float(int(m[1])) and 0 <= m[1] < 7
+               for m in mols[n_top:])
+
+
 def test_sharded_beam_search_matches_single_device(mesh, built):
     """Graph-sharded kNN beam must return the same results as the
     single-device jitted search."""
