@@ -10,6 +10,12 @@ callback receives a padded id batch and returns a score batch.
 Semantics identical to the stepwise engine (same expand/integrate impls).
 Termination inside the loop: n_to_score reached, frontier empty, or step
 budget exhausted.
+
+Deployment caveat: io_callback requires the Python host to be co-located
+with the device runtime (standard TPU VMs). Remote-execution backends that
+tunnel computations to a detached device cannot service host callbacks —
+use the stepwise/pipelined :class:`rad_tpu.traverse.driver.DeviceTraverser`
+there (it only ever ships arrays, never callbacks).
 """
 
 from __future__ import annotations
