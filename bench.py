@@ -106,7 +106,33 @@ def main():
     # np.asarray forces a device->host readback of the [Q] result — the only
     # reliable completion barrier through remote-execution backends where
     # block_until_ready can return early.
-    r = np.asarray(min_dist(db_j, q_j))
+    try:
+        r = np.asarray(min_dist(db_j, q_j))
+    except Exception as e:
+        log(f"pallas path failed ({e}); falling back to the XLA path")
+        from rad_tpu.fp.pack import popcount_rows
+        from rad_tpu.fp.tanimoto import unpack_to_dtype
+        blk = args.block
+
+        @jax.jit
+        def min_dist(dbp, qp):  # noqa: F811 - deliberate fallback rebind
+            q_bits = unpack_to_dtype(qp, jnp.bfloat16)
+            q_pops = popcount_rows(qp).astype(jnp.float32)
+            blocks = dbp.reshape(dbp.shape[0] // blk, blk, dbp.shape[1])
+
+            def body(carry, db_blk):
+                d_pops = popcount_rows(db_blk).astype(jnp.float32)
+                d_bits = unpack_to_dtype(db_blk, jnp.bfloat16)
+                inter = jnp.dot(q_bits, d_bits.T,
+                                preferred_element_type=jnp.float32)
+                union = q_pops[:, None] + d_pops[None, :] - inter
+                dist = 1.0 - inter / jnp.maximum(union, 1.0)
+                return jnp.minimum(carry, dist.min(axis=1)), None
+
+            init = jnp.full((qp.shape[0],), jnp.inf, jnp.float32)
+            return jax.lax.scan(body, init, blocks)[0]
+
+        r = np.asarray(min_dist(db_j, q_j))
     log(f"first run (incl. compile): {time.perf_counter() - t0:.1f}s; "
         f"min dist overall = {r.min():.4f}")
 
