@@ -25,6 +25,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _synthetic_graph(fps: np.ndarray, m: int, seed: int = 0):
+    """Random layered graph with HNSW's shape (levels, caps, -1 padding) —
+    engine-speed measurements only; adjacency is not similarity-based."""
+    from rad_tpu.build.reference import sample_levels
+    from rad_tpu.fp.pack import popcount_rows_np
+    from rad_tpu.graph.storage import HNSWGraph
+
+    n = fps.shape[0]
+    rng = np.random.default_rng(seed)
+    levels_raw = sample_levels(n, m, seed)
+    order = np.lexsort((np.arange(n), -levels_raw))
+    packed = fps[order]
+    levels = levels_raw[order]
+    max_level = int(levels[0])
+    layer_sizes = [int((levels >= l).sum()) for l in range(max_level + 1)]
+    neighbors = []
+    for l, nl in enumerate(layer_sizes):
+        cap = 2 * m if l == 0 else m
+        t = rng.integers(0, nl, size=(nl, cap), dtype=np.int32) \
+            if nl > 1 else np.full((nl, cap), -1, np.int32)
+        if nl > 1:
+            # remove self-loops by shifting
+            self_rows = t == np.arange(nl, dtype=np.int32)[:, None]
+            t = np.where(self_rows, (t + 1) % nl, t)
+        neighbors.append(t)
+    return HNSWGraph(packed=packed, popcounts=popcount_rows_np(packed),
+                     keys=np.arange(n, dtype=np.int64)[order],
+                     levels=levels, neighbors=tuple(neighbors),
+                     ndim=fps.shape[1] * 32, connectivity=m)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=200_000)
@@ -36,6 +67,10 @@ def main(argv=None) -> int:
     ap.add_argument("--buffer", type=int, default=1 << 17,
                     help="frontier append-buffer capacity")
     ap.add_argument("--n-to-score", type=int, default=None)
+    ap.add_argument("--synthetic-graph", action="store_true",
+                    help="skip HNSW construction; use a random layered "
+                         "graph of the same shape (engine-throughput-only "
+                         "measurement for N beyond practical build time)")
     args = ap.parse_args(argv)
 
     import jax
@@ -45,19 +80,24 @@ def main(argv=None) -> int:
     from rad_tpu.traverse import device as dev
 
     log(f"device: {jax.devices()[0]}")
-    log(f"building {args.n}-node graph (native) ...")
     fps = random_fingerprints(args.n, n_bits=args.n_bits, density=0.1,
                               seed=0)
     t0 = time.perf_counter()
-    try:
-        from rad_tpu.native import build_hnsw_native
-        graph = build_hnsw_native(fps, connectivity=args.connectivity,
-                                  expansion_add=args.expansion_add, seed=0)
-    except Exception as e:
-        log(f"native builder unavailable ({e}); falling back to python")
-        from rad_tpu.build.reference import build_hnsw
-        graph = build_hnsw(fps, connectivity=args.connectivity,
-                           expansion_add=args.expansion_add, seed=0)
+    if args.synthetic_graph:
+        log(f"generating synthetic layered graph ({args.n} nodes) ...")
+        graph = _synthetic_graph(fps, args.connectivity, seed=0)
+    else:
+        log(f"building {args.n}-node graph (native) ...")
+        try:
+            from rad_tpu.native import build_hnsw_native
+            graph = build_hnsw_native(
+                fps, connectivity=args.connectivity,
+                expansion_add=args.expansion_add, seed=0)
+        except Exception as e:
+            log(f"native builder unavailable ({e}); falling back to python")
+            from rad_tpu.build.reference import build_hnsw
+            graph = build_hnsw(fps, connectivity=args.connectivity,
+                               expansion_add=args.expansion_add, seed=0)
     t_build = time.perf_counter() - t0
     log(f"build: {t_build:.1f}s ({args.n / t_build:.0f} nodes/s)")
 
