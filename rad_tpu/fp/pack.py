@@ -91,20 +91,30 @@ def popcount_rows_np(packed: np.ndarray) -> np.ndarray:
 
 
 def random_fingerprints(
-    n: int, n_bits: int = 1024, density: float = 0.1, seed: int = 0
+    n: int, n_bits: int = 1024, density: float = 0.1, seed: int = 0,
+    chunk: int = 1 << 20,
 ) -> np.ndarray:
     """Random packed fingerprints ``[n, n_bits/32] uint32`` for tests/benchmarks.
 
     Density defaults to ~10% set bits — typical for 1024-bit Morgan r=2
-    fingerprints of drug-like molecules.
+    fingerprints of drug-like molecules. Generated in ``chunk``-row pieces
+    so peak memory stays bounded at any ``n`` (the output itself is only
+    ``n_bits/8`` bytes/row).
     """
     rng = np.random.default_rng(seed)
-    bits = (rng.random((n, n_bits)) < density).astype(np.uint8)
-    # Guarantee no all-zero fingerprint (Tanimoto undefined on empty sets).
-    empty = bits.sum(axis=1) == 0
-    if empty.any():
-        bits[empty, rng.integers(0, n_bits, size=int(empty.sum()))] = 1
-    return pack_fingerprints(bits)
+    w = packed_words(n_bits)
+    out = np.empty((n, w), dtype=np.uint32)
+    thresh = np.uint8(int(density * 256))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        bits = (rng.integers(0, 256, size=(hi - lo, n_bits),
+                             dtype=np.uint8) < thresh).astype(np.uint8)
+        # Guarantee no all-zero fingerprint (Tanimoto undefined on empties).
+        empty = bits.sum(axis=1) == 0
+        if empty.any():
+            bits[empty, rng.integers(0, n_bits, size=int(empty.sum()))] = 1
+        out[lo:hi] = pack_fingerprints(bits)
+    return out
 
 
 def _hash_fingerprint_bits(smiles: str, n_bits: int, radius: int = 2) -> np.ndarray:
