@@ -40,17 +40,28 @@ def packed_words(n_bits: int) -> int:
 
 
 def pack_fingerprints(bits: np.ndarray) -> np.ndarray:
-    """Pack a ``[N, d]`` 0/1 matrix into ``[N, ceil(d/32)] uint32`` (LSB-first)."""
+    """Pack a ``[N, d]`` 0/1 matrix into ``[N, ceil(d/32)] uint32`` (LSB-first).
+
+    Layout: bit ``j`` → word ``j // 32``, bit position ``j % 32``. With
+    little-endian words this equals ``np.packbits(bitorder='little')``
+    reinterpreted as uint32, which is what the fast path does.
+    """
     bits = np.asarray(bits)
     if bits.ndim == 1:
         return pack_fingerprints(bits[None, :])[0]
     n, d = bits.shape
     w = packed_words(d)
-    padded = np.zeros((n, w * 32), dtype=np.uint32)
-    padded[:, :d] = bits.astype(np.uint32) & 1
-    shifts = np.arange(32, dtype=np.uint32)
-    words = (padded.reshape(n, w, 32) << shifts).sum(axis=-1, dtype=np.uint64)
-    return words.astype(np.uint32)
+    if d % 32:
+        padded = np.zeros((n, w * 32), dtype=np.uint8)
+        padded[:, :d] = bits.astype(np.uint8) & 1
+        bits = padded
+    else:
+        bits = np.ascontiguousarray(bits.astype(np.uint8) & 1)
+    packed_bytes = np.packbits(bits, axis=1, bitorder="little")
+    words = packed_bytes.view("<u4")
+    if words.dtype != np.uint32 or not words.flags.c_contiguous:
+        words = words.astype(np.uint32)
+    return np.ascontiguousarray(words)
 
 
 def unpack_fingerprints(packed: np.ndarray, n_bits: int | None = None) -> np.ndarray:
