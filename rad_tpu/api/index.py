@@ -147,9 +147,15 @@ class HNSWIndex:
         ef = expansion_search or self.expansion_search
         if exact:
             import jax.numpy as jnp
-            from rad_tpu.fp.tanimoto import bruteforce_topk
-            d, ids = bruteforce_topk(jnp.asarray(queries),
-                                     jnp.asarray(np.asarray(g.packed)), k)
+            from rad_tpu.fp.tanimoto import (bruteforce_topk,
+                                             bruteforce_topk_blocked)
+            db = jnp.asarray(np.asarray(g.packed))
+            qj = jnp.asarray(queries)
+            if len(g) * queries.shape[0] > (1 << 26):
+                # block the scan so the [B, N] matrix never materializes
+                d, ids = bruteforce_topk_blocked(qj, db, k, block=1 << 14)
+            else:
+                d, ids = bruteforce_topk(qj, db, k)
             d, ids = np.asarray(d), np.asarray(ids)
         else:
             from rad_tpu.search.knn import search_device
