@@ -547,6 +547,47 @@ def fused_run(
     return state
 
 
+def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
+                    scorer, batch: int, max_steps: int = 1 << 20):
+    """Compile a full traversal loop around an arbitrary jittable scorer.
+
+    ``scorer(fp_rows [K, W] uint32, pop_rows [K] int32) -> [K] float32`` —
+    an ML surrogate (MLP over fingerprint bits, a learned docking model), a
+    similarity measure, anything jittable. This is the single-chip
+    generalization of :func:`fused_run` (whose scorer is fixed to
+    Tanimoto-to-target); the reference's analogous capability is Chemprop
+    scoring workers (reference README.md:206).
+
+    Returns ``run(state, n_to_score) -> state``.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state: TraversalState, n_to_score) -> TraversalState:
+        def cond(carry):
+            st, steps = carry
+            return ((st.n_scored < n_to_score)
+                    & (steps < max_steps)
+                    & (frontier_live(st) > 0))
+
+        def body(carry):
+            st, steps = carry
+            st, out = expand_impl(st, dg, batch)
+            ts = out["to_score"]
+            ok = ts >= 0
+            safe = jnp.where(ok, ts, 0)
+            raw = scorer(packed[safe], pops[safe])
+            scores = jnp.where(ok, raw.astype(jnp.float32), INF)
+            st = integrate_impl(st, dg, out["exp_node"], out["exp_level"],
+                                out["exp_score"], out["exp_valid"],
+                                out["cand"], out["to_score"], scores)
+            return st, steps + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return state
+
+    return run
+
+
 def save_state(state: TraversalState, path: str) -> None:
     """Checkpoint a traversal to disk.
 
