@@ -7,7 +7,9 @@ from rad_tpu.parallel.sharded import (
     sharded_bruteforce_topk,
     sharded_fused_step,
     make_sharded_step,
+    make_sharded_step_full,
     make_sharded_search,
+    init_state_sharded,
 )
 from rad_tpu.parallel.pod import PodTraverser
 
@@ -18,6 +20,8 @@ __all__ = [
     "sharded_bruteforce_topk",
     "sharded_fused_step",
     "make_sharded_step",
+    "make_sharded_step_full",
     "make_sharded_search",
+    "init_state_sharded",
     "PodTraverser",
 ]

@@ -256,6 +256,157 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
     return step
 
 
+class _ShardStateOps:
+    """Shard-aware state accessors for row-sharded scored/scores/enqueued.
+
+    Gathers reconstruct values from the owning shard with one psum (exactly
+    one owner per index); scatters apply only the locally-owned writes — no
+    collective at all on the write path.
+    """
+
+    def __init__(self, axis: str, node_shard: int, row_shard: int):
+        self.axis = axis
+        self.node_shard = node_shard
+        self.row_shard = row_shard
+
+    def _gather(self, arr, idx, shard):
+        me = jax.lax.axis_index(self.axis)
+        loc = idx - me * shard
+        own = (loc >= 0) & (loc < shard)
+        vals = arr[jnp.clip(loc, 0, shard - 1)]
+        contrib = jnp.where(own, vals.astype(jnp.int32), 0)
+        total = jax.lax.psum(contrib, self.axis)
+        return total.astype(arr.dtype)
+
+    def _scatter(self, arr, idx, vals, shard):
+        me = jax.lax.axis_index(self.axis)
+        loc = idx - me * shard
+        own = (loc >= 0) & (loc < shard)
+        return arr.at[jnp.where(own, loc, shard)].set(vals, mode="drop")
+
+    def gather_scored(self, arr, idx):
+        return self._gather(arr, idx, self.node_shard).astype(jnp.bool_)
+
+    def gather_enqueued(self, arr, idx):
+        return self._gather(arr, idx, self.row_shard).astype(jnp.bool_)
+
+    def gather_scores(self, arr, idx):
+        # f32 bit pattern survives the int32 psum via bitcast
+        me = jax.lax.axis_index(self.axis)
+        loc = idx - me * self.node_shard
+        own = (loc >= 0) & (loc < self.node_shard)
+        vals = arr[jnp.clip(loc, 0, self.node_shard - 1)]
+        bits = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        total = jax.lax.psum(jnp.where(own, bits, 0), self.axis)
+        return jax.lax.bitcast_convert_type(total, jnp.float32)
+
+    def scatter_scored(self, arr, idx, vals):
+        return self._scatter(arr, idx, vals, self.node_shard)
+
+    def scatter_scores(self, arr, idx, vals):
+        return self._scatter(arr, idx, vals, self.node_shard)
+
+    def scatter_enqueued(self, arr, idx, vals):
+        return self._scatter(arr, idx, vals, self.row_shard)
+
+
+def init_state_sharded(sg: ShardedGraph, mesh: Mesh,
+                       frontier_capacity: int = 1 << 16,
+                       log_capacity: int | None = None,
+                       buffer_capacity: int = 1 << 15) -> TraversalState:
+    """TraversalState with scored/scores/enqueued row-sharded over the mesh
+    (padded sizes) and the frontier/log/counters replicated — the layout
+    for libraries whose *state* no longer fits one chip (docs/SCALING.md).
+    """
+    cap = log_capacity if log_capacity is not None else sg.n_nodes
+    row_sh = NamedSharding(mesh, P(sg.axis))
+    rep = NamedSharding(mesh, P())
+
+    def dev(x, sh):
+        return jax.device_put(x, sh)
+
+    return TraversalState(
+        f_score=dev(jnp.full((frontier_capacity,), jnp.inf, jnp.float32),
+                    rep),
+        f_row=dev(jnp.zeros((frontier_capacity,), jnp.int32), rep),
+        f_cursor=dev(jnp.zeros((), jnp.int32), rep),
+        f_buf_score=dev(jnp.full((buffer_capacity,), jnp.inf, jnp.float32),
+                        rep),
+        f_buf_row=dev(jnp.zeros((buffer_capacity,), jnp.int32), rep),
+        f_buf_n=dev(jnp.zeros((), jnp.int32), rep),
+        enqueued=dev(jnp.zeros((sg.n_pad_rows,), jnp.bool_), row_sh),
+        scored=dev(jnp.zeros((sg.n_pad_nodes,), jnp.bool_), row_sh),
+        scores=dev(jnp.full((sg.n_pad_nodes,), jnp.inf, jnp.float32),
+                   row_sh),
+        order_log=dev(jnp.full((cap,), -1, jnp.int32), rep),
+        n_scored=dev(jnp.zeros((), jnp.int32), rep),
+        n_dropped=dev(jnp.zeros((), jnp.int32), rep),
+        n_steps=dev(jnp.zeros((), jnp.int32), rep),
+    )
+
+
+def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
+                           scorer=None):
+    """Pod step with BOTH graph and state sharded (billion-molecule layout).
+
+    Like :func:`make_sharded_step` but ``scored``/``scores``/``enqueued``
+    are row-sharded too (create the state with :func:`init_state_sharded`).
+    Per-chip state memory drops from O(N) to O(N / n_devices); the extra
+    cost is one psum per state gather, riding the same ICI exchange as the
+    fingerprint gathers.
+    """
+    axis = sg.axis
+    nd = mesh.shape[axis]
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+    # padded dg: sentinels must lie outside every shard
+    dg_meta = DeviceGraph(adj=jnp.zeros((1, 1), jnp.int32),
+                          offsets=sg.offsets, n_nodes=sg.n_pad_nodes,
+                          n_rows=sg.n_pad_rows, m0=sg.m0,
+                          max_level=sg.max_level)
+    if scorer is None:
+        scorer = tanimoto_to_target_scorer
+    ops = _ShardStateOps(axis, fp_shard, adj_shard)
+
+    def shard_body(state: TraversalState, adj_l, packed_l, pops_l,
+                   offsets, target_packed, target_pop):
+        dg = dataclasses.replace(dg_meta, offsets=offsets)
+
+        def gather_adj(rows):
+            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+
+        state, out = expand_impl(state, dg, batch, gather_adj=gather_adj,
+                                 ops=ops)
+        ts = out["to_score"]
+        ok = ts >= 0
+        safe = jnp.where(ok, ts, 0)
+        fp_rows = _owned_gather(packed_l, safe, fp_shard, axis, fill_shift=0)
+        pop_rows = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
+        raw = scorer(fp_rows, pop_rows, target_packed, target_pop)
+        scores = jnp.where(ok, raw.astype(jnp.float32), jnp.inf)
+        return integrate_impl(state, dg, out["exp_node"], out["exp_level"],
+                              out["exp_score"], out["exp_valid"], out["cand"],
+                              out["to_score"], scores, ops=ops)
+
+    rep_spec = jax.tree_util.tree_map(lambda _: P(), _state_structure())
+    state_spec = dataclasses.replace(
+        rep_spec, enqueued=P(axis), scored=P(axis), scores=P(axis))
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_spec, P(axis, None), P(axis, None), P(axis),
+                  P(), P(), P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TraversalState, target_packed, target_pop):
+        return mapped(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                      target_packed, target_pop)
+
+    return step
+
+
 def tanimoto_to_target_scorer(fp_rows, pop_rows, target_packed, target_pop):
     """Default on-device scorer: Tanimoto distance to a target fingerprint
     (the virtual-actives analogue of the reference notebook's lookup table)."""

@@ -181,6 +181,47 @@ def _level_of_row(dg: DeviceGraph, row: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(lev, 0, dg.max_level).astype(jnp.int32)
 
 
+class DenseStateOps:
+    """Access layer for the big per-node/per-row state arrays.
+
+    The default implementation indexes dense device-resident arrays. The
+    pod engine substitutes shard-aware ops (rad_tpu.parallel.sharded):
+    gathers become owned-contribution psums, scatters become masked local
+    writes — which is what lets `scored`/`scores`/`enqueued` shard row-wise
+    across chips while the step logic stays identical.
+
+    Contract: ``gather_*(arr, safe_idx)`` — indices pre-clamped into range;
+    ``scatter_*(arr, idx, vals)`` — out-of-range (sentinel) indices drop.
+    """
+
+    @staticmethod
+    def gather_scored(arr, idx):
+        return arr[idx]
+
+    @staticmethod
+    def gather_scores(arr, idx):
+        return arr[idx]
+
+    @staticmethod
+    def gather_enqueued(arr, idx):
+        return arr[idx]
+
+    @staticmethod
+    def scatter_scored(arr, idx, vals):
+        return arr.at[idx].set(vals, mode="drop")
+
+    @staticmethod
+    def scatter_scores(arr, idx, vals):
+        return arr.at[idx].set(vals, mode="drop")
+
+    @staticmethod
+    def scatter_enqueued(arr, idx, vals):
+        return arr.at[idx].set(vals, mode="drop")
+
+
+DENSE_OPS = DenseStateOps()
+
+
 def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
     """Mask of first occurrences of each value (sentinel entries excluded),
     computed in the *original* order via argsort + inverse scatter."""
@@ -195,7 +236,7 @@ def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
 
 def expand_impl(
     state: TraversalState, dg: DeviceGraph, batch: int,
-    gather_adj=None,
+    gather_adj=None, ops: DenseStateOps = DENSE_OPS,
 ) -> Tuple[TraversalState, dict]:
     """Pop the ``batch`` best frontier entries and gather their neighbors.
 
@@ -249,7 +290,7 @@ def expand_impl(
     cand_flat = cand.reshape(-1)
     cand_ok = cand_flat >= 0
     safe_cand = jnp.where(cand_ok, cand_flat, 0)
-    unscored = cand_ok & ~state.scored[safe_cand]
+    unscored = cand_ok & ~ops.gather_scored(state.scored, safe_cand)
     ids = jnp.where(unscored, cand_flat, n)
     # Unique unscored ids, compacted to the front *preserving adjacency
     # order* — scoring order then matches the reference's per-work-item
@@ -290,6 +331,7 @@ def integrate_impl(
     cand: jnp.ndarray,
     to_score: jnp.ndarray,
     new_scores: jnp.ndarray,
+    ops: DenseStateOps = DENSE_OPS,
 ) -> TraversalState:
     """Integrate host scores and complete the traversal step.
 
@@ -306,11 +348,13 @@ def integrate_impl(
     # batches; the first integration wins and later ones are no-ops, so the
     # order log never duplicates.
     ts_ok = to_score >= 0
-    already = state.scored[jnp.where(ts_ok, to_score, 0)]
+    already = ops.gather_scored(state.scored,
+                                jnp.where(ts_ok, to_score, 0))
     fresh = ts_ok & ~already
     ts_idx = jnp.where(fresh, to_score, n)  # n = OOB -> dropped
-    scores = state.scores.at[ts_idx].set(new_scores, mode="drop")
-    scored = state.scored.at[ts_idx].set(True, mode="drop")
+    scores = ops.scatter_scores(state.scores, ts_idx, new_scores)
+    scored = ops.scatter_scored(state.scored, ts_idx,
+                                jnp.ones_like(ts_ok))
     k = to_score.shape[0]
     pos_in_batch = jnp.cumsum(fresh.astype(jnp.int32)) - 1
     log_pos = jnp.where(fresh, state.n_scored + pos_in_batch, cap)
@@ -327,24 +371,28 @@ def integrate_impl(
     row_flat = dg.offsets[lev_flat] + safe_cand
     row_key = jnp.where(cand_ok, row_flat, dg.n_rows)
     first = _first_occurrence(row_key, dg.n_rows)
-    not_enq = ~state.enqueued[jnp.where(cand_ok, row_flat, 0)]
+    not_enq = ~ops.gather_enqueued(state.enqueued,
+                                   jnp.where(cand_ok, row_flat, 0))
     push = cand_ok & not_enq & first
     enq_idx = jnp.where(push, row_flat, dg.n_rows)
-    enqueued = state.enqueued.at[enq_idx].set(True, mode="drop")
-    cand_score = jnp.where(push, scores[safe_cand], INF)
+    enqueued = ops.scatter_enqueued(state.enqueued, enq_idx,
+                                    jnp.ones_like(push))
+    cand_score = jnp.where(push, ops.gather_scores(scores, safe_cand), INF)
     cand_row_entry = jnp.where(push, row_flat, 0)
 
     # -- descent: re-enqueue expanded node at level-1 ----------------------
     can_desc = exp_valid & (exp_level > 0)
     down_row = dg.offsets[jnp.maximum(exp_level - 1, 0)] + exp_node
-    down_ok = can_desc & ~enqueued[jnp.where(can_desc, down_row, 0)]
+    down_ok = can_desc & ~ops.gather_enqueued(
+        enqueued, jnp.where(can_desc, down_row, 0))
     # dedup within batch (same node popped at two levels descending to same
     # row is impossible; but two pops of identical row are)
     down_key = jnp.where(down_ok, down_row, dg.n_rows)
     down_first = _first_occurrence(down_key, dg.n_rows)
     down_ok = down_ok & down_first
-    enqueued = enqueued.at[jnp.where(down_ok, down_row, dg.n_rows)].set(
-        True, mode="drop")
+    enqueued = ops.scatter_enqueued(
+        enqueued, jnp.where(down_ok, down_row, dg.n_rows),
+        jnp.ones_like(down_ok))
     desc_score = jnp.where(down_ok, exp_score, INF)
     desc_row = jnp.where(down_ok, down_row, 0)
 

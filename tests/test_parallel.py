@@ -85,6 +85,59 @@ def test_pod_traverser_lifecycle(mesh, built):
     assert best[0][1] < np.median(all_scores)
 
 
+def test_fully_sharded_state_matches_replicated(mesh, built):
+    """Graph AND state sharded (billion-molecule layout) must reproduce the
+    replicated-state pod step exactly."""
+    from rad_tpu.parallel.sharded import (init_state_sharded,
+                                          make_sharded_step_full)
+
+    graph = built
+    n = len(graph)
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=55)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+    sg = shard_graph(graph, mesh)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = jnp.asarray(np.asarray(tanimoto_matrix(
+        jnp.asarray(target[None, :]),
+        jnp.asarray(np.asarray(graph.packed)[:n_top])))[0])
+
+    # replicated-state reference
+    dg = dev.prepare_device_graph(graph)
+    s1 = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10), dg, ids,
+                   seed_scores)
+    step1 = make_sharded_step(sg, mesh, batch=8)
+    for _ in range(10):
+        s1 = step1(s1, t_packed, t_pop)
+
+    # fully sharded
+    dg_pad = sg.device_graph()
+    dg_pad = type(dg_pad)(adj=dg_pad.adj, offsets=dg_pad.offsets,
+                          n_nodes=sg.n_pad_nodes, n_rows=sg.n_pad_rows,
+                          m0=sg.m0, max_level=sg.max_level)
+    s2 = init_state_sharded(sg, mesh, frontier_capacity=1 << 10,
+                            log_capacity=n)
+    s2 = dev.prime(s2, dg_pad, ids, seed_scores)
+    step2 = make_sharded_step_full(sg, mesh, batch=8)
+    for _ in range(10):
+        s2 = step2(s2, t_packed, t_pop)
+
+    assert int(s1.n_scored) == int(s2.n_scored) > n_top
+    np.testing.assert_array_equal(np.asarray(s1.order_log),
+                                  np.asarray(s2.order_log))
+    np.testing.assert_array_equal(np.asarray(s1.scored),
+                                  np.asarray(s2.scored)[:n])
+    np.testing.assert_allclose(np.asarray(s1.scores),
+                               np.asarray(s2.scores)[:n], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s1.enqueued),
+                                  np.asarray(s2.enqueued)[:dg.n_rows])
+    np.testing.assert_allclose(np.asarray(s1.f_score),
+                               np.asarray(s2.f_score), atol=1e-6)
+    # state really is sharded across the mesh
+    assert len(s2.scored.sharding.device_set) == 8
+
+
 def test_pod_traverser_custom_scorer(mesh, built):
     """A user-supplied jittable surrogate drives the sharded traversal."""
     from rad_tpu.parallel.pod import PodTraverser
