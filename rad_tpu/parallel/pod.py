@@ -25,6 +25,15 @@ from rad_tpu.traverse import device as dev
 __all__ = ["PodTraverser"]
 
 
+def dataclasses_replace_padded(sg: ShardedGraph):
+    """DeviceGraph view with padded sizes (sentinels outside every shard)."""
+    from rad_tpu.traverse.device import DeviceGraph
+
+    return DeviceGraph(adj=sg.adj, offsets=sg.offsets,
+                       n_nodes=sg.n_pad_nodes, n_rows=sg.n_pad_rows,
+                       m0=sg.m0, max_level=sg.max_level)
+
+
 class PodTraverser:
     """Best-first traversal with the graph sharded over a device mesh.
 
@@ -45,17 +54,30 @@ class PodTraverser:
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
         scorer=None,
+        shard_state: bool = False,
     ) -> None:
         self.graph = graph
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_names=("graph",))
         self.sg: ShardedGraph = shard_graph(graph, self.mesh)
-        self.dg = self.sg.device_graph()
         self.batch_size = batch_size
-        self._step = make_sharded_step(self.sg, self.mesh, batch_size,
-                                       scorer=scorer)
-        self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
-                                    buffer_capacity)
+        if shard_state:
+            # billion-scale layout: scored/scores/enqueued row-sharded too
+            from rad_tpu.parallel.sharded import (init_state_sharded,
+                                                  make_sharded_step_full)
+            self.dg = dataclasses_replace_padded(self.sg)
+            self._step = make_sharded_step_full(self.sg, self.mesh,
+                                                batch_size, scorer=scorer)
+            self.state = init_state_sharded(
+                self.sg, self.mesh, frontier_capacity,
+                log_capacity if log_capacity is not None else len(graph),
+                buffer_capacity)
+        else:
+            self.dg = self.sg.device_graph()
+            self._step = make_sharded_step(self.sg, self.mesh, batch_size,
+                                           scorer=scorer)
+            self.state = dev.init_state(self.dg, frontier_capacity,
+                                        log_capacity, buffer_capacity)
         t = jnp.asarray(np.asarray(target_packed, np.uint32))
         from rad_tpu.fp.pack import popcount_rows
         self._target = t

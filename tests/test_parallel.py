@@ -138,6 +138,22 @@ def test_fully_sharded_state_matches_replicated(mesh, built):
     assert len(s2.scored.sharding.device_set) == 8
 
 
+def test_pod_traverser_shard_state(mesh, built):
+    """shard_state=True produces the same molecules as the default pod."""
+    from rad_tpu.parallel.pod import PodTraverser
+
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=77)[0]
+    results = []
+    for shard_state in (False, True):
+        pod = PodTraverser(built, target, mesh=mesh, batch_size=8,
+                           frontier_capacity=1 << 10,
+                           shard_state=shard_state)
+        pod.prime()
+        pod.traverse(n_to_score=100, timeout=120)
+        results.append(pod.get_molecules())
+    assert results[0] == results[1]
+
+
 def test_pod_traverser_custom_scorer(mesh, built):
     """A user-supplied jittable surrogate drives the sharded traversal."""
     from rad_tpu.parallel.pod import PodTraverser
