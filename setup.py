@@ -20,9 +20,4 @@ setup(
         "test": ["pytest"],
         "chem": ["rdkit"],
     },
-    entry_points={
-        "console_scripts": [
-            "rad-tpu-server=scripts.start_hnsw_server:main",
-        ],
-    },
 )
