@@ -263,6 +263,40 @@ def test_device_matches_host_engine_order(setup):
     assert [m[0] for m in host_mols] == [m[0] for m in dev_mols]
 
 
+def test_single_layer_graph_traversal():
+    """Degenerate graph where every node is on layer 0 (possible at small N
+    or unlucky level sampling): prime seeds layer 0 directly."""
+    import dataclasses as dc
+
+    from rad_tpu.graph.storage import HNSWGraph
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    fps = random_fingerprints(40, n_bits=64, density=0.3, seed=51)
+    from rad_tpu.build.reference import build_hnsw
+    g = build_hnsw(fps, connectivity=4, expansion_add=16, seed=0)
+    if g.max_level != 0:
+        # force a single-layer view of the same library
+        g = HNSWGraph(packed=g.packed, popcounts=g.popcounts, keys=g.keys,
+                      levels=np.zeros(len(g), np.int32),
+                      neighbors=(np.asarray(g.neighbors[0]),),
+                      ndim=g.ndim, connectivity=g.connectivity)
+    assert g.max_level == 0
+    store = InMemorySmilesStore({int(k): f"S_{int(k)}"
+                                 for k in np.asarray(g.keys)})
+    table = {int(k): float(i)
+             for i, k in enumerate(np.asarray(g.keys))}
+    tr = DeviceTraverser(g, lambda s: table[int(s.split("_")[1])], store,
+                         batch_size=4, frontier_capacity=1 << 10,
+                         n_score_threads=1)
+    n_top = tr.prime()
+    assert n_top == len(g)  # the whole library is the "top layer"
+    stats = tr.traverse(n_to_score=10**9, timeout=60)
+    assert stats["termination_reason"] == "queue_empty"
+    ids = [m[0] for m in tr.get_molecules()]
+    assert len(ids) == len(set(ids)) == len(g)
+    tr.shutdown()
+
+
 def test_device_prime_required(setup):
     graph, store, scoring_fn, _ = setup
     tr = DeviceTraverser(graph, scoring_fn, store)
