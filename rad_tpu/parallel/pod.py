@@ -127,8 +127,7 @@ class PodTraverser:
         return int(self.state.n_scored)
 
     def get_molecules(self, n: int | None = None) -> List[Tuple[int, float]]:
-        count = self.n_scored
-        ids = np.asarray(self.state.order_log)[:count]
+        ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
         scores = np.asarray(self.state.scores)[ids]

@@ -357,7 +357,10 @@ def integrate_impl(
                                 jnp.ones_like(ts_ok))
     k = to_score.shape[0]
     pos_in_batch = jnp.cumsum(fresh.astype(jnp.int32)) - 1
-    log_pos = jnp.where(fresh, state.n_scored + pos_in_batch, cap)
+    # ring semantics: past capacity the log keeps the most recent `cap`
+    # entries (a billion-run log can be drained periodically by the driver)
+    log_pos = jnp.where(fresh,
+                        (state.n_scored + pos_in_batch) % cap, cap)
     order_log = state.order_log.at[log_pos].set(to_score, mode="drop")
     n_new = jnp.sum(fresh).astype(jnp.int32)
     n_scored = state.n_scored + n_new
@@ -482,8 +485,8 @@ def prime(
     scores = state.scores.at[idx].set(node_scores, mode="drop")
     scored = state.scored.at[idx].set(True, mode="drop")
     k = node_ids.shape[0]
-    log_pos = jnp.where(ok, state.n_scored + jnp.arange(k, dtype=jnp.int32),
-                        cap)
+    log_pos = jnp.where(
+        ok, (state.n_scored + jnp.arange(k, dtype=jnp.int32)) % cap, cap)
     order_log = state.order_log.at[log_pos].set(node_ids, mode="drop")
     n_scored = state.n_scored + jnp.sum(ok).astype(jnp.int32)
 
@@ -655,6 +658,22 @@ def load_state(path: str) -> TraversalState:
         f.name: jnp.asarray(data[f.name])
         for f in dataclasses.fields(TraversalState)
     })
+
+
+def read_order_log(state: TraversalState) -> np.ndarray:
+    """Scored node ids in traversal order (host-side).
+
+    Below capacity this is the complete insertion order; past capacity the
+    log is a ring and only the most recent ``cap`` ids are available — the
+    returned array is then those, oldest first.
+    """
+    cap = state.order_log.shape[0]
+    n = int(state.n_scored)
+    log = np.asarray(state.order_log)
+    if n <= cap:
+        return log[:n]
+    head = n % cap
+    return np.concatenate([log[head:], log[:head]])
 
 
 def frontier_live(state: TraversalState) -> jnp.ndarray:

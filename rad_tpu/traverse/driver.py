@@ -240,8 +240,7 @@ class DeviceTraverser:
     def get_molecules(self, n: int | None = None) -> List[Tuple[int, float, str]]:
         """(node_id, score, smiles) in traversal order (parity with
         rad/scored.py:63-85)."""
-        count = self.n_scored
-        ids = np.asarray(self.state.order_log)[:count]
+        ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
         scores = np.asarray(self.state.scores)[ids]

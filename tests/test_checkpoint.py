@@ -70,6 +70,25 @@ def test_checkpoint_rejects_wrong_graph(tmp_path):
     t2.shutdown()
 
 
+def test_order_log_ring_keeps_most_recent(tmp_path):
+    """Past log capacity the ring keeps the newest entries, oldest first."""
+    from rad_tpu.traverse import device as dev
+
+    graph, store, fn = _setup()
+    t = DeviceTraverser(graph, fn, store, batch_size=4,
+                        frontier_capacity=1 << 12, log_capacity=16,
+                        n_score_threads=1)
+    t.prime()
+    t.traverse(n_to_score=10**9, timeout=60)
+    assert t.n_scored > 16
+    log = dev.read_order_log(t.state)
+    assert len(log) == 16
+    ids = [m[0] for m in t.get_molecules()]
+    assert ids == log.tolist()
+    assert len(set(ids)) == 16
+    t.shutdown()
+
+
 def test_timer_sections():
     t = Timer()
     with t.section("a"):
