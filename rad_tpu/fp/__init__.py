@@ -31,4 +31,15 @@ __all__ = [
     "tanimoto_distance",
     "tanimoto_matrix",
     "bruteforce_topk",
+    "tanimoto_matrix_pallas",
+    "tanimoto_nn_pallas",
 ]
+
+
+def __getattr__(name):
+    # pallas kernels import lazily (they pull in pallas machinery)
+    if name in ("tanimoto_matrix_pallas", "tanimoto_nn_pallas"):
+        from rad_tpu.fp import kernels
+
+        return getattr(kernels, name)
+    raise AttributeError(f"module 'rad_tpu.fp' has no attribute {name!r}")
