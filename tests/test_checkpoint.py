@@ -98,3 +98,23 @@ def test_timer_sections():
     s = t.stats()
     assert s["a"]["count"] == 2
     assert s["a"]["total_seconds"] >= 0
+
+
+def test_profile_trace_writes_dump(tmp_path):
+    import jax.numpy as jnp
+
+    from rad_tpu.utils import profile_trace
+
+    logdir = str(tmp_path / "trace")
+    with profile_trace(logdir):
+        (jnp.arange(1024.0) * 2).block_until_ready()
+    import os
+    found = [f for _, _, fs in os.walk(logdir) for f in fs]
+    assert found, "profiler produced no trace files"
+
+
+def test_global_mesh_helper():
+    from rad_tpu.parallel.multihost import global_mesh
+
+    mesh = global_mesh(("graph",))
+    assert mesh.shape["graph"] == 8
