@@ -32,10 +32,11 @@ batches and static shapes:
 
 Builds are deterministic given (fingerprints, seed, batch_size).
 
-Memory note: the beam's visited set is a per-node [B, N] bool — fine for
-host-built 10^5-10^6 libraries per batch sizing; billion-scale construction
-shards over the pod (per-shard sub-graphs + stitch, planned in
-rad_tpu.parallel).
+Memory note: the beam's visited set is a per-node fixed-capacity id hash
+table [B, H] (rad_tpu.search.visited) with H set by expansion_add — batch
+memory is independent of library size, so device builds scale to HBM-sized
+libraries; billion-scale construction shards over the pod (per-shard
+sub-graphs + stitch, rad_tpu.parallel).
 """
 
 from __future__ import annotations
@@ -81,9 +82,20 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
     (inactive rows keep their seeds). Returns (beam_d, beam_id) [B, ef]
     ascending. Candidates with id >= prefix_limit (not yet inserted) are
     invisible.
+
+    The visited set is a per-node fixed-capacity id hash table
+    (rad_tpu.search.visited): [B, H] with H independent of N, so batch
+    memory no longer scales as B·N. A beam-membership mask keeps results
+    exact if a (rare) hash insert fails; a generous iteration cap bounds
+    tie-churn.
     """
+    from rad_tpu.search.visited import (hashset_check_insert_batch,
+                                        visited_capacity_for)
+
     b, s = ep_ids.shape
     m_l = adj_l.shape[1]
+    h = visited_capacity_for(ef, m_l, n)
+    max_iters = 16 * ef + 256
 
     beam_d = jnp.full((b, ef), INF).at[:, :s].set(
         jnp.where(active[:, None], ep_ds, INF))
@@ -92,19 +104,15 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
     # sort seeds ascending
     beam_d, beam_id = jax.lax.sort((beam_d, beam_id), num_keys=1)
     expanded = ~jnp.isfinite(beam_d)
-    visited = jnp.zeros((b, n), jnp.bool_)
-    # sentinel-index scatter: invalid slots (-1) map out of range and drop —
-    # never clamp to a real column, or duplicate-index writes can clear bits
-    visited = visited.at[
-        jnp.arange(b)[:, None],
-        jnp.where(beam_id >= 0, beam_id, n)].set(True, mode="drop")
+    visited = jnp.full((b, h), -1, jnp.int32)
+    visited, _ = hashset_check_insert_batch(visited, beam_id, beam_id >= 0)
 
     def cond(c):
-        beam_d, beam_id, expanded, visited = c
-        return jnp.any(~expanded & jnp.isfinite(beam_d))
+        beam_d, beam_id, expanded, visited, it = c
+        return jnp.any(~expanded & jnp.isfinite(beam_d)) & (it < max_iters)
 
     def body(c):
-        beam_d, beam_id, expanded, visited = c
+        beam_d, beam_id, expanded, visited, it = c
         sel = jnp.argmin(jnp.where(expanded, INF, beam_d), axis=1)   # [B]
         rowsel = jnp.arange(b)
         has_work = ~expanded[rowsel, sel] & jnp.isfinite(beam_d[rowsel, sel])
@@ -113,11 +121,10 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
         nbrs = adj_l[u]                                              # [B, M_l]
         valid = (nbrs >= 0) & (nbrs < prefix_limit[:, None]) \
             & has_work[:, None]
-        seen = visited[jnp.arange(b)[:, None], jnp.maximum(nbrs, 0)]
+        in_beam = jnp.any(nbrs[:, :, None] == beam_id[:, None, :], axis=2)
+        valid = valid & ~in_beam
+        visited, seen = hashset_check_insert_batch(visited, nbrs, valid)
         valid = valid & ~seen
-        visited = visited.at[
-            jnp.arange(b)[:, None],
-            jnp.where(valid, nbrs, n)].set(True, mode="drop")
         d_n = _dist_rows(packed, pops, q_ids, nbrs, valid)
         all_d = jnp.concatenate([beam_d, d_n], axis=1)
         all_i = jnp.concatenate([beam_id, jnp.where(valid, nbrs, -1)],
@@ -125,10 +132,10 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
         all_e = jnp.concatenate(
             [expanded, jnp.zeros((b, m_l), jnp.bool_)], axis=1)
         sd, si, se = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-        return sd[:, :ef], si[:, :ef], se[:, :ef], visited
+        return sd[:, :ef], si[:, :ef], se[:, :ef], visited, it + 1
 
-    beam_d, beam_id, expanded, visited = jax.lax.while_loop(
-        cond, body, (beam_d, beam_id, expanded, visited))
+    beam_d, beam_id, expanded, visited, _ = jax.lax.while_loop(
+        cond, body, (beam_d, beam_id, expanded, visited, jnp.int32(0)))
     return beam_d, beam_id
 
 

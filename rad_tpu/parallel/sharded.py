@@ -490,19 +490,29 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             ep, d_ep, _ = jax.lax.while_loop(
                 cond, body, (ep, d_ep, jnp.ones((b,), jnp.bool_)))
 
-        # layer-0 beam, batched across queries
+        # layer-0 beam, batched across queries; visited is a bounded id
+        # hash table [B, H] (H independent of N — rad_tpu.search.visited),
+        # replicated across shards: its ops are order-independent
+        # (max-combine scatter), so every shard computes identical tables.
+        from rad_tpu.search.visited import (hashset_check_insert_batch,
+                                            visited_capacity_for)
+
+        h = visited_capacity_for(ef, m0, n)
+        max_iters = 16 * ef + 256
         beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(d_ep)
         beam_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(ep)
         expanded = jnp.zeros((b, ef), jnp.bool_)
-        visited = jnp.zeros((b, n), jnp.bool_)
-        visited = visited.at[jnp.arange(b), jnp.maximum(ep, 0)].set(True)
+        visited, _ = hashset_check_insert_batch(
+            jnp.full((b, h), -1, jnp.int32), ep[:, None],
+            jnp.ones((b, 1), jnp.bool_))
 
         def bcond(c):
-            beam_d, beam_id, expanded, visited = c
-            return jnp.any(~expanded & jnp.isfinite(beam_d))
+            beam_d, beam_id, expanded, visited, it = c
+            return jnp.any(~expanded & jnp.isfinite(beam_d)) \
+                & (it < max_iters)
 
         def bbody(c):
-            beam_d, beam_id, expanded, visited = c
+            beam_d, beam_id, expanded, visited, it = c
             sel = jnp.argmin(jnp.where(expanded, jnp.inf, beam_d), axis=1)
             rowsel = jnp.arange(b)
             has_work = ~expanded[rowsel, sel] \
@@ -511,11 +521,11 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             u = jnp.maximum(beam_id[rowsel, sel], 0)
             nbrs = gather_adj_rows(u)                      # layer-0 rows
             valid = (nbrs >= 0) & has_work[:, None]
-            seen = visited[rowsel[:, None], jnp.maximum(nbrs, 0)]
+            in_beam = jnp.any(
+                nbrs[:, :, None] == beam_id[:, None, :], axis=2)
+            valid = valid & ~in_beam
+            visited, seen = hashset_check_insert_batch(visited, nbrs, valid)
             valid = valid & ~seen
-            visited = visited.at[
-                rowsel[:, None], jnp.where(valid, nbrs, n)].set(
-                True, mode="drop")
             d_n = dist_to(nbrs, valid)
             all_d = jnp.concatenate([beam_d, d_n], axis=1)
             all_i = jnp.concatenate(
@@ -523,10 +533,11 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             all_e = jnp.concatenate(
                 [expanded, jnp.zeros((b, m0), jnp.bool_)], axis=1)
             sd, si, se = jax.lax.sort((all_d, all_i, all_e), num_keys=1)
-            return sd[:, :ef], si[:, :ef], se[:, :ef], visited
+            return sd[:, :ef], si[:, :ef], se[:, :ef], visited, it + 1
 
-        beam_d, beam_id, expanded, visited = jax.lax.while_loop(
-            bcond, bbody, (beam_d, beam_id, expanded, visited))
+        beam_d, beam_id, expanded, visited, _ = jax.lax.while_loop(
+            bcond, bbody,
+            (beam_d, beam_id, expanded, visited, jnp.int32(0)))
         return beam_d[:, :k], beam_id[:, :k]
 
     mapped = jax.shard_map(

@@ -8,11 +8,16 @@ shapes (`lax.while_loop` + masked top-k merges), so XLA can pipeline the
 gathers and the VPU popcount distance.
 
 Beam state per query: ``(beam_d [ef], beam_id [ef], expanded [ef])`` plus a
-``[N] bool`` visited map. The loop pops the best unexpanded beam entry,
-gathers its ≤M0 neighbors, computes packed Tanimoto distances, and merges
-into the beam with one sort — converging when every beam slot is expanded
-(the parallel-friendly equivalent of the candidate-heap termination in the
-sequential algorithm; oracle: rad_tpu.build.reference.search_hnsw).
+fixed-capacity visited id hash table (rad_tpu.search.visited) — ``[H]``
+per query with H independent of N, so batched search memory no longer
+scales as B·N bools. Membership tests compare full ids (no false
+positives); a failed insert only allows a revisit, which a beam-membership
+mask and the merge's monotone eviction make harmless. The loop pops the
+best unexpanded beam entry, gathers its ≤M0 neighbors, computes packed
+Tanimoto distances, and merges into the beam with one sort — converging
+when every beam slot is expanded (the parallel-friendly equivalent of the
+candidate-heap termination in the sequential algorithm; oracle:
+rad_tpu.build.reference.search_hnsw).
 """
 
 from __future__ import annotations
@@ -25,6 +30,8 @@ import numpy as np
 
 from rad_tpu.fp.pack import popcount, popcount_rows
 from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.search.visited import (hashset_check_insert, hashset_init,
+                                    visited_capacity_for)
 from rad_tpu.traverse.device import prepare_device_graph
 
 __all__ = ["search_device", "search_device_jit"]
@@ -41,7 +48,8 @@ def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
     return jnp.where(valid, d, jnp.inf)
 
 
-@partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width"))
+@partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width",
+                                   "visited_capacity"))
 def search_device_jit(
     packed: jnp.ndarray,
     pops: jnp.ndarray,
@@ -52,6 +60,7 @@ def search_device_jit(
     ef: int,
     max_level: int,
     expand_width: int = 4,
+    visited_capacity: int | None = None,
 ):
     """Batched search. Returns ``(dists [B, k], node_ids [B, k])``.
 
@@ -60,10 +69,21 @@ def search_device_jit(
     distance batches, at slightly more distance evals than strictly
     best-first expansion (recall is unaffected: expansion *order* within a
     converged beam does not change the converged set).
+
+    ``visited_capacity``: per-query visited hash table size (power of two);
+    defaults to ~4× the expected visit count. Memory is B·H·4 bytes,
+    independent of library size.
     """
     n = packed.shape[0]
     m0 = adj.shape[1]
     e = expand_width
+    if visited_capacity is None:
+        visited_capacity = visited_capacity_for(ef, m0, n)
+    # tie-churn safety net: re-encounters of tied-distance evicted nodes are
+    # possible only after a (rare) hash-insert failure; a generous iteration
+    # cap bounds them without ever truncating a normal search (which
+    # converges in ≈ a few × ef/E iterations).
+    max_iters = (16 * ef) // max(e, 1) + 256
     q_pops = popcount_rows(queries)
 
     def one_query(q, q_pop):
@@ -105,14 +125,17 @@ def search_device_jit(
         beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(d_ep)
         beam_id = jnp.full((ef,), -1, jnp.int32).at[0].set(ep)
         expanded = jnp.zeros((ef,), jnp.bool_)
-        visited = jnp.zeros((n,), jnp.bool_).at[ep].set(True)
+        visited, _ = hashset_check_insert(
+            hashset_init(visited_capacity), ep[None],
+            jnp.ones((1,), jnp.bool_))
 
         def cond(c):
-            beam_d, beam_id, expanded, visited = c
-            return jnp.any(~expanded & jnp.isfinite(beam_d))
+            beam_d, beam_id, expanded, visited, it = c
+            return jnp.any(~expanded & jnp.isfinite(beam_d)) \
+                & (it < max_iters)
 
         def body(c):
-            beam_d, beam_id, expanded, visited = c
+            beam_d, beam_id, expanded, visited, it = c
             # take the E best unexpanded entries this iteration
             neg, sel = jax.lax.top_k(
                 jnp.where(expanded, -jnp.inf, -beam_d), e)
@@ -122,8 +145,10 @@ def search_device_jit(
             u = jnp.maximum(beam_id[sel], 0)               # [E]
             rows = adj[u].reshape(-1)                      # [E*M0]
             valid = (rows >= 0) & jnp.repeat(has_work, m0)
-            seen = visited[jnp.maximum(rows, 0)]
-            valid = valid & ~seen
+            # beam-membership mask: exact duplicate prevention independent
+            # of the (capacity-bounded) visited table
+            in_beam = jnp.any(rows[:, None] == beam_id[None, :], axis=1)
+            valid = valid & ~in_beam
             # intra-iteration dedup: the same node may appear in two
             # expanded rows; keep the first occurrence
             key = jnp.where(valid, rows, n)
@@ -134,37 +159,36 @@ def search_device_jit(
             first = jnp.zeros((e * m0,), jnp.bool_).at[perm].set(
                 first_sorted)
             valid = valid & first
-            visited = visited.at[jnp.where(valid, rows, n)].set(
-                True, mode="drop")
+            visited, seen = hashset_check_insert(visited, rows, valid)
+            valid = valid & ~seen
             d_n = _query_dist(q, q_pop, packed, pops, rows, valid)
             all_d = jnp.concatenate([beam_d, d_n])
             all_id = jnp.concatenate([beam_id, jnp.where(valid, rows, -1)])
             all_e = jnp.concatenate([expanded,
                                      jnp.zeros((e * m0,), jnp.bool_)])
             sd, sid, se = jax.lax.sort((all_d, all_id, all_e), num_keys=1)
-            return sd[:ef], sid[:ef], se[:ef], visited
+            return sd[:ef], sid[:ef], se[:ef], visited, it + 1
 
-        beam_d, beam_id, expanded, visited = jax.lax.while_loop(
-            cond, body, (beam_d, beam_id, expanded, visited))
+        beam_d, beam_id, expanded, visited, _ = jax.lax.while_loop(
+            cond, body,
+            (beam_d, beam_id, expanded, visited, jnp.int32(0)))
         return beam_d[:k], beam_id[:k]
 
     return jax.vmap(one_query)(queries, q_pops)
 
 
-# cache of per-graph device arrays (adj/offsets) keyed by graph identity
-_PREP_CACHE: dict = {}
-
-
 def _prep(graph: HNSWGraph):
-    key = id(graph)
-    if key not in _PREP_CACHE:
+    """Per-graph device arrays (adj/offsets), cached ON the graph object so
+    the cache entry dies with the graph (no id()-reuse aliasing and no
+    pinned device memory for dead graphs)."""
+    prep = getattr(graph, "_device_prep", None)
+    if prep is None:
         dg = prepare_device_graph(graph)
         packed = jnp.asarray(np.asarray(graph.packed))
         pops = jnp.asarray(np.asarray(graph.popcounts))
-        _PREP_CACHE[key] = (dg, packed, pops)
-        if len(_PREP_CACHE) > 8:
-            _PREP_CACHE.pop(next(iter(_PREP_CACHE)))
-    return _PREP_CACHE[key]
+        prep = (dg, packed, pops)
+        graph._device_prep = prep
+    return prep
 
 
 def search_device(
@@ -174,24 +198,26 @@ def search_device(
     expansion_search: int = 64,
     expand_width: int = 4,
     chunk_size: int | None = None,
+    visited_capacity: int | None = None,
 ):
     """Search a built graph: ``(dists [B, k], node_ids [B, k])``.
 
-    ``chunk_size`` bounds the per-query visited memory (B·N bytes): query
-    batches larger than it are processed in equal chunks through the same
-    compiled program. Defaults to capping visited at ~512 MB.
+    Query batches larger than ``chunk_size`` are processed in equal chunks
+    through one compiled program (bounds compile size and the B·H visited
+    tables; per-query memory is independent of library size).
     """
     dg, packed, pops = _prep(graph)
     queries = np.atleast_2d(np.asarray(queries, np.uint32))
     ef = max(expansion_search, k)
     b = queries.shape[0]
     if chunk_size is None:
-        chunk_size = max(1, min(b, (512 << 20) // max(len(graph), 1)))
+        chunk_size = max(1, min(b, 4096))
     if b <= chunk_size:
         return search_device_jit(packed, pops, dg.adj, dg.offsets,
                                  jnp.asarray(queries), k=k, ef=ef,
                                  max_level=dg.max_level,
-                                 expand_width=expand_width)
+                                 expand_width=expand_width,
+                                 visited_capacity=visited_capacity)
     # pad to a multiple of chunk_size so every chunk reuses one compile
     pad = (-b) % chunk_size
     if pad:
@@ -202,7 +228,8 @@ def search_device(
         d, i = search_device_jit(
             packed, pops, dg.adj, dg.offsets,
             jnp.asarray(queries[lo:lo + chunk_size]), k=k, ef=ef,
-            max_level=dg.max_level, expand_width=expand_width)
+            max_level=dg.max_level, expand_width=expand_width,
+            visited_capacity=visited_capacity)
         outs_d.append(np.asarray(d))
         outs_i.append(np.asarray(i))
     d = np.concatenate(outs_d)[:b]
