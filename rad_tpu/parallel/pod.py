@@ -3,29 +3,45 @@
 User-facing driver for BASELINE config 5 (billion-scale graph sharded over
 a pod): same prime/traverse/get_best_molecules surface as the single-chip
 engine, with fingerprints + adjacency row-sharded across the mesh and the
-traversal state replicated. Scoring runs on-device (similarity-to-target or
-any jittable surrogate); for host scoring functions combine the sharded
-*graph* with the host driver via per-step expansion instead.
+traversal state replicated (or row-sharded too, ``shard_state=True``).
+
+Two scoring modes:
+
+* **on-device** (``target_packed`` / jittable ``scorer``): the whole step
+  fuses into one sharded program — similarity-to-target or an ML surrogate
+  (the Chemprop-style capability, reference README.md:206).
+* **host** (``scoring_fn``): the real RAD use case — an external docking
+  program scoring SMILES on the host (reference
+  rad/distributed_worker.py:296-308) while the *graph lives across the
+  pod*. The step splits at the scoring boundary
+  (rad_tpu.parallel.sharded.make_sharded_expand_integrate); the pipelined
+  loop overlaps host scoring of batch k with sharded expansion of batch
+  k+1 (the reference's prefetch-proxy overlap,
+  rad/coordination_service.py:314-347). The scored set is bit-identical to
+  the single-device host driver at pipeline_depth=1.
 """
 
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from rad_tpu.graph.storage import HNSWGraph
 from rad_tpu.parallel.mesh import make_mesh
-from rad_tpu.parallel.sharded import ShardedGraph, make_sharded_step, \
-    shard_graph
+from rad_tpu.parallel.sharded import (ShardedGraph, init_state_sharded,
+                                      make_sharded_expand_integrate,
+                                      make_sharded_step,
+                                      make_sharded_step_full, shard_graph)
 from rad_tpu.traverse import device as dev
+from rad_tpu.traverse.pipeline import HostScoringBridge, pipelined_traverse
 
 __all__ = ["PodTraverser"]
 
 
-def dataclasses_replace_padded(sg: ShardedGraph):
+def _padded_device_graph(sg: ShardedGraph):
     """DeviceGraph view with padded sizes (sentinels outside every shard)."""
     from rad_tpu.traverse.device import DeviceGraph
 
@@ -34,19 +50,26 @@ def dataclasses_replace_padded(sg: ShardedGraph):
                        m0=sg.m0, max_level=sg.max_level)
 
 
+# back-compat alias (pre-round-2 name)
+dataclasses_replace_padded = _padded_device_graph
+
+
 class PodTraverser:
     """Best-first traversal with the graph sharded over a device mesh.
 
-    ``target_packed``: the on-device scorer's target fingerprint (default
-    scorer = Tanimoto distance to it; lower = better). Pass any jittable
-    ``scorer(fp_rows, pop_rows, target_packed, target_pop) -> scores`` (an
-    ML surrogate, a pharmacophore model) to replace it.
+    Exactly one of:
+      ``target_packed`` — on-device scorer target (default scorer =
+      Tanimoto distance to it; lower = better; override with any jittable
+      ``scorer(fp_rows, pop_rows, target_packed, target_pop) -> scores``);
+      ``scoring_fn`` — host SMILES → float function (docking program);
+      combine with ``smiles_store`` for key→SMILES lookup and
+      ``pipeline_depth`` in :meth:`traverse` to hide host latency.
     """
 
     def __init__(
         self,
         graph: HNSWGraph,
-        target_packed: np.ndarray,
+        target_packed: np.ndarray | None = None,
         mesh=None,
         n_devices: int | None = None,
         batch_size: int = 64,
@@ -55,52 +78,92 @@ class PodTraverser:
         buffer_capacity: int = 1 << 15,
         scorer=None,
         shard_state: bool = False,
+        scoring_fn: Optional[Callable[[str], float]] = None,
+        smiles_store=None,
+        n_score_threads: int = 8,
+        failed_score: float = float("inf"),
     ) -> None:
+        if (target_packed is None) == (scoring_fn is None):
+            raise ValueError(
+                "provide exactly one of target_packed (on-device scoring; "
+                "optionally with a custom jittable `scorer`) or scoring_fn "
+                "(host scoring)")
         self.graph = graph
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_names=("graph",))
         self.sg: ShardedGraph = shard_graph(graph, self.mesh)
         self.batch_size = batch_size
+        self.shard_state = shard_state
+        self.stats = {"steps": 0}
+        self._host_mode = scoring_fn is not None
+        self._bridge = None
+
         if shard_state:
             # billion-scale layout: scored/scores/enqueued row-sharded too
-            from rad_tpu.parallel.sharded import (init_state_sharded,
-                                                  make_sharded_step_full)
-            self.dg = dataclasses_replace_padded(self.sg)
-            self._step = make_sharded_step_full(self.sg, self.mesh,
-                                                batch_size, scorer=scorer)
+            self.dg = _padded_device_graph(self.sg)
             self.state = init_state_sharded(
                 self.sg, self.mesh, frontier_capacity,
                 log_capacity if log_capacity is not None else len(graph),
                 buffer_capacity)
         else:
             self.dg = self.sg.device_graph()
-            self._step = make_sharded_step(self.sg, self.mesh, batch_size,
-                                           scorer=scorer)
             self.state = dev.init_state(self.dg, frontier_capacity,
                                         log_capacity, buffer_capacity)
-        t = jnp.asarray(np.asarray(target_packed, np.uint32))
-        from rad_tpu.fp.pack import popcount_rows
-        self._target = t
-        self._target_pop = popcount_rows(t[None, :])[0]
+
+        if self._host_mode:
+            self._bridge = HostScoringBridge(
+                np.asarray(graph.keys), scoring_fn,
+                smiles_store=smiles_store,
+                n_score_threads=n_score_threads,
+                failed_score=failed_score, stats=self.stats)
+            self._expand, self._integrate = make_sharded_expand_integrate(
+                self.sg, self.mesh, batch_size, shard_state=shard_state)
+            self._target = None
+            self._target_pop = None
+        else:
+            step_factory = (make_sharded_step_full if shard_state
+                            else make_sharded_step)
+            self._step = step_factory(self.sg, self.mesh, batch_size,
+                                      scorer=scorer)
+            t = jnp.asarray(np.asarray(target_packed, np.uint32))
+            from rad_tpu.fp.pack import popcount_rows
+            self._target = t
+            self._target_pop = popcount_rows(t[None, :])[0]
         self._primed = False
-        self.stats = {"steps": 0}
 
     def prime(self) -> int:
-        from rad_tpu.fp.tanimoto import tanimoto_matrix
+        """Score every top-layer node and seed the frontier (reference
+        rad/traverser.py:128-176)."""
         n_top = self.graph.layer_sizes[self.graph.max_level]
         ids = jnp.arange(n_top, dtype=jnp.int32)
-        packed_top = jnp.asarray(np.asarray(self.graph.packed)[:n_top])
-        seed_scores = tanimoto_matrix(self._target[None, :], packed_top)[0]
+        if self._host_mode:
+            smiles = self._bridge.smiles_for_ids(np.arange(n_top))
+            seed_scores = jnp.asarray(self._bridge.score_smiles(smiles))
+        else:
+            from rad_tpu.fp.tanimoto import tanimoto_matrix
+            packed_top = jnp.asarray(np.asarray(self.graph.packed)[:n_top])
+            seed_scores = tanimoto_matrix(self._target[None, :],
+                                          packed_top)[0]
         self.state = dev.prime(self.state, self.dg, ids, seed_scores)
         self._primed = True
         return n_top
 
     def traverse(self, n_to_score: Optional[int] = None,
-                 timeout: Optional[float] = None) -> dict:
+                 timeout: Optional[float] = None,
+                 pipeline_depth: int = 1) -> dict:
         if not self._primed:
             raise RuntimeError("prime() must be called before traverse()")
         if n_to_score is None and timeout is None:
             raise ValueError("provide n_to_score and/or timeout")
+        if self._host_mode:
+            self.state, _ = pipelined_traverse(
+                self.state, self._expand, self._integrate,
+                self._bridge.score_batch,
+                n_scored_of=lambda st: int(st.n_scored),
+                n_to_score=n_to_score, timeout=timeout,
+                pipeline_depth=pipeline_depth, stats=self.stats)
+            return dict(self.stats, n_scored=self.n_scored)
+
         start = time.monotonic()
         reason = None
         while True:
@@ -122,15 +185,25 @@ class PodTraverser:
                           n_scored=int(self.state.n_scored))
         return dict(self.stats)
 
+    def shutdown(self) -> None:
+        if self._bridge is not None:
+            self._bridge.shutdown()
+
     @property
     def n_scored(self) -> int:
         return int(self.state.n_scored)
 
-    def get_molecules(self, n: int | None = None) -> List[Tuple[int, float]]:
+    def get_molecules(self, n: int | None = None) -> List[Tuple]:
+        """(node_id, score[, smiles]) in traversal order; SMILES included
+        in host mode (parity with rad/scored.py:63-85)."""
         ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
         scores = np.asarray(self.state.scores)[ids]
+        if self._host_mode:
+            smiles = self._bridge.smiles_for_ids(ids) if len(ids) else []
+            return [(int(i), float(s), sm)
+                    for i, s, sm in zip(ids, scores, smiles)]
         return [(int(i), float(s)) for i, s in zip(ids, scores)]
 
     def get_best_molecules(self, n: int | None = None):

@@ -47,6 +47,10 @@ __all__ = [
     "sharded_bruteforce_topk",
     "sharded_fused_step",
     "make_sharded_step",
+    "make_sharded_step_full",
+    "make_sharded_expand_integrate",
+    "make_sharded_search",
+    "init_state_sharded",
 ]
 
 
@@ -405,6 +409,105 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
                       target_packed, target_pop)
 
     return step
+
+
+_OUT_KEYS = ("exp_node", "exp_level", "exp_score", "exp_valid", "cand",
+             "to_score")
+
+
+def make_sharded_expand_integrate(sg: ShardedGraph, mesh: Mesh, batch: int,
+                                  shard_state: bool = False):
+    """The pod engine split at the scoring boundary: ``(expand, integrate)``.
+
+    This is what lets a *host* scoring function (an external docking
+    program, the reference's entire reason to exist —
+    rad/distributed_worker.py:296-308) drive a graph no single chip holds:
+    ``expand`` pops the replicated frontier, gathers adjacency rows from
+    their owning shards over ICI, and returns the unscored candidate ids to
+    the host; ``integrate`` writes the host's scores back and completes the
+    step. Both compile once per shape; all ``expand`` outputs are replicated
+    (derived from replicated state + psum'd gathers), so the host reads one
+    logical array.
+
+    ``shard_state=True`` additionally row-shards scored/scores/enqueued
+    (create the state with :func:`init_state_sharded`) — the layout for
+    billion-molecule libraries.
+
+        expand(state) -> (state, out)    out: dict of _OUT_KEYS arrays
+        integrate(state, out, new_scores [B*M0] f32) -> state
+
+    Drive with rad_tpu.traverse.pipeline.pipelined_traverse (the prefetch
+    overlap of rad/coordination_service.py:314-347).
+    """
+    axis = sg.axis
+    nd = mesh.shape[axis]
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+    if shard_state:
+        dg_meta = DeviceGraph(adj=jnp.zeros((1, 1), jnp.int32),
+                              offsets=sg.offsets, n_nodes=sg.n_pad_nodes,
+                              n_rows=sg.n_pad_rows, m0=sg.m0,
+                              max_level=sg.max_level)
+        ops = _ShardStateOps(axis, fp_shard, adj_shard)
+    else:
+        dg_meta = DeviceGraph(adj=jnp.zeros((1, 1), jnp.int32),
+                              offsets=sg.offsets, n_nodes=sg.n_nodes,
+                              n_rows=sg.n_rows, m0=sg.m0,
+                              max_level=sg.max_level)
+        from rad_tpu.traverse.device import DENSE_OPS
+        ops = DENSE_OPS
+
+    rep_spec = jax.tree_util.tree_map(lambda _: P(), _state_structure())
+    if shard_state:
+        state_spec = dataclasses.replace(
+            rep_spec, enqueued=P(axis), scored=P(axis), scores=P(axis))
+    else:
+        state_spec = rep_spec
+
+    def expand_body(state: TraversalState, adj_l, offsets):
+        dg = dataclasses.replace(dg_meta, offsets=offsets)
+
+        def gather_adj(rows):
+            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+
+        state, out = expand_impl(state, dg, batch, gather_adj=gather_adj,
+                                 ops=ops)
+        return state, tuple(out[k] for k in _OUT_KEYS)
+
+    expand_mapped = jax.shard_map(
+        expand_body, mesh=mesh,
+        in_specs=(state_spec, P(axis, None), P()),
+        out_specs=(state_spec, tuple(P() for _ in _OUT_KEYS)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def expand(state: TraversalState):
+        state, outs = expand_mapped(state, sg.adj, sg.offsets)
+        return state, dict(zip(_OUT_KEYS, outs))
+
+    def integrate_body(state: TraversalState, offsets, exp_node, exp_level,
+                       exp_score, exp_valid, cand, to_score, new_scores):
+        dg = dataclasses.replace(dg_meta, offsets=offsets)
+        return integrate_impl(state, dg, exp_node, exp_level, exp_score,
+                              exp_valid, cand, to_score, new_scores,
+                              ops=ops)
+
+    integrate_mapped = jax.shard_map(
+        integrate_body, mesh=mesh,
+        in_specs=(state_spec,) + tuple(P() for _ in range(8)),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def integrate(state: TraversalState, out: dict, new_scores):
+        return integrate_mapped(state, sg.offsets, out["exp_node"],
+                                out["exp_level"], out["exp_score"],
+                                out["exp_valid"], out["cand"],
+                                out["to_score"], new_scores)
+
+    return expand, integrate
 
 
 def tanimoto_to_target_scorer(fp_rows, pop_rows, target_packed, target_pop):

@@ -84,12 +84,10 @@ class DeviceTraverser:
                 logger.exception("scoring_fn failed for %r", s)
                 return self.failed_score
 
-        t0 = time.perf_counter()
         if self._pool is not None and len(smiles) > 1:
             out = list(self._pool.map(one, smiles))
         else:
             out = [one(s) for s in smiles]
-        self.stats["scoring_time"] += time.perf_counter() - t0
         return np.asarray(out, dtype=np.float32)
 
     # ------------------------------------------------------------ lifecycle
@@ -100,7 +98,9 @@ class DeviceTraverser:
         ids = np.arange(n_top, dtype=np.int32)
         smiles = self._smiles_for_ids(ids)
         self._ensure_pool()
+        t0 = time.perf_counter()
         scores = self._score_smiles(smiles)
+        self.stats["scoring_time"] += time.perf_counter() - t0
         self.state = dev.prime(self.state, self.dg, ids, scores)
         self._primed = True
         return n_top
@@ -139,78 +139,23 @@ class DeviceTraverser:
         if not self._primed:
             raise RuntimeError("prime() must be called before traverse() "
                                "(reference raises the same way)")
-        if n_to_score is None and timeout is None:
-            raise ValueError("provide n_to_score and/or timeout")
         self._ensure_pool()
-        import collections
-        from concurrent.futures import ThreadPoolExecutor as _TPE
+        from rad_tpu.traverse.pipeline import pipelined_traverse
 
-        score_pool = _TPE(max_workers=max(pipeline_depth, 1),
-                          thread_name_prefix="rad-batch") \
-            if pipeline_depth > 1 else None
-        start = time.monotonic()
-        self.stats["started_at"] = start
-        reason = None
-        inflight = collections.deque()
-        try:
-            while True:
-                if timeout is not None and time.monotonic() - start > timeout:
-                    reason = "timeout"
-                    break
-                if n_to_score is not None and self.n_scored >= n_to_score:
-                    reason = "n_to_score"
-                    break
-                # fill the pipeline
-                expanded_empty = False
-                while len(inflight) < max(pipeline_depth, 1):
-                    t0 = time.perf_counter()
-                    self.state, out = dev.expand(self.state, self.dg,
-                                                 self.batch_size)
-                    to_score = np.asarray(out["to_score"])
-                    exp_valid = np.asarray(out["exp_valid"])
-                    self.stats["device_time"] += time.perf_counter() - t0
-                    if not exp_valid.any():
-                        expanded_empty = True
-                        break
-                    if score_pool is not None:
-                        fut = score_pool.submit(self._score_batch, to_score)
-                    else:
-                        fut = None
-                    inflight.append((out, to_score, fut))
-                if not inflight:
-                    if expanded_empty:
-                        reason = "queue_empty"
-                        break
-                    continue
-                out, to_score, fut = inflight.popleft()
-                new_scores = (fut.result() if fut is not None
-                              else self._score_batch(to_score))
-                t0 = time.perf_counter()
-                self.state = dev.integrate(
-                    self.state, self.dg,
-                    out["exp_node"], out["exp_level"], out["exp_score"],
-                    out["exp_valid"], out["cand"], out["to_score"],
-                    jax.numpy.asarray(new_scores),
-                )
-                self.stats["device_time"] += time.perf_counter() - t0
-                self.stats["steps"] += 1
-            # drain remaining in-flight batches so their pops aren't lost
-            while inflight:
-                out, to_score, fut = inflight.popleft()
-                new_scores = (fut.result() if fut is not None
-                              else self._score_batch(to_score))
-                self.state = dev.integrate(
-                    self.state, self.dg,
-                    out["exp_node"], out["exp_level"], out["exp_score"],
-                    out["exp_valid"], out["cand"], out["to_score"],
-                    jax.numpy.asarray(new_scores),
-                )
-                self.stats["steps"] += 1
-        finally:
-            if score_pool is not None:
-                score_pool.shutdown(wait=False)
-        self.stats["termination_reason"] = reason
-        self.stats["runtime_seconds"] = time.monotonic() - start
+        def expand(state):
+            return dev.expand(state, self.dg, self.batch_size)
+
+        def integrate(state, out, new_scores):
+            return dev.integrate(
+                state, self.dg,
+                out["exp_node"], out["exp_level"], out["exp_score"],
+                out["exp_valid"], out["cand"], out["to_score"], new_scores)
+
+        self.state, _ = pipelined_traverse(
+            self.state, expand, integrate, self._score_batch,
+            n_scored_of=lambda st: int(st.n_scored),
+            n_to_score=n_to_score, timeout=timeout,
+            pipeline_depth=pipeline_depth, stats=self.stats)
         return dict(self.stats, n_scored=self.n_scored)
 
     def shutdown(self) -> None:
