@@ -69,7 +69,21 @@ class HNSWIndex:
 
         ``vectors``: ``[N, ndim/32] uint32`` packed rows, or ``[N, ndim]``
         0/1 bits (auto-packed). ``keys``: int64 user keys (scalar or array).
+
+        Adding after a graph exists (usearch ``Index.add`` semantics,
+        reference README.md:58) is supported by *rebuild*: the existing
+        rows are folded into the pending set and the graph is reconstructed
+        on the next build()/query — O(N) per append batch, so batch appends
+        rather than adding one vector at a time. (usearch inserts
+        incrementally; static screening libraries make rebuild the simpler
+        trade here.)
         """
+        if self._graph is not None and not self._pending_fps:
+            # graph came from load()/from_graph(): seed the rebuild with its
+            # rows so an append never silently drops the loaded library
+            self._pending_fps.append(
+                np.ascontiguousarray(np.asarray(self._graph.packed)))
+            self._pending_keys.append(np.asarray(self._graph.keys))
         vectors = np.asarray(vectors)
         if vectors.ndim == 1:
             vectors = vectors[None, :]

@@ -35,6 +35,44 @@ import numpy as np
 __all__ = ["HNSWGraph", "LayerStats"]
 
 
+def _mmap_npz_members(path: str):
+    """Memory-map every member of an *uncompressed* .npz in place.
+
+    ``np.savez`` stores members with ZIP_STORED (no compression), so each
+    embedded .npy sits contiguously in the file: parse its header at the
+    zip-local offset and hand the data region to ``np.memmap``. Returns
+    ``{name: memmap}`` or None if the archive can't be mapped (compressed
+    members, unexpected layout, numpy internals changed) — callers fall
+    back to an eager load.
+    """
+    import zipfile
+
+    try:
+        arrays = {}
+        with zipfile.ZipFile(path) as z, open(path, "rb") as f:
+            for info in z.infolist():
+                if info.compress_type != zipfile.ZIP_STORED:
+                    return None
+                f.seek(info.header_offset)
+                hdr = f.read(30)
+                if hdr[:4] != b"PK\x03\x04":
+                    return None
+                name_len = int.from_bytes(hdr[26:28], "little")
+                extra_len = int.from_bytes(hdr[28:30], "little")
+                f.seek(info.header_offset + 30 + name_len + extra_len)
+                version = np.lib.format.read_magic(f)
+                shape, fortran, dtype = np.lib.format._read_array_header(
+                    f, version)
+                name = info.filename
+                name = name[:-4] if name.endswith(".npy") else name
+                arrays[name] = np.memmap(
+                    path, dtype=dtype, mode="r", offset=f.tell(),
+                    shape=shape, order="F" if fortran else "C")
+        return arrays
+    except Exception:
+        return None
+
+
 @dataclass
 class LayerStats:
     """Per-layer statistics (parity with usearch ``levels_stats``,
@@ -214,8 +252,13 @@ class HNSWGraph:
     def load(cls, path: str, mmap: bool = True) -> "HNSWGraph":
         """Load from ``.npz``. ``mmap=True`` memory-maps the arrays lazily —
         the analogue of usearch ``Index(path=…, view=True)``
-        (reference scripts/start_hnsw_server.py:69)."""
-        data = np.load(path, mmap_mode="r" if mmap else None)
+        (reference scripts/start_hnsw_server.py:69). ``np.load``'s own
+        mmap_mode is silently ignored for .npz archives, so the members are
+        mapped directly at their offsets inside the (uncompressed) zip;
+        falls back to an eager load if the archive layout is unexpected."""
+        data = (_mmap_npz_members(path) if mmap else None)
+        if data is None:
+            data = dict(np.load(path))
         meta = json.loads(bytes(data["meta_json"]).decode())
         neighbors = tuple(
             data[f"neighbors_{l}"] for l in range(meta["n_layers"])

@@ -32,11 +32,21 @@ _LIB_ERR: Optional[str] = None
 def _lib_path() -> str:
     with open(_SRC, "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
-    cache = os.environ.get("RAD_TPU_NATIVE_CACHE",
-                           os.path.join(tempfile.gettempdir(),
-                                        "rad_tpu_native"))
-    os.makedirs(cache, exist_ok=True)
+    # user-owned cache dir (0700), NOT the world-shared tmpdir: the digest
+    # is computable from public source, so a predictable world-writable
+    # path would let another local user pre-plant a library there
+    cache = os.environ.get("RAD_TPU_NATIVE_CACHE") or os.path.join(
+        os.path.expanduser("~"), ".cache", "rad_tpu")
+    os.makedirs(cache, mode=0o700, exist_ok=True)
     return os.path.join(cache, f"hnsw_builder_{digest}.so")
+
+
+def _owned_by_us(path: str) -> bool:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() if hasattr(os, "getuid") else True
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -44,9 +54,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _LIB_ERR is not None:
         return _LIB
     path = _lib_path()
+    if os.path.exists(path) and not _owned_by_us(path):
+        _LIB_ERR = f"cached library {path} not owned by this user"
+        logger.warning("native build unavailable: %s", _LIB_ERR)
+        return None
     if not os.path.exists(path):
+        # compile to a mkstemp-unique temp (no fixed .tmp name → no race
+        # between concurrent builds), then atomically publish
+        fd, tmp = tempfile.mkstemp(suffix=".so",
+                                   dir=os.path.dirname(path))
+        os.close(fd)
         base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                "-funroll-loops", "-o", path + ".tmp", _SRC]
+                "-funroll-loops", "-o", tmp, _SRC]
         # prefer native ISA (POPCNT/AVX2 for the distance loop); fall back
         # for cross-compilation or exotic hosts
         attempts = [base[:1] + ["-march=native"] + base[1:],
@@ -57,7 +76,7 @@ def _load() -> Optional[ctypes.CDLL]:
             try:
                 subprocess.run(cmd, check=True, capture_output=True,
                                text=True)
-                os.replace(path + ".tmp", path)
+                os.replace(tmp, path)
                 logger.info("compiled native builder -> %s (%s)", path,
                             cmd[1])
                 err = None
@@ -66,6 +85,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 err = getattr(e, "stderr", str(e)) or str(e)
         if err is not None:
             _LIB_ERR = err
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             logger.warning("native build unavailable: %s", _LIB_ERR)
             return None
     lib = ctypes.CDLL(path)

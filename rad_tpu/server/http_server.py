@@ -235,6 +235,15 @@ class HNSWServerApp:
     def _handle_coordination(self, method: str, path: str,
                              body: Optional[dict]) -> Tuple[int, dict]:
         coord = self.coordination
+        try:
+            return self._dispatch_coordination(coord, method, path, body)
+        except KeyError as e:
+            # missing required field in the POST body is the client's
+            # fault, not a server bug: 400, not 500
+            return 400, {"detail": f"missing field {e} in request body"}
+
+    def _dispatch_coordination(self, coord, method: str, path: str,
+                               body):
         body = body or {}
         if method == "POST" and path == "/coordination/register":
             wid = body.get("worker_id") or f"http-{uuid.uuid4().hex[:8]}"
@@ -334,7 +343,18 @@ def _make_handler(app: HNSWServerApp):
             self._respond("POST")
 
         def do_OPTIONS(self):  # noqa: N802
-            self._send(204, {}, str(uuid.uuid4()))
+            # RFC 9110: 204 carries NO content — a body would desync this
+            # keep-alive connection for the next request (CORS preflight)
+            self.send_response(204)
+            self.send_header("X-Request-ID", str(uuid.uuid4()))
+            self.send_header("Allow", "GET, POST, OPTIONS")
+            if app.enable_cors:
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Methods",
+                                 "GET, POST, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers",
+                                 "Authorization, Content-Type")
+            self.end_headers()
 
         def log_message(self, fmt, *args):  # route through logging
             logger.debug("%s - %s", self.address_string(), fmt % args)

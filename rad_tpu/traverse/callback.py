@@ -20,7 +20,9 @@ there (it only ever ships arrays, never callbacks).
 
 from __future__ import annotations
 
+import itertools
 import logging
+import threading
 from functools import partial
 from typing import Callable, Optional
 
@@ -70,7 +72,7 @@ def make_callback_scorer(
 
 
 @partial(jax.jit, static_argnames=("batch", "max_steps", "score_batch_shape"))
-def _traversal_loop(state, dg, n_to_score, batch: int, max_steps: int,
+def _traversal_loop(state, dg, n_to_score, token, batch: int, max_steps: int,
                     score_batch_shape: int):
     def cond(carry):
         state, steps = carry
@@ -82,8 +84,9 @@ def _traversal_loop(state, dg, n_to_score, batch: int, max_steps: int,
         state, steps = carry
         state, out = dev.expand_impl(state, dg, batch)
         scores = jax.experimental.io_callback(
-            _HOST_SCORER.fn,
+            _dispatch_scorer,
             jax.ShapeDtypeStruct((score_batch_shape,), jnp.float32),
+            token,
             out["to_score"],
             ordered=True,
         )
@@ -95,25 +98,19 @@ def _traversal_loop(state, dg, n_to_score, batch: int, max_steps: int,
     return jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
 
 
-class _HostScorer:
-    """Mutable host-side slot the jitted loop's io_callback dispatches to.
-
-    io_callback closes over a Python callable at trace time; routing through
-    this slot lets one compiled loop serve successive traversals (same
-    shapes, different scoring functions) without retracing.
-    """
-
-    def __init__(self):
-        self.fn = self._dispatch
-
-    def _dispatch(self, ids):
-        return self._current(ids)
-
-    _current = staticmethod(lambda ids: np.zeros(ids.shape, np.float32))
+# Registry of live scoring functions, keyed by a per-traversal token that
+# travels through the compiled loop as a traced operand. One compiled loop
+# serves any number of traversals — including CONCURRENT ones — without
+# retracing, and nothing global is mutated (two overlapping
+# traverse_with_callback calls can never clobber each other's scorer).
+_SCORERS: dict = {}
+_SCORERS_LOCK = threading.Lock()
+_NEXT_TOKEN = itertools.count()
 
 
-_HOST_SCORER = _HostScorer()
-_HOST_SCORER.fn = _HOST_SCORER._dispatch
+def _dispatch_scorer(token, ids):
+    fn = _SCORERS[int(token)]
+    return np.asarray(fn(np.asarray(ids)), dtype=np.float32)
 
 
 def traverse_with_callback(
@@ -125,10 +122,19 @@ def traverse_with_callback(
     max_steps: int = 1 << 20,
 ):
     """Run the compiled traversal loop to ``n_to_score``. Returns
-    (final_state, steps_executed). ``state`` must already be primed."""
+    (final_state, steps_executed). ``state`` must already be primed.
+    Reentrant: concurrent traversals each register their scorer under a
+    fresh token."""
     m0 = dg.m0
-    _HostScorer._current = staticmethod(score_ids)
-    state, steps = _traversal_loop(
-        state, dg, jnp.int32(n_to_score), batch, max_steps,
-        score_batch_shape=batch * m0)
-    return state, int(steps)
+    with _SCORERS_LOCK:
+        token = next(_NEXT_TOKEN)
+        _SCORERS[token] = score_ids
+    try:
+        state, steps = _traversal_loop(
+            state, dg, jnp.int32(n_to_score), jnp.int32(token), batch,
+            max_steps, score_batch_shape=batch * m0)
+        steps = int(steps)  # block before dropping the registry entry
+    finally:
+        with _SCORERS_LOCK:
+            _SCORERS.pop(token, None)
+    return state, steps

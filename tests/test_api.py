@@ -230,3 +230,40 @@ def test_traverse_resumable_in_session(index, scoring_setup):
 def test_lazy_top_level_imports():
     assert rad_tpu.HNSWIndex is HNSWIndex
     assert callable(rad_tpu.create_remote_traverser)
+
+
+def test_add_after_build_rebuilds():
+    """usearch Index.add semantics on a built index: append triggers a
+    rebuild that keeps the old rows (reference README.md:58)."""
+    idx = HNSWIndex(ndim=64, connectivity=4, expansion_add=20,
+                    backend="host", seed=0)
+    fps = random_fingerprints(80, n_bits=64, density=0.3, seed=9)
+    idx.add(np.arange(80), fps)
+    idx.build()
+    more = random_fingerprints(20, n_bits=64, density=0.3, seed=10)
+    idx.add(np.arange(100, 120), more)
+    assert len(idx) == 100
+    g = idx.graph  # implicit rebuild
+    assert len(g) == 100
+    # the appended vectors are searchable: self-query hits the new key
+    d, keys = idx.search(more[:3], k=1)
+    assert (np.asarray(d)[:, 0] == 0).all()
+    assert set(np.asarray(keys)[:, 0]) <= set(range(100, 120))
+
+
+def test_add_after_load_keeps_loaded_rows(tmp_path):
+    """Appending to an index loaded from disk must not drop the loaded
+    library (the graph came with no pending rows)."""
+    idx = HNSWIndex(ndim=64, connectivity=4, expansion_add=20,
+                    backend="host", seed=0)
+    fps = random_fingerprints(60, n_bits=64, density=0.3, seed=11)
+    idx.add(np.arange(60), fps)
+    idx.save(str(tmp_path / "g.npz"))
+
+    idx2 = HNSWIndex.load(str(tmp_path / "g.npz"), backend="host")
+    more = random_fingerprints(10, n_bits=64, density=0.3, seed=12)
+    idx2.add(np.arange(100, 110), more)
+    assert len(idx2) == 70
+    d, keys = idx2.search(fps[:3], k=1)
+    assert (np.asarray(d)[:, 0] == 0).all()
+    assert set(np.asarray(keys)[:, 0]) <= set(range(60))

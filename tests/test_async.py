@@ -160,3 +160,55 @@ def test_callback_loop_n_to_score(setup):
     state, _ = traverse_with_callback(state, dg, score_ids,
                                       n_to_score=60, batch=4)
     assert int(state.n_scored) >= 60
+
+
+def test_concurrent_callback_traversals_use_own_scorers():
+    """Reentrancy: two overlapping traverse_with_callback calls must each
+    see their own scoring function (regression: a process-global scorer
+    slot let one traversal clobber the other's)."""
+    import threading
+
+    import numpy as np
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+    import jax.numpy as jnp
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(300, n_bits=64, density=0.3, seed=31)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=2)
+    dg = dev.prepare_device_graph(graph)
+
+    def make_scorer(offset):
+        def score_ids(ids):
+            ids = np.asarray(ids)
+            out = np.full(ids.shape, np.inf, np.float32)
+            ok = ids >= 0
+            out[ok] = (ids[ok].astype(np.float32) * 7 % 101) + offset
+            return out
+        return score_ids
+
+    results = {}
+
+    def run(tag, offset):
+        state = dev.init_state(dg, frontier_capacity=1 << 10)
+        n_top = graph.layer_sizes[graph.max_level]
+        ids = jnp.arange(n_top, dtype=jnp.int32)
+        seed_scores = jnp.asarray(
+            make_scorer(offset)(np.arange(n_top)))
+        state = dev.prime(state, dg, ids, seed_scores)
+        state, _ = traverse_with_callback(
+            state, dg, make_scorer(offset), n_to_score=150, batch=8)
+        results[tag] = np.asarray(state.scores)
+
+    t1 = threading.Thread(target=run, args=("a", 0.0))
+    t2 = threading.Thread(target=run, args=("b", 1000.0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    a, b = results["a"], results["b"]
+    fa = np.isfinite(a)
+    fb = np.isfinite(b)
+    # every score must come from the traversal's OWN scorer
+    assert (a[fa] < 1000.0).all(), "traversal A got B's scores"
+    assert (b[fb] >= 1000.0).all(), "traversal B got A's scores"

@@ -144,3 +144,22 @@ def test_device_put_pytree(small_graph):
     g2 = jax.tree_util.tree_map(lambda x: x, g)
     assert isinstance(g2, HNSWGraph)
     assert g2.connectivity == g.connectivity
+
+
+def test_load_view_is_memory_mapped(tmp_path, small_graph):
+    """view-load parity with usearch Index(path=, view=True): arrays are
+    np.memmap views into the .npz, not eager copies."""
+    p = str(tmp_path / "g.npz")
+    small_graph.save(p)
+    from rad_tpu.graph.storage import HNSWGraph
+    g = HNSWGraph.load(p, mmap=True)
+    assert isinstance(np.asarray(g.packed).base, np.memmap) or \
+        isinstance(g.packed, np.memmap), type(g.packed)
+    np.testing.assert_array_equal(np.asarray(g.packed),
+                                  np.asarray(small_graph.packed))
+    np.testing.assert_array_equal(np.asarray(g.neighbors[0]),
+                                  np.asarray(small_graph.neighbors[0]))
+    # eager load agrees
+    g2 = HNSWGraph.load(p, mmap=False)
+    np.testing.assert_array_equal(np.asarray(g2.packed),
+                                  np.asarray(g.packed))

@@ -229,3 +229,55 @@ def test_remote_worker_joins_over_http(graph, store):
     finally:
         coord.shutdown()
         srv.shutdown()
+
+
+def test_options_204_no_body(server):
+    """RFC 9110: 204 must carry no content (a body would desync the
+    keep-alive connection for the next request / CORS preflight)."""
+    import http.client
+    url, _ = server
+    host, port = url.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=5)
+    conn.request("OPTIONS", "/health")
+    r = conn.getresponse()
+    assert r.status == 204
+    assert r.read() == b""
+    assert r.getheader("Content-Length") in (None, "0")
+    # connection still usable for the next request (no desync)
+    conn.request("GET", "/ping")
+    r2 = conn.getresponse()
+    assert r2.status == 200
+    r2.read()
+    conn.close()
+
+
+def test_coordination_missing_field_is_400(graph, store):
+    """A POST body missing a required field is the client's error: 400 with
+    a named field, not a 500."""
+    from rad_tpu.service.local import LocalHNSWService
+
+    service = LocalHNSWService(graph, store)
+    coord = CoordinationService(service, heartbeat_interval=0.5)
+    srv, app = create_hnsw_server(graph, host="127.0.0.1", port=0,
+                                  smiles_store=store, coordination=coord)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        import json as _json
+        import urllib.request
+        req = urllib.request.Request(
+            f"{url}/coordination/heartbeat",
+            data=_json.dumps({}).encode(),   # no worker_id
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=5)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            detail = _json.loads(e.read().decode())["detail"]
+            assert "worker_id" in detail
+    finally:
+        coord.shutdown()
+        srv.shutdown()
+        service.shutdown()
