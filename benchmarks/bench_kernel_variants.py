@@ -1,0 +1,187 @@
+"""A/B microbench for the Tanimoto 1-NN Pallas kernel (TPU).
+
+Variants:
+  exact   — production epilogue (f32 divide, min+argmin)
+  approx  — throughput epilogue (approx reciprocal, one packed-key max)
+  floor   — intersections only (dot + integer max): the MXU+unpack ceiling;
+            how far `approx` sits from `floor` is the remaining VPU cost.
+
+Each variant is one compile on the remote service (4-20 min for new
+shapes) — batch runs of this script. Prints one JSON line with all rates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_floor_kernel(q_tile: int, n_tile: int, compute_dtype,
+                      mode: str = "floor"):
+    """Probe kernels isolating kernel stages.
+
+    mode="floor":    unpack + dot + integer max (no union/divide/argmin)
+    mode="floor-t":  like floor but the db scratch is stored transposed
+                     [d, NT] so the dot is a standard (M,K)x(K,N) — tests
+                     whether the B-transposed contraction costs MXU rate
+    mode="unpack":   unpack + a trivial reduce (no dot) — unpack cost alone
+    mode="dot":      dot only from a pre-unpacked db resident in HBM
+                     (16x packed traffic, no in-kernel unpack) — MXU ceiling
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rad_tpu.fp.kernels import _unpack_block_bytes, unpack_bitmajor
+
+    def kern(q_bits_ref, db_ref, out_ref, scratch, *, nbytes):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            out_ref[:, :] = jnp.zeros_like(out_ref[:, :])
+
+        if mode != "dot":
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                if mode == "floor-t":
+                    blk = db_ref[:, :].astype(jnp.int32)      # [NT, nbytes]
+                    for b in range(8):
+                        bits = ((blk >> b) & 1).astype(scratch.dtype)
+                        scratch[b * nbytes:(b + 1) * nbytes, :] = bits.T
+                else:
+                    _unpack_block_bytes(db_ref, scratch, nbytes)
+
+        acc = jnp.int32 if scratch.dtype == jnp.int8 else jnp.float32
+        if mode == "unpack":
+            out_ref[:, :] = jnp.maximum(
+                out_ref[:, :],
+                jnp.sum(scratch[:8, :], axis=0,
+                        keepdims=True).astype(jnp.int32).T[:out_ref.shape[0]])
+            return
+        if mode == "floor-t":
+            inter = jax.lax.dot_general(
+                q_bits_ref[:, :], scratch[:, :],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc)
+        else:
+            src = db_ref if mode == "dot" else scratch
+            inter = jax.lax.dot_general(
+                q_bits_ref[:, :], src[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=acc)
+        out_ref[:, :] = jnp.maximum(out_ref[:, :],
+                                    jnp.max(inter, axis=1, keepdims=True)
+                                    .astype(out_ref.dtype))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(q_packed, db_packed):
+        q, w = q_packed.shape
+        n, _ = db_packed.shape
+        nbytes = w * 4
+        d = w * 32
+        q_bits = unpack_bitmajor(q_packed, compute_dtype)
+        grid = (n // n_tile, q // q_tile)
+        if mode == "dot":
+            db_in = unpack_bitmajor(db_packed, compute_dtype)  # [N, d]
+            db_spec = pl.BlockSpec((n_tile, d), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            scratch = pltpu.VMEM((8, 8), compute_dtype)  # unused
+        else:
+            db_in = jax.lax.bitcast_convert_type(
+                db_packed, jnp.uint8).reshape(n, nbytes)
+            db_spec = pl.BlockSpec((n_tile, nbytes), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM)
+            scratch = pltpu.VMEM(
+                (d, n_tile) if mode == "floor-t" else (n_tile, d),
+                compute_dtype)
+        return pl.pallas_call(
+            functools.partial(kern, nbytes=nbytes),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                db_spec,
+            ],
+            out_specs=pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((q, 1), jnp.int32),
+            scratch_shapes=[scratch],
+        )(q_bits, db_in)
+
+    return run
+
+
+def time_variant(name, fn, db_j, q_j, reps=4):
+    t0 = time.perf_counter()
+    np.asarray(fn(db_j, q_j))
+    log(f"{name}: first run (incl. compile) {time.perf_counter()-t0:.1f}s")
+    best = np.inf
+    for i in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fn(db_j, q_j))
+        dt = time.perf_counter() - t0
+        log(f"  {name} run {i}: {dt*1e3:.1f} ms")
+        best = min(best, dt)
+    return best
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--q", type=int, default=2048)
+    ap.add_argument("--q-tile", type=int, default=512)
+    ap.add_argument("--n-tile", type=int, default=1024)
+    ap.add_argument("--variants", nargs="+",
+                    default=["exact", "approx", "floor"])
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.fp.kernels import tanimoto_nn_pallas
+    from rad_tpu.fp.pack import random_fingerprints
+
+    log(f"device: {jax.devices()[0]}")
+    n = (args.n // args.n_tile) * args.n_tile
+    db = random_fingerprints(n, n_bits=1024, density=0.1, seed=0)
+    db_j = jnp.asarray(db)
+    q_j = jnp.asarray(db[: args.q].copy())
+
+    results = {}
+    for v in args.variants:
+        if v.startswith("floor") or v in ("unpack", "dot", "dot-bf16",
+                                          "floor-bf16"):
+            dtype = jnp.bfloat16 if v.endswith("bf16") else jnp.int8
+            mode = v.replace("-bf16", "")
+            fn0 = make_floor_kernel(args.q_tile, args.n_tile, dtype,
+                                    mode=mode)
+            fn = lambda dbp, qp, f=fn0: f(qp, dbp)
+        else:
+            fn = functools.partial(
+                lambda dbp, qp, **kw: tanimoto_nn_pallas(qp, dbp, **kw)[0],
+                q_tile=args.q_tile, n_tile=args.n_tile,
+                approx=(v == "approx"))
+            fn = functools.partial(fn)
+        best = time_variant(v, fn, db_j, q_j)
+        results[v] = {"ms": best * 1e3,
+                      "rate": args.q * n / best}
+        log(f"{v}: {best*1e3:.1f} ms = {results[v]['rate']:.3e} evals/s")
+
+    print(json.dumps({"metric": "nn_kernel_variants", "n": n, "q": args.q,
+                      "q_tile": args.q_tile, "n_tile": args.n_tile,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

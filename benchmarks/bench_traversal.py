@@ -71,7 +71,15 @@ def main(argv=None) -> int:
                     help="skip HNSW construction; use a random layered "
                          "graph of the same shape (engine-throughput-only "
                          "measurement for N beyond practical build time)")
+    ap.add_argument("--dedup", choices=["scatter", "sort"],
+                    default="scatter",
+                    help="batch-dedup implementation on the hot path "
+                         "(scatter-min scratch vs 3 argsorts; A/B knob)")
     args = ap.parse_args(argv)
+    if args.dedup == "sort":
+        from rad_tpu.traverse import device as _dev
+        _dev.DenseStateOps.first_occurrence = staticmethod(
+            _dev._first_occurrence)
 
     import jax
     import jax.numpy as jnp

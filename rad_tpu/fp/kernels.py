@@ -141,6 +141,46 @@ def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
     )(q_bits, q_pops, db_bytes, db_pops)
 
 
+def _nn_kernel_fast(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
+                    key_ref, blk_ref, scratch, *, nbytes: int, n_tile: int):
+    """Throughput epilogue: approximate reciprocal for the divide and ONE
+    packed-key max-reduction instead of min+argmin.
+
+    Similarity (not distance) is maximized; each candidate's f32 sim is
+    bitcast to int32 (order-preserving for non-negative floats) with the
+    lane index packed into the low 10 mantissa bits — a single integer max
+    then selects best sim AND its index. Costs ~2^-13 relative sim
+    resolution plus the VPU's approximate-reciprocal error; ties resolve to
+    the larger index (the exact kernel takes the first). Callers that need
+    exact distances use the default epilogue."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        key_ref[:, :] = jnp.full_like(key_ref[:, :], jnp.iinfo(jnp.int32).min)
+        blk_ref[:, :] = jnp.zeros_like(blk_ref[:, :])
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        _unpack_block_bytes(db_ref, scratch, nbytes)
+
+    acc = jnp.int32 if scratch.dtype == jnp.int8 else jnp.float32
+    inter = jax.lax.dot_general(
+        q_bits_ref[:, :], scratch[:, :],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=acc).astype(jnp.float32)      # [QT, NT]
+    union = q_pops_ref[:, :] + db_pops_ref[:, :].T - inter
+    sim = inter * pl.reciprocal(jnp.maximum(union, 1.0), approx=True)
+    sim = jnp.where(union > 0, sim, 1.0)
+    bits = jax.lax.bitcast_convert_type(sim, jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    keys = (bits & ~jnp.int32(n_tile - 1)) | idx
+    kmax = jnp.max(keys, axis=1, keepdims=True)              # [QT, 1]
+    better = kmax > key_ref[:, :]
+    key_ref[:, :] = jnp.where(better, kmax, key_ref[:, :])
+    blk_ref[:, :] = jnp.where(better, i, blk_ref[:, :])
+
+
 def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
                min_ref, arg_ref, scratch, *, nbytes: int, n_tile: int):
     i = pl.program_id(0)  # db block (outer)
@@ -166,14 +206,21 @@ def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("q_tile", "n_tile", "interpret",
-                                    "compute_dtype"))
+                                    "compute_dtype", "approx"))
 def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
                        q_tile: int = 512, n_tile: int = 1024,
-                       interpret: bool = False, compute_dtype=jnp.int8):
-    """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q])."""
+                       interpret: bool = False, compute_dtype=jnp.int8,
+                       approx: bool = False):
+    """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q]).
+
+    ``approx=True`` selects the throughput epilogue (approximate
+    reciprocal + one packed-key reduction, see :func:`_nn_kernel_fast`):
+    distances carry ~1e-3 absolute error and distance ties resolve to the
+    larger id. The neighbor identity is unaffected outside ties."""
     q, w = q_packed.shape
     n, _ = db_packed.shape
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
+    assert n_tile & (n_tile - 1) == 0, "n_tile must be a power of two"
     nbytes = w * 4
     d = w * 32
     q_bits = unpack_bitmajor(q_packed, compute_dtype)
@@ -183,8 +230,9 @@ def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
         db_packed, jnp.uint8).reshape(n, nbytes)
 
     grid = (n // n_tile, q // q_tile)
-    kernel = functools.partial(_nn_kernel, nbytes=nbytes, n_tile=n_tile)
-    min_d, arg = pl.pallas_call(
+    kern_fn = _nn_kernel_fast if approx else _nn_kernel
+    kernel = functools.partial(kern_fn, nbytes=nbytes, n_tile=n_tile)
+    out_a, out_b = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -204,10 +252,17 @@ def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((q, 1),
+                                 jnp.int32 if approx else jnp.float32),
             jax.ShapeDtypeStruct((q, 1), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
         interpret=interpret,
     )(q_bits, q_pops, db_bytes, db_pops)
-    return min_d[:, 0], arg[:, 0]
+    if not approx:
+        return out_a[:, 0], out_b[:, 0]
+    key, blk = out_a[:, 0], out_b[:, 0]
+    idx = key & (n_tile - 1)
+    sim = jax.lax.bitcast_convert_type(key & ~jnp.int32(n_tile - 1),
+                                       jnp.float32)
+    return 1.0 - sim, blk * n_tile + idx

@@ -304,6 +304,13 @@ class _ShardStateOps:
         total = jax.lax.psum(jnp.where(own, bits, 0), self.axis)
         return jax.lax.bitcast_convert_type(total, jnp.float32)
 
+    @staticmethod
+    def first_occurrence(values, sentinel):
+        # O(1)-memory argsort dedup: a [value range] scratch per chip (the
+        # dense ops' scatter variant) would defeat state sharding
+        from rad_tpu.traverse.device import _first_occurrence
+        return _first_occurrence(values, sentinel)
+
     def scatter_scored(self, arr, idx, vals):
         return self._scatter(arr, idx, vals, self.node_shard)
 

@@ -218,13 +218,24 @@ class DenseStateOps:
     def scatter_enqueued(arr, idx, vals):
         return arr.at[idx].set(vals, mode="drop")
 
+    # batch dedup on the hot path: dense engines use the sort-free scatter
+    # variant; shard-aware ops override with the O(1)-memory argsort (an
+    # O(value range) scratch per chip would defeat state sharding)
+    @staticmethod
+    def first_occurrence(values, sentinel):
+        return _first_occurrence_scatter(values, sentinel)
+
 
 DENSE_OPS = DenseStateOps()
 
 
 def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
     """Mask of first occurrences of each value (sentinel entries excluded),
-    computed in the *original* order via argsort + inverse scatter."""
+    computed in the *original* order via argsort + inverse scatter.
+
+    O(K log² K) sort but O(1) extra memory — the variant for sharded state
+    ops, where a value-range scratch array per chip would defeat sharding.
+    """
     n = values.shape[0]
     perm = jnp.argsort(values, stable=True)
     sorted_vals = values[perm]
@@ -232,6 +243,22 @@ def _first_occurrence(values: jnp.ndarray, sentinel: int) -> jnp.ndarray:
     first_sorted = (sorted_vals != prev) & (sorted_vals != sentinel)
     first = jnp.zeros((n,), jnp.bool_).at[perm].set(first_sorted)
     return first
+
+
+def _first_occurrence_scatter(values: jnp.ndarray,
+                              sentinel: int) -> jnp.ndarray:
+    """Same mask via scatter-min over a value-range scratch — no sorts.
+
+    ``values`` must lie in [0, sentinel]. Each key's slot records the
+    minimum batch position writing it (min-combine: order-independent,
+    deterministic); a position is a first occurrence iff it equals its
+    slot. The [sentinel+1] scratch is a fresh per-step fill — one HBM
+    memset (μs) instead of a K log² K argsort on the hot path."""
+    k = values.shape[0]
+    pos = jnp.arange(k, dtype=jnp.int32)
+    scratch = jnp.full((sentinel + 1,), k, jnp.int32)
+    scratch = scratch.at[values].min(pos, mode="drop")
+    return (scratch[values] == pos) & (values != sentinel)
 
 
 def expand_impl(
@@ -296,7 +323,7 @@ def expand_impl(
     # order* — scoring order then matches the reference's per-work-item
     # neighbor order exactly (rad/distributed_worker.py:296-308), which the
     # insertion-order result API exposes.
-    mask = unscored & _first_occurrence(ids, n)
+    mask = unscored & ops.first_occurrence(ids, n)
     k = ids.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     to_score = jnp.full((k,), -1, jnp.int32).at[
@@ -373,7 +400,7 @@ def integrate_impl(
     lev_flat = jnp.repeat(exp_level, m0)
     row_flat = dg.offsets[lev_flat] + safe_cand
     row_key = jnp.where(cand_ok, row_flat, dg.n_rows)
-    first = _first_occurrence(row_key, dg.n_rows)
+    first = ops.first_occurrence(row_key, dg.n_rows)
     not_enq = ~ops.gather_enqueued(state.enqueued,
                                    jnp.where(cand_ok, row_flat, 0))
     push = cand_ok & not_enq & first

@@ -44,3 +44,18 @@ def test_nn_kernel_self_query(data):
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(ids), np.arange(128))
+
+
+def test_nn_kernel_approx_epilogue(data):
+    """Fast epilogue (approx reciprocal + packed-key argmax): distances
+    within ~1e-3 of exact, neighbor identity exact outside ties."""
+    q, db = data
+    ref = np.asarray(tanimoto_matrix(q, db))
+    ref_min = ref.min(axis=1)
+    d, ids = tanimoto_nn_pallas(q, db, q_tile=128, n_tile=256,
+                                interpret=True, approx=True)
+    d, ids = np.asarray(d), np.asarray(ids)
+    np.testing.assert_allclose(d, ref_min, atol=2e-3)
+    # the chosen neighbor's true distance equals the true min (modulo ties)
+    chosen = ref[np.arange(ref.shape[0]), ids]
+    np.testing.assert_allclose(chosen, ref_min, atol=2e-3)
