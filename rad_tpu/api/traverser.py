@@ -122,7 +122,7 @@ class RADTraverser:
         namespace: str = "rad",
         engine: str = "auto",
         batch_size: int = 32,
-        frontier_capacity: int = 1 << 16,
+        frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
         n_score_threads: int = 8,

@@ -73,7 +73,7 @@ class PodTraverser:
         mesh=None,
         n_devices: int | None = None,
         batch_size: int = 64,
-        frontier_capacity: int = 1 << 16,
+        frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
         scorer=None,

@@ -322,13 +322,16 @@ class _ShardStateOps:
 
 
 def init_state_sharded(sg: ShardedGraph, mesh: Mesh,
-                       frontier_capacity: int = 1 << 16,
+                       frontier_capacity: int | None = None,
                        log_capacity: int | None = None,
                        buffer_capacity: int = 1 << 15) -> TraversalState:
     """TraversalState with scored/scores/enqueued row-sharded over the mesh
     (padded sizes) and the frontier/log/counters replicated — the layout
     for libraries whose *state* no longer fits one chip (docs/SCALING.md).
     """
+    if frontier_capacity is None:
+        from rad_tpu.traverse.device import auto_frontier_capacity
+        frontier_capacity = auto_frontier_capacity(sg.n_pad_rows)
     cap = log_capacity if log_capacity is not None else sg.n_nodes
     row_sh = NamedSharding(mesh, P(sg.axis))
     rep = NamedSharding(mesh, P())

@@ -46,7 +46,8 @@ import numpy as np
 from rad_tpu.graph.storage import HNSWGraph
 
 __all__ = ["DeviceGraph", "TraversalState", "prepare_device_graph",
-           "init_state", "expand", "integrate", "prime"]
+           "init_state", "auto_frontier_capacity", "expand", "integrate",
+           "prime"]
 
 INF = jnp.inf
 
@@ -141,7 +142,21 @@ class TraversalState:
         return cls(*leaves)
 
 
-def init_state(dg: DeviceGraph, frontier_capacity: int = 1 << 16,
+def auto_frontier_capacity(n_rows: int, cap_max: int = 1 << 22) -> int:
+    """Lossless-by-construction frontier capacity when affordable.
+
+    Every (node, level) row enters the frontier at most once EVER (the
+    ``enqueued`` check-and-set), so capacity ≥ n_rows can never drop a
+    finite entry. Up to ``cap_max`` (default 4M entries = 32 MB of
+    score+row) that exactness is cheap; past it the frontier sheds its
+    worst entries at merges (counted in ``n_dropped``; enrichment impact
+    measured in BENCHMARKS.md).
+    """
+    want = min(max(n_rows, 1 << 12), cap_max)
+    return 1 << (want - 1).bit_length()
+
+
+def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
                log_capacity: int | None = None,
                buffer_capacity: int = 1 << 15) -> TraversalState:
     """The frontier is a sorted main array [C] plus an append buffer [P].
@@ -154,7 +169,13 @@ def init_state(dg: DeviceGraph, frontier_capacity: int = 1 << 16,
     the (small) buffer, never a scan of C. Pop order is identical to a
     sort-every-step frontier; only the *timing* of capacity-overflow drops
     differs (none happen until a merge).
+
+    ``frontier_capacity=None`` auto-sizes via
+    :func:`auto_frontier_capacity` — zero drops guaranteed for graphs up
+    to ~4M rows.
     """
+    if frontier_capacity is None:
+        frontier_capacity = auto_frontier_capacity(dg.n_rows)
     cap = log_capacity if log_capacity is not None else dg.n_nodes
     return TraversalState(
         f_score=jnp.full((frontier_capacity,), INF, jnp.float32),

@@ -40,7 +40,7 @@ class DeviceTraverser:
         scoring_fn: Callable[[str], float],
         smiles_store: Optional[SmilesStore] = None,
         batch_size: int = 32,
-        frontier_capacity: int = 1 << 16,
+        frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
         n_score_threads: int = 8,
