@@ -73,10 +73,12 @@ def main():
     q_j = jnp.asarray(queries)
 
     if dev.platform == "tpu":
-        # Pallas fused unpack+int8-MXU 1-NN kernel: HBM carries only packed
-        # rows; intersections ride the 2x-peak integer systolic array.
+        # Pallas fused unpack + int8-MXU 1-NN kernel with the throughput
+        # epilogue (approximate reciprocal + packed-key reduction). Probe
+        # data (benchmarks/bench_kernel_variants.py, BENCHMARKS.md): this
+        # sits within ~6% of the kernel's MXU-bound floor on v5e.
         def min_dist(dbp, qp):
-            return tanimoto_nn_pallas(qp, dbp)[0]
+            return tanimoto_nn_pallas(qp, dbp, approx=True)[0]
     else:
         # non-TPU smoke path: XLA scan over blocks with the MXU mapping
         from rad_tpu.fp.pack import popcount_rows

@@ -100,6 +100,20 @@ def _pad_rows(arr: np.ndarray, mult: int, fill) -> np.ndarray:
         [arr, np.full((pad, *arr.shape[1:]), fill, arr.dtype)], axis=0)
 
 
+def _global_put(arr_np: np.ndarray, mesh: Mesh, spec: P):
+    """Place host data onto the mesh under ``spec``.
+
+    Single-process: a plain device_put. Multi-process (DCN pods, where the
+    mesh spans devices this process cannot address): build the global array
+    from per-shard callbacks — every process holds the full host copy and
+    contributes the shards it owns (jax.make_array_from_callback)."""
+    sh = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(
+            arr_np.shape, sh, lambda idx: arr_np[idx])
+    return jax.device_put(jnp.asarray(arr_np), sh)
+
+
 def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph"
                 ) -> ShardedGraph:
     """Lay a built graph out across the mesh's ``axis`` (row-sharded)."""
@@ -108,14 +122,11 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph"
     packed = _pad_rows(np.asarray(graph.packed), nd, 0)
     pops = _pad_rows(np.asarray(graph.popcounts), nd, 0)
     adj = _pad_rows(np.asarray(dg.adj), nd, -1)
-    row_sh = NamedSharding(mesh, P(axis))
-    row2_sh = NamedSharding(mesh, P(axis, None))
-    rep = NamedSharding(mesh, P())
     return ShardedGraph(
-        packed=jax.device_put(jnp.asarray(packed), row2_sh),
-        pops=jax.device_put(jnp.asarray(pops), row_sh),
-        adj=jax.device_put(jnp.asarray(adj), row2_sh),
-        offsets=jax.device_put(dg.offsets, rep),
+        packed=_global_put(packed, mesh, P(axis, None)),
+        pops=_global_put(pops, mesh, P(axis)),
+        adj=_global_put(adj, mesh, P(axis, None)),
+        offsets=_global_put(np.asarray(dg.offsets), mesh, P()),
         n_nodes=dg.n_nodes,
         n_rows=dg.n_rows,
         n_pad_nodes=packed.shape[0],
@@ -192,9 +203,10 @@ def sharded_bruteforce_topk(sg: ShardedGraph, queries, k: int,
     k-sized all-gather + final top-k merges — the standard sharded-search
     reduction; per-query ICI traffic is O(n_dev·k), not O(N).
     """
-    queries = jnp.asarray(np.atleast_2d(np.asarray(queries, np.uint32)))
-    from rad_tpu.fp.pack import popcount_rows
-    q_pops = popcount_rows(queries)
+    q_np = np.atleast_2d(np.asarray(queries, np.uint32))
+    from rad_tpu.fp.pack import popcount_rows_np
+    queries = _global_put(q_np, mesh, P())
+    q_pops = _global_put(popcount_rows_np(q_np).astype(np.int32), mesh, P())
     return _sharded_topk_impl(sg.packed, sg.pops, queries, q_pops,
                               sg.n_nodes, k, mesh, sg.axis)
 

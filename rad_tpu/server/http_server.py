@@ -153,6 +153,47 @@ class HNSWServerApp:
                 os.replace(tmp, cache_file)
             return self._top_cache
 
+    def _homepage_html(self) -> bytes:
+        """The public homepage (parity with the reference's index.html
+        served at '/'). A static_dir index.html overrides the built-in."""
+        if self.static_dir:
+            custom = os.path.join(self.static_dir, "index.html")
+            if os.path.isfile(custom):
+                with open(custom, "rb") as f:
+                    return f.read()
+        info = self.graph.info()
+        return f"""<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8">
+<title>{self.server_name}</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; max-width: 46rem;
+        margin: 3rem auto; padding: 0 1rem; color: #222; }}
+ code, pre {{ background: #f4f4f4; padding: .15rem .35rem;
+             border-radius: 4px; }}
+ table {{ border-collapse: collapse; }} td, th {{ padding: .25rem .7rem;
+ border-bottom: 1px solid #ddd; text-align: left; }}
+</style></head><body>
+<h1>{self.server_name}</h1>
+<p>A TPU-native retrieval-augmented-screening index service: an HNSW
+graph over packed binary molecular fingerprints with a Tanimoto metric,
+traversed best-first by docking (or ML) score so that only a small
+fraction of an ultra-large library ever needs scoring.</p>
+<table>
+<tr><th>molecules</th><td>{info['size']:,}</td></tr>
+<tr><th>fingerprint bits</th><td>{info['ndim']}</td></tr>
+<tr><th>connectivity</th><td>{info['connectivity']}</td></tr>
+<tr><th>levels</th><td>{info['max_level'] + 1}</td></tr>
+</table>
+<h2>API</h2>
+<ul>
+<li><code>GET /health</code>, <code>GET /ping</code>, <code>GET /info</code></li>
+<li><code>GET /neighbors/{{node_id}}/{{level}}</code> — adjacency with SMILES</li>
+<li><code>GET /top-level-nodes</code> — traversal seeds</li>
+</ul>
+<p>Client: <code>rad_tpu.service.remote.RemoteHNSWService(url)</code> —
+drop-in for the local service in any <code>RADTraverser</code>.</p>
+</body></html>""".encode()
+
     # -------------------------------------------------------------- routes
     def handle(self, method: str, path: str, body: Optional[dict],
                headers) -> Tuple[int, dict]:
@@ -164,6 +205,12 @@ class HNSWServerApp:
 
         if method == "GET":
             if path == "/" :
+                # browsers get a homepage (reference serves index.html at
+                # '/', rad/hnsw_server.py:436-445); API clients get JSON
+                accept = (headers.get("Accept") or "")
+                if "text/html" in accept:
+                    return 200, {"__raw__": self._homepage_html(),
+                                 "__path__": "index.html"}
                 return 200, {
                     "service": self.server_name,
                     "description": "TPU-native HNSW index service "

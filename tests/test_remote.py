@@ -281,3 +281,18 @@ def test_coordination_missing_field_is_400(graph, store):
         coord.shutdown()
         srv.shutdown()
         service.shutdown()
+
+
+def test_homepage_html_for_browsers(server):
+    """'/' serves the homepage to browsers (Accept: text/html) and JSON to
+    API clients — parity with the reference's index.html at '/'."""
+    import urllib.request
+    url, _ = server
+    req = urllib.request.Request(url + "/",
+                                 headers={"Accept": "text/html"})
+    with urllib.request.urlopen(req, timeout=5) as r:
+        body = r.read().decode()
+        assert r.headers.get_content_type() == "text/html"
+    assert "<html" in body and "Tanimoto" in body
+    with urllib.request.urlopen(url + "/", timeout=5) as r:
+        assert r.headers.get_content_type() == "application/json"
