@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--skip-device", action="store_true")
     ap.add_argument("--skip-native", action="store_true")
+    ap.add_argument("--fused-loop", action="store_true",
+                    help="compile the whole insertion sweep into ONE "
+                         "program (scan over batches) — amortizes the "
+                         "per-batch dispatch RTT on remote/high-latency "
+                         "device links")
     args = ap.parse_args(argv)
 
     from rad_tpu.fp import random_fingerprints
@@ -59,15 +64,18 @@ def main(argv=None) -> int:
         build_hnsw_device(fps[: 2 * args.batch_size + 1],
                           connectivity=args.connectivity,
                           expansion_add=args.expansion_add, seed=0,
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size,
+                          fused_loop=args.fused_loop)
         t0 = time.perf_counter()
         g = build_hnsw_device(fps, connectivity=args.connectivity,
                               expansion_add=args.expansion_add, seed=0,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size,
+                              fused_loop=args.fused_loop)
         dt = time.perf_counter() - t0
         results["device_nodes_per_sec"] = args.n / dt
         log(f"device (incl. full-shape compile): {dt:.1f}s = "
-            f"{args.n/dt:.0f} nodes/s (batch={args.batch_size})")
+            f"{args.n/dt:.0f} nodes/s (batch={args.batch_size}, "
+            f"fused_loop={args.fused_loop})")
 
     print(json.dumps({
         "metric": "hnsw_build_nodes_per_sec",

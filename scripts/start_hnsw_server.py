@@ -37,6 +37,11 @@ def main(argv=None) -> int:
                     help="directory served under /static/")
     ap.add_argument("--no-view", action="store_true",
                     help="load the index fully instead of memory-mapping")
+    ap.add_argument("--enable-coordination", action="store_true",
+                    help="expose /coordination/* so scoring workers on "
+                         "other machines can join this head node "
+                         "(the HTTP replacement for the reference's "
+                         "shared-Redis fan-out)")
     ap.add_argument("--debug", action="store_true")
     args = ap.parse_args(argv)
 
@@ -70,11 +75,19 @@ def main(argv=None) -> int:
         store = SQLiteSmilesStore(args.database_path)
         log.info("SMILES DB: %s (%d rows)", args.database_path, len(store))
 
+    coordination = None
+    if args.enable_coordination:
+        from rad_tpu.service.local import LocalHNSWService
+        from rad_tpu.traverse.coordinator import CoordinationService
+        coordination = CoordinationService(LocalHNSWService(graph, store))
+        coordination.start()
+        log.info("coordination endpoints enabled (/coordination/*)")
+
     log.info("index: %d nodes, max_level=%d", len(graph), graph.max_level)
     run_hnsw_server(graph, host=args.host, port=args.port,
                     smiles_store=store, api_key=args.api_key,
                     enable_cors=args.enable_cors, cache_dir=args.cache_dir,
-                    static_dir=args.static_dir)
+                    static_dir=args.static_dir, coordination=coordination)
     return 0
 
 

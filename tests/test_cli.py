@@ -65,3 +65,52 @@ def test_build_index_reads_bare_smiles(tmp_path):
     keys, smiles = build_index.read_molecules(str(f), None)
     assert keys == [0, 1, 2]
     assert smiles == ["CCO", "CCN", "c1ccccc1"]
+
+
+def test_server_cli_enable_coordination(tmp_path):
+    """--enable-coordination wires a CoordinationService into the CLI
+    server: remote workers can register; malformed bodies get 400."""
+    import json
+    import socket
+    import time
+    import urllib.request
+
+    import start_hnsw_server
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    th = threading.Thread(
+        target=start_hnsw_server.main,
+        args=(["--test-data", "80", "--host", "127.0.0.1",
+               "--port", str(port), "--enable-coordination",
+               "--cache-dir", str(tmp_path)],),
+        daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(url + "/ping", timeout=1)
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail("server did not come up")
+
+    req = urllib.request.Request(
+        url + "/coordination/register", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=5) as r:
+        reg = json.loads(r.read().decode())
+    assert reg["worker_id"].startswith("http-")
+
+    bad = urllib.request.Request(
+        url + "/coordination/heartbeat", data=b"{}",
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(bad, timeout=5)
+        pytest.fail("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
