@@ -31,6 +31,8 @@ __all__ = [
     "create_local_traverser",
     "create_distributed_traverser",
     "create_remote_traverser",
+    "create_pod_traverser",
+    "PodTraverser",
 ]
 
 _LAZY = {
@@ -41,6 +43,9 @@ _LAZY = {
         "rad_tpu.api.factories", "create_distributed_traverser"),
     "create_remote_traverser": (
         "rad_tpu.api.factories", "create_remote_traverser"),
+    "create_pod_traverser": (
+        "rad_tpu.api.factories", "create_pod_traverser"),
+    "PodTraverser": ("rad_tpu.parallel.pod", "PodTraverser"),
 }
 
 

@@ -10,6 +10,7 @@ __all__ = [
     "create_local_traverser",
     "create_distributed_traverser",
     "create_remote_traverser",
+    "create_pod_traverser",
 ]
 
 
@@ -65,3 +66,23 @@ def create_remote_traverser(hnsw_service_url: str,
                                          register=False)
     return RADTraverser(hnsw_service=service, scoring_fn=scoring_fn,
                         deployment_mode="remote", **kwargs)
+
+
+def create_pod_traverser(hnsw, scoring_fn: Callable[[str], float],
+                         mesh=None, n_devices: int | None = None,
+                         **kwargs) -> RADTraverser:
+    """Graph sharded across a TPU mesh, host scoring pipelined through the
+    sharded expand/integrate halves (PodTraverser under the RADTraverser
+    lifecycle) — the deployment shape for >50M-molecule docking campaigns.
+    """
+    from rad_tpu.api.index import HNSWIndex
+    from rad_tpu.graph.storage import HNSWGraph
+
+    if isinstance(hnsw, HNSWIndex):
+        hnsw = hnsw.graph
+    if not isinstance(hnsw, HNSWGraph):
+        raise TypeError("pod mode shards a local graph; pass an HNSWIndex "
+                        f"or HNSWGraph, got {type(hnsw)!r}")
+    return RADTraverser(graph=hnsw, scoring_fn=scoring_fn,
+                        deployment_mode="pod", mesh=mesh,
+                        n_devices=n_devices, **kwargs)

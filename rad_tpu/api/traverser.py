@@ -136,7 +136,8 @@ class RADTraverser:
             # reference rad/traverser.py:56 names a "hybrid" mode (local
             # index + external workers); that is our distributed engine
             deployment_mode = "distributed"
-        if deployment_mode not in ("local", "distributed", "remote"):
+        if deployment_mode not in ("local", "distributed", "remote",
+                                   "pod"):
             raise ValueError(f"unknown deployment_mode {deployment_mode!r}")
         self.scoring_fn = scoring_fn
         self.deployment_mode = deployment_mode
@@ -156,17 +157,37 @@ class RADTraverser:
 
         local_graph = getattr(hnsw_service, "graph", None)
         if engine == "auto":
-            engine = ("device" if deployment_mode == "local"
-                      and local_graph is not None else "host")
-        if engine == "device" and local_graph is None:
-            raise ValueError("device engine requires a local graph")
+            if deployment_mode == "pod":
+                engine = "pod"
+            else:
+                engine = ("device" if deployment_mode == "local"
+                          and local_graph is not None else "host")
+        if engine in ("device", "pod") and local_graph is None:
+            raise ValueError(f"{engine} engine requires a local graph")
         self.engine = engine
 
         self._device_engine = None
         self._coord: Optional[CoordinationService] = None
         self._pool: Optional[WorkerPool] = None
 
-        if engine == "device":
+        if engine == "pod":
+            # graph sharded over the TPU mesh, host scoring pipelined
+            # through the sharded expand/integrate halves
+            from rad_tpu.parallel.pod import PodTraverser
+            self._device_engine = PodTraverser(
+                local_graph, scoring_fn=scoring_fn,
+                smiles_store=getattr(hnsw_service, "smiles_store", None)
+                or smiles_store,
+                mesh=kwargs.pop("mesh", None),
+                n_devices=kwargs.pop("n_devices", None),
+                batch_size=batch_size,
+                frontier_capacity=frontier_capacity,
+                log_capacity=log_capacity,
+                buffer_capacity=buffer_capacity,
+                n_score_threads=n_score_threads,
+                shard_state=kwargs.pop("shard_state", False),
+            )
+        elif engine == "device":
             from rad_tpu.traverse.driver import DeviceTraverser
             self._device_engine = DeviceTraverser(
                 local_graph, scoring_fn,
@@ -198,7 +219,7 @@ class RADTraverser:
         self._check_alive()
         if self._primed:
             return
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             self._device_engine.prime()
         else:
             top = self.hnsw_service.get_top_level_nodes()
@@ -229,7 +250,7 @@ class RADTraverser:
         if timeout is None and n_to_score is None:
             raise ValueError("Must provide either timeout or n_to_score")
         start = time.time()
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             stats = self._device_engine.traverse(n_to_score=n_to_score,
                                                  timeout=timeout)
             self._monitor_stats = stats
@@ -282,19 +303,19 @@ class RADTraverser:
     # ------------------------------------------------------ state properties
     @property
     def scored_set(self):
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             return _DeviceScoredView(self)
         return self._coord.scored_set
 
     @property
     def priority_queue(self):
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             return _DeviceFrontierView(self)
         return self._coord.priority_queue
 
     @property
     def visited_set(self):
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             return _DeviceVisitedView(self)
         return self._coord.visited_set
 
@@ -314,7 +335,7 @@ class RADTraverser:
             "n_scored": len(self.scored_set),
             "service": self.hnsw_service.get_service_info(),
         }
-        if self.engine == "device":
+        if self.engine in ("device", "pod"):
             stats["device"] = self._device_engine.get_stats()
         else:
             stats["coordination"] = self._coord.get_coordination_stats()

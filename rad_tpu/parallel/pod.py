@@ -26,6 +26,7 @@ from __future__ import annotations
 import time
 from typing import Callable, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -188,6 +189,38 @@ class PodTraverser:
     def shutdown(self) -> None:
         if self._bridge is not None:
             self._bridge.shutdown()
+
+    def get_stats(self) -> dict:
+        return dict(
+            self.stats,
+            n_scored=self.n_scored,
+            frontier_size=dev.frontier_size(self.state),
+            frontier_dropped=int(self.state.n_dropped),
+            device_steps=int(self.state.n_steps),
+            n_devices=int(self.mesh.devices.size),
+            shard_state=self.shard_state,
+        )
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, path: str) -> None:
+        """Persist traversal state (gathers sharded arrays to host; for
+        multi-host runs call on every process or use a sharded
+        checkpointer). A new PodTraverser over the same graph + mesh
+        resumes with :meth:`load_checkpoint`."""
+        dev.save_state(self.state, path)
+
+    def load_checkpoint(self, path: str) -> None:
+        state = dev.load_state(path)
+        if state.scored.shape[0] != self.state.scored.shape[0]:
+            raise ValueError("checkpoint is for a different graph size")
+        if self.shard_state:
+            # restore the row-sharded placement
+            self.state = jax.tree_util.tree_map(
+                lambda old, new: jax.device_put(new, old.sharding),
+                self.state, state)
+        else:
+            self.state = state
+        self._primed = bool(int(self.state.n_scored) > 0)
 
     @property
     def n_scored(self) -> int:

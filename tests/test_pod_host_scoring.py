@@ -121,3 +121,39 @@ def test_ctor_validation(built, mesh):
     with pytest.raises(ValueError):
         PodTraverser(built, target_packed=np.asarray(built.packed)[0],
                      scoring_fn=scoring_fn, mesh=mesh)   # both
+
+
+def test_pod_deployment_mode_via_radtraverser(mesh, built):
+    """RADTraverser(deployment_mode='pod') runs the full 5-call lifecycle
+    over the sharded engine with state views and stats."""
+    from rad_tpu import create_pod_traverser
+
+    t = create_pod_traverser(built, scoring_fn, mesh=mesh, batch_size=16)
+    t.prime()
+    stats = t.traverse(n_to_score=150)
+    assert stats["n_scored"] >= 150
+    best = t.get_best_molecules(10)
+    assert len(best) == 10 and best == sorted(best, key=lambda x: x[1])
+    assert len(t.scored_set) >= 150
+    ts = t.get_traversal_stats()
+    assert ts["deployment_mode"] == "pod"
+    t.shutdown()
+
+
+def test_pod_checkpoint_resume(mesh, built, tmp_path):
+    a = PodTraverser(built, scoring_fn=scoring_fn, mesh=mesh, batch_size=16)
+    a.prime()
+    a.traverse(n_to_score=120)
+    p = str(tmp_path / "pod_ckpt.npz")
+    a.save_checkpoint(p)
+    n_a = a.n_scored
+    a.traverse(n_to_score=300)
+
+    b = PodTraverser(built, scoring_fn=scoring_fn, mesh=mesh, batch_size=16)
+    b.load_checkpoint(p)
+    assert b.n_scored == n_a
+    b.traverse(n_to_score=300)
+    from rad_tpu.traverse.device import read_order_log
+    np.testing.assert_array_equal(read_order_log(a.state),
+                                  read_order_log(b.state))
+    a.shutdown(); b.shutdown()
