@@ -75,6 +75,9 @@ def main(argv=None) -> int:
                     default="scatter",
                     help="batch-dedup implementation on the hot path "
                          "(scatter-min scratch vs 3 argsorts; A/B knob)")
+    ap.add_argument("--graph-cache",
+                    help="path to save/load the built graph (.npz) so "
+                         "config sweeps pay the build once")
     args = ap.parse_args(argv)
     if args.dedup == "sort":
         from rad_tpu.traverse import device as _dev
@@ -91,7 +94,11 @@ def main(argv=None) -> int:
     fps = random_fingerprints(args.n, n_bits=args.n_bits, density=0.1,
                               seed=0)
     t0 = time.perf_counter()
-    if args.synthetic_graph:
+    if args.graph_cache and os.path.exists(args.graph_cache):
+        from rad_tpu.graph.storage import HNSWGraph
+        log(f"loading cached graph {args.graph_cache} ...")
+        graph = HNSWGraph.load(args.graph_cache, mmap=False)
+    elif args.synthetic_graph:
         log(f"generating synthetic layered graph ({args.n} nodes) ...")
         graph = _synthetic_graph(fps, args.connectivity, seed=0)
     else:
@@ -108,6 +115,9 @@ def main(argv=None) -> int:
                                expansion_add=args.expansion_add, seed=0)
     t_build = time.perf_counter() - t0
     log(f"build: {t_build:.1f}s ({args.n / t_build:.0f} nodes/s)")
+    if args.graph_cache and not os.path.exists(args.graph_cache):
+        graph.save(args.graph_cache)
+        log(f"graph cached -> {args.graph_cache}")
 
     dg = dev.prepare_device_graph(graph)
     packed = jnp.asarray(np.asarray(graph.packed))

@@ -724,6 +724,26 @@ def read_order_log(state: TraversalState) -> np.ndarray:
     return np.concatenate([log[head:], log[:head]])
 
 
+def read_order_log_since(state: TraversalState, start: int) -> np.ndarray:
+    """Scored node ids in positions [start, n_scored) — the incremental
+    drain for runs whose total scored count exceeds the ring capacity.
+
+    A driver polling ``drain = read_order_log_since(state, seen);
+    seen = int(state.n_scored)`` between steps keeps the complete insertion
+    order on the host while the device ring stays a fixed
+    ``log_capacity``. Raises if more than ``cap`` entries accumulated since
+    ``start`` (drain more often or enlarge the ring)."""
+    cap = state.order_log.shape[0]
+    n = int(state.n_scored)
+    if n - start > cap:
+        raise RuntimeError(
+            f"order log overran: {n - start} new entries > ring capacity "
+            f"{cap}; drain more frequently or raise log_capacity")
+    log = np.asarray(state.order_log)
+    idx = np.arange(start, n) % cap
+    return log[idx]
+
+
 def frontier_live(state: TraversalState) -> jnp.ndarray:
     """Traced count of live frontier entries (main past cursor + buffer)."""
     c = state.f_score.shape[0]

@@ -19,7 +19,6 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, List, Optional, Tuple
 
-import jax
 import numpy as np
 
 from rad_tpu.graph.storage import HNSWGraph

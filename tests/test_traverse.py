@@ -303,3 +303,47 @@ def test_device_prime_required(setup):
     with pytest.raises(RuntimeError):
         tr.traverse(n_to_score=5)
     tr.shutdown()
+
+
+def test_order_log_incremental_drain():
+    """read_order_log_since: a host polling between steps reconstructs the
+    complete insertion order even when total scored exceeds the ring."""
+    import jax.numpy as jnp
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(500, n_bits=64, density=0.3, seed=17)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=3)
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    target = jnp.asarray(fps[42])
+    t_pop = popcount_rows(target[None, :])[0]
+
+    cap = 64  # tiny ring: total scored will lap it many times
+    state = dev.init_state(dg, log_capacity=cap)
+    n_top = graph.layer_sizes[graph.max_level]
+    state = dev.prime(state, dg, jnp.arange(n_top, dtype=jnp.int32),
+                      tanimoto_matrix(target[None, :], packed[:n_top])[0])
+
+    seen = 0
+    drained = []
+    for _ in range(200):
+        if dev.frontier_empty(state):
+            break
+        state = dev.fused_step(state, dg, packed, pops, target, t_pop,
+                               batch=8)
+        drained.extend(dev.read_order_log_since(state, seen).tolist())
+        seen = int(state.n_scored)
+
+    full = [int(i) for i in drained]
+    # the first drain also picks up the primed seeds (positions [0, n_top))
+    assert len(full) == int(state.n_scored)
+    assert len(set(full)) == len(full), "drained ids must be unique"
+    # overrun raises instead of silently losing entries
+    with pytest.raises(RuntimeError):
+        dev.read_order_log_since(state, 0)
