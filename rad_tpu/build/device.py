@@ -83,18 +83,20 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
     ascending. Candidates with id >= prefix_limit (not yet inserted) are
     invisible.
 
-    The visited set is a per-node fixed-capacity id hash table
-    (rad_tpu.search.visited): [B, H] with H independent of N, so batch
-    memory no longer scales as B·N. A beam-membership mask keeps results
-    exact if a (rare) hash insert fails; a generous iteration cap bounds
+    The visited set is size-gated (rad_tpu.search.visited): a dense
+    [B, N] bitmap while it fits the memory budget (exact, one gather +
+    one scatter), else a fixed-capacity id hash table [B, H] with H
+    independent of N. In hash mode a beam-membership mask keeps results
+    exact if a (rare) insert fails and a generous iteration cap bounds
     tie-churn.
     """
     from rad_tpu.search.visited import (hashset_check_insert_batch,
+                                        use_dense_visited,
                                         visited_capacity_for)
 
     b, s = ep_ids.shape
     m_l = adj_l.shape[1]
-    h = visited_capacity_for(ef, m_l, n)
+    dense = use_dense_visited(b, n)
     max_iters = 16 * ef + 256
 
     beam_d = jnp.full((b, ef), INF).at[:, :s].set(
@@ -104,8 +106,17 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
     # sort seeds ascending
     beam_d, beam_id = jax.lax.sort((beam_d, beam_id), num_keys=1)
     expanded = ~jnp.isfinite(beam_d)
-    visited = jnp.full((b, h), -1, jnp.int32)
-    visited, _ = hashset_check_insert_batch(visited, beam_id, beam_id >= 0)
+    if dense:
+        # sentinel-index scatter: invalid slots (-1) map out of range and
+        # drop — never clamp to a real column
+        visited = jnp.zeros((b, n), jnp.bool_).at[
+            jnp.arange(b)[:, None],
+            jnp.where(beam_id >= 0, beam_id, n)].set(True, mode="drop")
+    else:
+        h = visited_capacity_for(ef, m_l, n)
+        visited = jnp.full((b, h), -1, jnp.int32)
+        visited, _ = hashset_check_insert_batch(visited, beam_id,
+                                                beam_id >= 0)
 
     def cond(c):
         beam_d, beam_id, expanded, visited, it = c
@@ -121,10 +132,19 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
         nbrs = adj_l[u]                                              # [B, M_l]
         valid = (nbrs >= 0) & (nbrs < prefix_limit[:, None]) \
             & has_work[:, None]
-        in_beam = jnp.any(nbrs[:, :, None] == beam_id[:, None, :], axis=2)
-        valid = valid & ~in_beam
-        visited, seen = hashset_check_insert_batch(visited, nbrs, valid)
-        valid = valid & ~seen
+        if dense:
+            seen = visited[rowsel[:, None], jnp.maximum(nbrs, 0)]
+            valid = valid & ~seen
+            visited = visited.at[
+                rowsel[:, None], jnp.where(valid, nbrs, n)].set(
+                True, mode="drop")
+        else:
+            in_beam = jnp.any(
+                nbrs[:, :, None] == beam_id[:, None, :], axis=2)
+            valid = valid & ~in_beam
+            visited, seen = hashset_check_insert_batch(visited, nbrs,
+                                                       valid)
+            valid = valid & ~seen
         d_n = _dist_rows(packed, pops, q_ids, nbrs, valid)
         all_d = jnp.concatenate([beam_d, d_n], axis=1)
         all_i = jnp.concatenate([beam_id, jnp.where(valid, nbrs, -1)],

@@ -615,21 +615,28 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             ep, d_ep, _ = jax.lax.while_loop(
                 cond, body, (ep, d_ep, jnp.ones((b,), jnp.bool_)))
 
-        # layer-0 beam, batched across queries; visited is a bounded id
-        # hash table [B, H] (H independent of N — rad_tpu.search.visited),
-        # replicated across shards: its ops are order-independent
-        # (max-combine scatter), so every shard computes identical tables.
+        # layer-0 beam, batched across queries; visited is size-gated
+        # (rad_tpu.search.visited): dense [B, N] bitmap within budget,
+        # else a bounded id hash table [B, H] (H independent of N),
+        # replicated across shards — both ops are order-independent, so
+        # every shard computes identical tables.
         from rad_tpu.search.visited import (hashset_check_insert_batch,
+                                            use_dense_visited,
                                             visited_capacity_for)
 
-        h = visited_capacity_for(ef, m0, n)
+        dense = use_dense_visited(b, n)
         max_iters = 16 * ef + 256
         beam_d = jnp.full((b, ef), jnp.inf).at[:, 0].set(d_ep)
         beam_id = jnp.full((b, ef), -1, jnp.int32).at[:, 0].set(ep)
         expanded = jnp.zeros((b, ef), jnp.bool_)
-        visited, _ = hashset_check_insert_batch(
-            jnp.full((b, h), -1, jnp.int32), ep[:, None],
-            jnp.ones((b, 1), jnp.bool_))
+        if dense:
+            visited = jnp.zeros((b, n), jnp.bool_).at[
+                jnp.arange(b), jnp.maximum(ep, 0)].set(True)
+        else:
+            h = visited_capacity_for(ef, m0, n)
+            visited, _ = hashset_check_insert_batch(
+                jnp.full((b, h), -1, jnp.int32), ep[:, None],
+                jnp.ones((b, 1), jnp.bool_))
 
         def bcond(c):
             beam_d, beam_id, expanded, visited, it = c
@@ -646,11 +653,19 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             u = jnp.maximum(beam_id[rowsel, sel], 0)
             nbrs = gather_adj_rows(u)                      # layer-0 rows
             valid = (nbrs >= 0) & has_work[:, None]
-            in_beam = jnp.any(
-                nbrs[:, :, None] == beam_id[:, None, :], axis=2)
-            valid = valid & ~in_beam
-            visited, seen = hashset_check_insert_batch(visited, nbrs, valid)
-            valid = valid & ~seen
+            if dense:
+                seen = visited[rowsel[:, None], jnp.maximum(nbrs, 0)]
+                valid = valid & ~seen
+                visited = visited.at[
+                    rowsel[:, None], jnp.where(valid, nbrs, n)].set(
+                    True, mode="drop")
+            else:
+                in_beam = jnp.any(
+                    nbrs[:, :, None] == beam_id[:, None, :], axis=2)
+                valid = valid & ~in_beam
+                visited, seen = hashset_check_insert_batch(visited, nbrs,
+                                                           valid)
+                valid = valid & ~seen
             d_n = dist_to(nbrs, valid)
             all_d = jnp.concatenate([beam_d, d_n], axis=1)
             all_i = jnp.concatenate(

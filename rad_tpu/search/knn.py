@@ -31,6 +31,7 @@ import numpy as np
 from rad_tpu.fp.pack import popcount, popcount_rows
 from rad_tpu.graph.storage import HNSWGraph
 from rad_tpu.search.visited import (hashset_check_insert, hashset_init,
+                                    use_dense_visited,
                                     visited_capacity_for)
 from rad_tpu.traverse.device import prepare_device_graph
 
@@ -77,6 +78,10 @@ def search_device_jit(
     n = packed.shape[0]
     m0 = adj.shape[1]
     e = expand_width
+    # dense [B, N] visited while it fits the budget (exact, cheapest);
+    # bounded hash table past it (memory independent of N)
+    dense = visited_capacity is None and use_dense_visited(
+        queries.shape[0], n)
     if visited_capacity is None:
         visited_capacity = visited_capacity_for(ef, m0, n)
     # tie-churn safety net: re-encounters of tied-distance evicted nodes are
@@ -125,9 +130,12 @@ def search_device_jit(
         beam_d = jnp.full((ef,), jnp.inf, jnp.float32).at[0].set(d_ep)
         beam_id = jnp.full((ef,), -1, jnp.int32).at[0].set(ep)
         expanded = jnp.zeros((ef,), jnp.bool_)
-        visited, _ = hashset_check_insert(
-            hashset_init(visited_capacity), ep[None],
-            jnp.ones((1,), jnp.bool_))
+        if dense:
+            visited = jnp.zeros((n,), jnp.bool_).at[ep].set(True)
+        else:
+            visited, _ = hashset_check_insert(
+                hashset_init(visited_capacity), ep[None],
+                jnp.ones((1,), jnp.bool_))
 
         def cond(c):
             beam_d, beam_id, expanded, visited, it = c
@@ -145,10 +153,15 @@ def search_device_jit(
             u = jnp.maximum(beam_id[sel], 0)               # [E]
             rows = adj[u].reshape(-1)                      # [E*M0]
             valid = (rows >= 0) & jnp.repeat(has_work, m0)
-            # beam-membership mask: exact duplicate prevention independent
-            # of the (capacity-bounded) visited table
-            in_beam = jnp.any(rows[:, None] == beam_id[None, :], axis=1)
-            valid = valid & ~in_beam
+            if dense:
+                seen = visited[jnp.maximum(rows, 0)]
+                valid = valid & ~seen
+            else:
+                # beam-membership mask: exact duplicate prevention
+                # independent of the (capacity-bounded) visited table
+                in_beam = jnp.any(rows[:, None] == beam_id[None, :],
+                                  axis=1)
+                valid = valid & ~in_beam
             # intra-iteration dedup: the same node may appear in two
             # expanded rows; keep the first occurrence
             key = jnp.where(valid, rows, n)
@@ -159,8 +172,12 @@ def search_device_jit(
             first = jnp.zeros((e * m0,), jnp.bool_).at[perm].set(
                 first_sorted)
             valid = valid & first
-            visited, seen = hashset_check_insert(visited, rows, valid)
-            valid = valid & ~seen
+            if dense:
+                visited = visited.at[jnp.where(valid, rows, n)].set(
+                    True, mode="drop")
+            else:
+                visited, seen = hashset_check_insert(visited, rows, valid)
+                valid = valid & ~seen
             d_n = _query_dist(q, q_pop, packed, pops, rows, valid)
             all_d = jnp.concatenate([beam_d, d_n])
             all_id = jnp.concatenate([beam_id, jnp.where(valid, rows, -1)])

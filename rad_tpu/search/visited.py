@@ -38,10 +38,27 @@ import jax.numpy as jnp
 
 __all__ = [
     "visited_capacity_for",
+    "use_dense_visited",
     "hashset_init",
     "hashset_check_insert",
     "hashset_check_insert_batch",
 ]
+
+# Below this many B·N bool bytes the dense per-query bitmap is both exact
+# and *cheaper* than hashing (one row gather + one scatter vs P-probe
+# gathers): small-N builds/searches keep the dense fast path, large ones
+# switch to the bounded hash table.
+DENSE_VISITED_BUDGET = 1 << 28  # 256 MB
+
+
+def use_dense_visited(batch: int, n: int,
+                      budget: int | None = None) -> bool:
+    """True when a [batch, n] bool visited map fits the dense budget.
+    Reads the module-level DENSE_VISITED_BUDGET at call time so tests can
+    force the hash path at small scales."""
+    if budget is None:
+        budget = DENSE_VISITED_BUDGET
+    return batch * n <= budget
 
 _KNUTH = 2654435761  # 2^32 / golden ratio; multiplicative hashing
 

@@ -130,3 +130,39 @@ def test_search_survives_tiny_visited_capacity():
     assert (np.diff(d, axis=1) >= -1e-6).all()
     assert (ids >= 0).all() and (ids < len(graph)).all()
     assert len({tuple(r) for r in ids}) > 1  # not degenerate
+
+
+def test_device_build_hash_path_matches_dense(monkeypatch):
+    """Force the builder's hash-visited path at test scale: the built graph
+    must deliver the same search recall as the dense-visited build (the
+    gate changes memory, not semantics)."""
+    from rad_tpu.build.device import build_hnsw_device
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+    from rad_tpu.search.knn import search_device
+    import rad_tpu.search.visited as vis
+
+    fps = random_fingerprints(1500, n_bits=128, density=0.25, seed=21)
+
+    g_dense = build_hnsw_device(fps, connectivity=6, expansion_add=32,
+                                seed=0, batch_size=64)
+    monkeypatch.setattr(vis, "DENSE_VISITED_BUDGET", 0)
+    g_hash = build_hnsw_device(fps, connectivity=6, expansion_add=32,
+                               seed=0, batch_size=64)
+    monkeypatch.undo()
+
+    queries = np.asarray(random_fingerprints(16, n_bits=128, density=0.25,
+                                             seed=22))
+
+    def recall(graph):
+        d, ids = search_device(graph, queries, k=10, expansion_search=64)
+        exact = np.asarray(tanimoto_matrix(jnp.asarray(queries),
+                                           graph.packed))
+        hits = 0
+        for qi in range(16):
+            top = set(np.argsort(exact[qi], kind="stable")[:10].tolist())
+            hits += len(top & set(np.asarray(ids[qi]).tolist()))
+        return hits / 160
+
+    r_dense, r_hash = recall(g_dense), recall(g_hash)
+    assert r_hash >= r_dense - 0.05, (r_dense, r_hash)
