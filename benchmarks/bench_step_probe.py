@@ -71,14 +71,15 @@ def main(argv=None) -> int:
     seed_ids = jnp.arange(n_top, dtype=jnp.int32)
     seed_scores = tanimoto_matrix(target[None, :], packed[:n_top])[0]
 
-    orig_fo = dev.DenseStateOps.first_occurrence
+    # grab the descriptor itself, not the resolved function
+    orig_fo = dev.DenseStateOps.__dict__["first_occurrence"]
     results = {}
     for probe in args.probes:
         if probe == "no-dedup":
             dev.DenseStateOps.first_occurrence = staticmethod(
                 lambda v, s: v != s)
         else:
-            dev.DenseStateOps.first_occurrence = orig_fo
+            dev.DenseStateOps.first_occurrence = orig_fo  # staticmethod obj
         if probe == "cheap-score":
             run = dev.make_device_run(
                 dg, packed, pops,

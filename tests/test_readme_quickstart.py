@@ -1,5 +1,7 @@
 """The README quick-start, executed verbatim in spirit — docs must work."""
 
+import os
+
 import numpy as np
 
 
@@ -46,3 +48,29 @@ def test_readme_quickstart(tmp_path):
     assert best[0][1] == min(m[1] for m in traverser.get_molecules())
     assert best[0][2].startswith("SMILES_")
     traverser.shutdown()
+
+
+def test_dudez_notebook_cells_execute(tmp_path, monkeypatch):
+    """The DUDE-Z walkthrough notebook's code cells run end-to-end (scaled
+    down) — the artifact users start from must not rot."""
+    import json
+    import sys
+
+    import matplotlib
+    matplotlib.use("Agg")
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    nb = json.load(open(os.path.join(root, "examples",
+                                     "DUDEZ_example.ipynb")))
+    src = "\n".join("".join(c["source"]) for c in nb["cells"]
+                    if c["cell_type"] == "code")
+    # scale down for CI: 4k molecules, fast build, 1k budget
+    src = (src.replace("n=40_000", "n=4_000")
+              .replace("expansion_add=400", "expansion_add=32")
+              .replace("n_to_score=10_000", "n_to_score=1_000")
+              .replace("plt.show()", "plt.close()"))
+    monkeypatch.syspath_prepend(os.path.join(root, "examples"))
+    ns: dict = {}
+    exec(compile(src, "DUDEZ_example.ipynb", "exec"), ns)
+    assert ns["stats"]["n_scored"] >= 1_000
+    assert ns["curve"][-1] > 0.5  # at 25% scored, most of top-100 found
