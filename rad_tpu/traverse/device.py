@@ -660,8 +660,12 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
     Returns ``run(state, n_to_score) -> state``.
     """
 
+    # graph arrays enter as ARGUMENTS, not closure constants: a closed-over
+    # [N, W] matrix gets baked into the program as a literal (128 MB at 1M
+    # molecules), which bloats/overflows compile payloads.
     @partial(jax.jit, donate_argnums=(0,))
-    def run(state: TraversalState, n_to_score) -> TraversalState:
+    def _run(state: TraversalState, n_to_score, dg_a: DeviceGraph,
+             packed_a, pops_a) -> TraversalState:
         def cond(carry):
             st, steps = carry
             return ((st.n_scored < n_to_score)
@@ -670,19 +674,23 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
 
         def body(carry):
             st, steps = carry
-            st, out = expand_impl(st, dg, batch)
+            st, out = expand_impl(st, dg_a, batch)
             ts = out["to_score"]
             ok = ts >= 0
             safe = jnp.where(ok, ts, 0)
-            raw = scorer(packed[safe], pops[safe])
+            raw = scorer(packed_a[safe], pops_a[safe])
             scores = jnp.where(ok, raw.astype(jnp.float32), INF)
-            st = integrate_impl(st, dg, out["exp_node"], out["exp_level"],
-                                out["exp_score"], out["exp_valid"],
-                                out["cand"], out["to_score"], scores)
+            st = integrate_impl(st, dg_a, out["exp_node"],
+                                out["exp_level"], out["exp_score"],
+                                out["exp_valid"], out["cand"],
+                                out["to_score"], scores)
             return st, steps + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
         return state
+
+    def run(state: TraversalState, n_to_score) -> TraversalState:
+        return _run(state, n_to_score, dg, packed, pops)
 
     return run
 
