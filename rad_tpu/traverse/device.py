@@ -111,6 +111,11 @@ class TraversalState:
     f_score/f_row: [C] frontier slots (+inf score = empty).
     enqueued:      [R] bool — (node, level) ever pushed to the frontier
                    (replaces the Redis visited SET, rad/visited.py:17-29).
+    f_live:        scalar i32 — count of live (finite, unpopped) frontier
+                   entries across main + buffer, maintained incrementally
+                   so the while-loop termination check is O(1) instead of
+                   an O(C) scan every step (profiled at ~0.85 ms/step at
+                   C=2²⁰ before this counter existed).
     scored:        [N] bool; scores: [N] f32 — global once-only scoring
                    record (replaces rad/scored.py:37-48).
     order_log:     [cap] i32 — node ids in scoring order (insertion-order
@@ -126,6 +131,7 @@ class TraversalState:
     f_buf_score: jnp.ndarray
     f_buf_row: jnp.ndarray
     f_buf_n: jnp.ndarray
+    f_live: jnp.ndarray
     enqueued: jnp.ndarray
     scored: jnp.ndarray
     scores: jnp.ndarray
@@ -184,6 +190,7 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
         f_buf_score=jnp.full((buffer_capacity,), INF, jnp.float32),
         f_buf_row=jnp.zeros((buffer_capacity,), jnp.int32),
         f_buf_n=jnp.zeros((), jnp.int32),
+        f_live=jnp.zeros((), jnp.int32),
         enqueued=jnp.zeros((dg.n_rows,), jnp.bool_),
         scored=jnp.zeros((dg.n_nodes,), jnp.bool_),
         scores=jnp.full((dg.n_nodes,), INF, jnp.float32),
@@ -353,6 +360,8 @@ def expand_impl(
     new_state = dataclasses.replace(state, f_score=f_score,
                                     f_cursor=f_cursor,
                                     f_buf_score=f_buf_score,
+                                    f_live=state.f_live
+                                    - jnp.sum(valid).astype(jnp.int32),
                                     n_steps=state.n_steps + 1)
     out = {
         "exp_node": node,
@@ -459,38 +468,39 @@ def integrate_impl(
     p = state.f_buf_score.shape[0]
 
     def do_append(args):
-        f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = args
+        f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = args
         pos = buf_n + jnp.arange(p_new, dtype=jnp.int32)
         pos = jnp.where(jnp.isfinite(new_scores_all), pos, p)  # drop pad
         buf_s = buf_s.at[pos].set(new_scores_all, mode="drop")
         buf_r = buf_r.at[pos].set(new_rows_all, mode="drop")
         return f_score, f_row, cursor, buf_s, buf_r, buf_n + n_push, \
-            n_dropped
+            f_live + n_push, n_dropped
 
     def do_merge(args):
-        f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = args
+        f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = args
         # entries before the cursor were already popped: mask them out
         live = jnp.arange(c, dtype=jnp.int32) >= cursor
         all_s = jnp.concatenate([jnp.where(live, f_score, INF), buf_s,
                                  new_scores_all])
         all_r = jnp.concatenate([f_row, buf_r, new_rows_all])
         ss, sr = jax.lax.sort((all_s, all_r), num_keys=1)
-        n_dropped = n_dropped + jnp.sum(
-            jnp.isfinite(ss[c:])).astype(jnp.int32)
+        dropped_now = jnp.sum(jnp.isfinite(ss[c:])).astype(jnp.int32)
         return (ss[:c], sr[:c], jnp.zeros((), jnp.int32),
                 jnp.full((p,), INF, jnp.float32),
                 jnp.zeros((p,), jnp.int32),
-                jnp.zeros((), jnp.int32), n_dropped)
+                jnp.zeros((), jnp.int32),
+                f_live + n_push - dropped_now,
+                n_dropped + dropped_now)
 
     args = (state.f_score, state.f_row, state.f_cursor, state.f_buf_score,
-            state.f_buf_row, state.f_buf_n, state.n_dropped)
+            state.f_buf_row, state.f_buf_n, state.f_live, state.n_dropped)
     if p_new > p:
         # buffer smaller than one step's pushes: always merge
         out_args = do_merge(args)
     else:
         out_args = jax.lax.cond(
             state.f_buf_n + n_push <= p, do_append, do_merge, args)
-    f_score, f_row, cursor, buf_s, buf_r, buf_n, n_dropped = out_args
+    f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = out_args
 
     return dataclasses.replace(
         state,
@@ -500,6 +510,7 @@ def integrate_impl(
         f_buf_score=buf_s,
         f_buf_row=buf_r,
         f_buf_n=buf_n,
+        f_live=f_live,
         enqueued=enqueued,
         scored=scored,
         scores=scores,
@@ -552,11 +563,15 @@ def prime(
     all_rows = jnp.concatenate([state.f_row, entry_row])
     sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
                                               num_keys=1)
+    f_live = (state.f_live
+              + jnp.sum(jnp.isfinite(entry_score)).astype(jnp.int32)
+              - jnp.sum(jnp.isfinite(sorted_scores[c:])).astype(jnp.int32))
     return dataclasses.replace(
         state,
         f_score=sorted_scores[:c],
         f_row=sorted_rows[:c],
         f_cursor=jnp.zeros((), jnp.int32),
+        f_live=f_live,
         enqueued=enqueued,
         scored=scored,
         scores=scores,
@@ -710,10 +725,17 @@ def save_state(state: TraversalState, path: str) -> None:
 def load_state(path: str) -> TraversalState:
     """Restore a traversal checkpoint written by :func:`save_state`."""
     data = np.load(path)
-    return TraversalState(**{
-        f.name: jnp.asarray(data[f.name])
-        for f in dataclasses.fields(TraversalState)
-    })
+    arrays = {f.name: jnp.asarray(data[f.name])
+              for f in dataclasses.fields(TraversalState)
+              if f.name in data}
+    if "f_live" not in arrays:  # pre-0.2 checkpoint: recount from arrays
+        c = arrays["f_score"].shape[0]
+        live = jnp.arange(c, dtype=jnp.int32) >= arrays["f_cursor"]
+        arrays["f_live"] = (
+            jnp.sum(live & jnp.isfinite(arrays["f_score"]))
+            + jnp.sum(jnp.isfinite(arrays["f_buf_score"]))
+        ).astype(jnp.int32)
+    return TraversalState(**arrays)
 
 
 def read_order_log(state: TraversalState) -> np.ndarray:
@@ -753,7 +775,15 @@ def read_order_log_since(state: TraversalState, start: int) -> np.ndarray:
 
 
 def frontier_live(state: TraversalState) -> jnp.ndarray:
-    """Traced count of live frontier entries (main past cursor + buffer)."""
+    """Count of live frontier entries (main past cursor + buffer) — the
+    incrementally-maintained scalar, O(1) (the while-loop termination check
+    reads this every step; the old O(C) scan cost ~0.85 ms/step at C=2²⁰)."""
+    return state.f_live
+
+
+def frontier_live_scan(state: TraversalState) -> jnp.ndarray:
+    """O(C) recount of live frontier entries — the invariant oracle for
+    :func:`frontier_live` (tests assert they agree after every phase)."""
     c = state.f_score.shape[0]
     live = jnp.arange(c, dtype=jnp.int32) >= state.f_cursor
     return (jnp.sum(live & jnp.isfinite(state.f_score))

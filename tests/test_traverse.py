@@ -347,3 +347,39 @@ def test_order_log_incremental_drain():
     # overrun raises instead of silently losing entries
     with pytest.raises(RuntimeError):
         dev.read_order_log_since(state, 0)
+
+
+def test_frontier_live_counter_matches_scan():
+    """The O(1) f_live counter is the termination signal; it must agree
+    with the O(C) recount after prime, every step, and across merges."""
+    import jax.numpy as jnp
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(800, n_bits=64, density=0.3, seed=23)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=5)
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    target = jnp.asarray(fps[3])
+    t_pop = popcount_rows(target[None, :])[0]
+
+    # small buffer forces frequent merges; small frontier forces drops
+    state = dev.init_state(dg, frontier_capacity=256, buffer_capacity=64)
+    n_top = graph.layer_sizes[graph.max_level]
+    state = dev.prime(state, dg, jnp.arange(n_top, dtype=jnp.int32),
+                      tanimoto_matrix(target[None, :], packed[:n_top])[0])
+    assert int(state.f_live) == int(dev.frontier_live_scan(state))
+
+    for _ in range(120):
+        if int(state.f_live) == 0:
+            break
+        state = dev.fused_step(state, dg, packed, pops, target, t_pop,
+                               batch=8)
+        assert int(state.f_live) == int(dev.frontier_live_scan(state))
+    assert int(state.n_dropped) > 0, "test must cross the merge/drop path"
+    assert int(state.f_live) == 0, "sweep must exhaust"
