@@ -50,6 +50,7 @@ __all__ = [
     "make_sharded_step_full",
     "make_sharded_expand_integrate",
     "make_sharded_search",
+    "make_sharded_search_2d",
     "init_state_sharded",
 ]
 
@@ -564,15 +565,41 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
     Returns ``search(queries [B, W] uint32) -> (dists [B, k], ids [B, k])``
     with B == ``batch``.
     """
+    shard_body = _make_search_shard_body(sg, k, ef)
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(sg.axis, None), P(sg.axis, None), P(sg.axis), P(),
+                  P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def search(queries):
+        from rad_tpu.fp.pack import popcount_rows
+        q_pops = popcount_rows(queries)
+        return mapped(sg.adj, sg.packed, sg.pops, sg.offsets, queries,
+                      q_pops)
+
+    return search
+
+
+def _make_search_shard_body(sg: ShardedGraph, k: int, ef: int):
+    """The per-shard beam-search body shared by the 1-D (replicated-query)
+    and 2-D (query-sharded) sharded searches. Collectives run over the
+    graph axis only, so a query shard's beam is oblivious to how many
+    data-rows the mesh has."""
     axis = sg.axis
-    nd = mesh.shape[axis]
-    adj_shard = sg.n_pad_rows // nd
-    fp_shard = sg.n_pad_nodes // nd
     n = sg.n_nodes
     m0 = sg.m0
     max_level = sg.max_level
 
     def shard_body(adj_l, packed_l, pops_l, offsets, queries, q_pops):
+        # shard sizes come from the local block shapes (static at trace)
+        adj_shard = adj_l.shape[0]
+        fp_shard = packed_l.shape[0]
+
         def gather_adj_rows(rows):           # [B] -> [B, M0]
             return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
 
@@ -681,10 +708,38 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
             (beam_d, beam_id, expanded, visited, jnp.int32(0)))
         return beam_d[:, :k], beam_id[:, :k]
 
+    return shard_body
+
+
+def make_sharded_search_2d(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
+                           batch: int, data_axis: str = "data"):
+    """Query-parallel × graph-parallel kNN over a 2-D mesh.
+
+    The 1-D :func:`make_sharded_search` replicates the query batch on every
+    chip; on a ``(data, graph)`` mesh the batch additionally *shards* over
+    the ``data`` axis — each data-row of the mesh runs an independent beam
+    over its query shard while the graph stays sharded over the ``graph``
+    axis within the row. Query throughput then scales with
+    ``mesh.shape[data_axis]`` at constant per-chip memory: the pod-scale
+    layout for bulk similarity screening (e.g. all-pairs library
+    comparison).
+
+    ``batch`` is the GLOBAL query count (must divide by the data-axis
+    size). Build the mesh with
+    ``make_mesh((n_data, n_graph), axis_names=("data", "graph"))`` and the
+    ShardedGraph with the same mesh (graph arrays are sharded over
+    ``graph`` only, replicated across ``data`` automatically).
+    """
+    axis = sg.axis
+    nd_data = mesh.shape[data_axis]
+    assert batch % nd_data == 0, (batch, nd_data)
+    inner = _make_search_shard_body(sg, k, ef)
+
     mapped = jax.shard_map(
-        shard_body, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None), P(axis), P(), P(), P()),
-        out_specs=(P(), P()),
+        inner, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis), P(),
+                  P(data_axis, None), P(data_axis)),
+        out_specs=(P(data_axis, None), P(data_axis, None)),
         check_vma=False,
     )
 

@@ -243,3 +243,28 @@ def test_sharded_traversal_matches_single_device(mesh, built):
     # frontier contents identical
     np.testing.assert_allclose(np.asarray(state1.f_score),
                                np.asarray(state2.f_score), atol=1e-6)
+
+
+def test_sharded_search_2d_matches_1d(built):
+    """(data x graph) 2-D mesh: query-sharded search returns the same
+    results as the replicated-query 1-D search over the same graph."""
+    from rad_tpu.parallel import make_mesh
+    from rad_tpu.parallel.sharded import (make_sharded_search,
+                                          make_sharded_search_2d,
+                                          shard_graph)
+
+    mesh2d = make_mesh((2, 4), axis_names=("data", "graph"))
+    sg2 = shard_graph(built, mesh2d)          # graph axis only
+    mesh1d = make_mesh(8, axis_names=("graph",))
+    sg1 = shard_graph(built, mesh1d)
+
+    queries = np.asarray(built.packed)[:16]   # divides data axis (2)
+    s2 = make_sharded_search_2d(sg2, mesh2d, k=4, ef=16, batch=16)
+    s1 = make_sharded_search(sg1, mesh1d, k=4, ef=16, batch=16)
+    d2, i2 = s2(jnp.asarray(queries))
+    d1, i1 = s1(jnp.asarray(queries))
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    # self-queries: top-1 is the query itself
+    assert (np.asarray(d2)[:, 0] == 0).all()
+    assert np.asarray(i2)[:, 0].tolist() == list(range(16))
