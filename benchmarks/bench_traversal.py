@@ -66,6 +66,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frontier", type=int, default=1 << 18)
     ap.add_argument("--buffer", type=int, default=1 << 17,
                     help="frontier append-buffer capacity")
+    ap.add_argument("--head", type=int, default=None,
+                    help="two-level frontier: sorted-head capacity "
+                         "(< --frontier); merges then sort head+buffer "
+                         "instead of the whole capacity")
     ap.add_argument("--n-to-score", type=int, default=None)
     ap.add_argument("--synthetic-graph", action="store_true",
                     help="skip HNSW construction; use a random layered "
@@ -132,7 +136,8 @@ def main(argv=None) -> int:
 
     def fresh_state():
         s = dev.init_state(dg, frontier_capacity=args.frontier,
-                           buffer_capacity=args.buffer)
+                           buffer_capacity=args.buffer,
+                           head_capacity=args.head)
         return dev.prime(s, dg, ids, seed_scores)
 
     log("compiling fused_run ...")

@@ -77,6 +77,7 @@ class PodTraverser:
         frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
+        head_capacity: int | None = None,
         scorer=None,
         shard_state: bool = False,
         scoring_fn: Optional[Callable[[str], float]] = None,
@@ -109,7 +110,8 @@ class PodTraverser:
         else:
             self.dg = self.sg.device_graph()
             self.state = dev.init_state(self.dg, frontier_capacity,
-                                        log_capacity, buffer_capacity)
+                                        log_capacity, buffer_capacity,
+                                        head_capacity)
 
         if self._host_mode:
             self._bridge = HostScoringBridge(

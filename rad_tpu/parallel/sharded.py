@@ -362,6 +362,10 @@ def init_state_sharded(sg: ShardedGraph, mesh: Mesh,
         f_buf_row=dev(jnp.zeros((buffer_capacity,), jnp.int32), rep),
         f_buf_n=dev(jnp.zeros((), jnp.int32), rep),
         f_live=dev(jnp.zeros((), jnp.int32), rep),
+        cold_score=dev(jnp.full((0,), jnp.inf, jnp.float32), rep),
+        cold_row=dev(jnp.zeros((0,), jnp.int32), rep),
+        cold_n=dev(jnp.zeros((), jnp.int32), rep),
+        watermark=dev(jnp.asarray(jnp.inf, jnp.float32), rep),
         enqueued=dev(jnp.zeros((sg.n_pad_rows,), jnp.bool_), row_sh),
         scored=dev(jnp.zeros((sg.n_pad_nodes,), jnp.bool_), row_sh),
         scores=dev(jnp.full((sg.n_pad_nodes,), jnp.inf, jnp.float32),

@@ -112,10 +112,20 @@ class TraversalState:
     enqueued:      [R] bool — (node, level) ever pushed to the frontier
                    (replaces the Redis visited SET, rad/visited.py:17-29).
     f_live:        scalar i32 — count of live (finite, unpopped) frontier
-                   entries across main + buffer, maintained incrementally
-                   so the while-loop termination check is O(1) instead of
-                   an O(C) scan every step (profiled at ~0.85 ms/step at
-                   C=2²⁰ before this counter existed).
+                   entries across head + buffer + cold, maintained
+                   incrementally so the while-loop termination check is
+                   O(1) instead of an O(C) scan every step.
+    cold_score/cold_row/cold_n/watermark: the optional SECOND frontier
+                   level (``head_capacity`` in :func:`init_state`). The
+                   head stays a small sorted array whose merges are cheap;
+                   entries scoring ≥ ``watermark`` append unsorted to the
+                   cold store and only re-enter via a (rare) refill sort
+                   when the head drains. Invariant: every cold entry ≥
+                   watermark ≥ every live head/buffer entry, so pops from
+                   head+buffer remain globally exact. Classic single-level
+                   layout = cold capacity 0 (the default). Equal-score
+                   entries may pop in a different order than the classic
+                   layout once spills occur (the only semantic difference).
     scored:        [N] bool; scores: [N] f32 — global once-only scoring
                    record (replaces rad/scored.py:37-48).
     order_log:     [cap] i32 — node ids in scoring order (insertion-order
@@ -132,6 +142,10 @@ class TraversalState:
     f_buf_row: jnp.ndarray
     f_buf_n: jnp.ndarray
     f_live: jnp.ndarray
+    cold_score: jnp.ndarray
+    cold_row: jnp.ndarray
+    cold_n: jnp.ndarray
+    watermark: jnp.ndarray
     enqueued: jnp.ndarray
     scored: jnp.ndarray
     scores: jnp.ndarray
@@ -164,7 +178,8 @@ def auto_frontier_capacity(n_rows: int, cap_max: int = 1 << 22) -> int:
 
 def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
                log_capacity: int | None = None,
-               buffer_capacity: int = 1 << 15) -> TraversalState:
+               buffer_capacity: int = 1 << 15,
+               head_capacity: int | None = None) -> TraversalState:
     """The frontier is a sorted main array [C] plus an append buffer [P].
 
     Pushes go to the buffer (no sort); a full merge-sort happens only when
@@ -179,18 +194,34 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
     ``frontier_capacity=None`` auto-sizes via
     :func:`auto_frontier_capacity` — zero drops guaranteed for graphs up
     to ~4M rows.
+
+    ``head_capacity`` (< frontier_capacity) enables the TWO-LEVEL layout:
+    the sorted head shrinks to this size (merges sort head+buffer instead
+    of the whole capacity) and the remaining ``frontier_capacity`` slots
+    become the unsorted cold store for entries at/above the watermark —
+    same total capacity and drop policy, much cheaper steady-state merges.
+    Equal-score pop order may differ from the single-level layout once
+    spills occur.
     """
     if frontier_capacity is None:
         frontier_capacity = auto_frontier_capacity(dg.n_rows)
+    if head_capacity is not None and head_capacity < frontier_capacity:
+        head, cold_cap = head_capacity, frontier_capacity
+    else:
+        head, cold_cap = frontier_capacity, 0
     cap = log_capacity if log_capacity is not None else dg.n_nodes
     return TraversalState(
-        f_score=jnp.full((frontier_capacity,), INF, jnp.float32),
-        f_row=jnp.zeros((frontier_capacity,), jnp.int32),
+        f_score=jnp.full((head,), INF, jnp.float32),
+        f_row=jnp.zeros((head,), jnp.int32),
         f_cursor=jnp.zeros((), jnp.int32),
         f_buf_score=jnp.full((buffer_capacity,), INF, jnp.float32),
         f_buf_row=jnp.zeros((buffer_capacity,), jnp.int32),
         f_buf_n=jnp.zeros((), jnp.int32),
         f_live=jnp.zeros((), jnp.int32),
+        cold_score=jnp.full((cold_cap,), INF, jnp.float32),
+        cold_row=jnp.zeros((cold_cap,), jnp.int32),
+        cold_n=jnp.zeros((), jnp.int32),
+        watermark=jnp.asarray(jnp.inf, jnp.float32),
         enqueued=jnp.zeros((dg.n_rows,), jnp.bool_),
         scored=jnp.zeros((dg.n_nodes,), jnp.bool_),
         scores=jnp.full((dg.n_nodes,), INF, jnp.float32),
@@ -289,6 +320,41 @@ def _first_occurrence_scatter(values: jnp.ndarray,
     return (scratch[values] == pos) & (values != sentinel)
 
 
+def _refill_two_level(state: TraversalState) -> TraversalState:
+    """Rebuild the head from head-residual + buffer + cold (one big sort).
+
+    The best H entries become the new sorted head; the next CC stay in the
+    (now sorted) cold store; anything past total capacity drops (counted).
+    The new watermark is the head's max — every remaining cold entry is ≥
+    it by construction.
+    """
+    h = state.f_score.shape[0]
+    cc = state.cold_score.shape[0]
+    live = jnp.arange(h, dtype=jnp.int32) >= state.f_cursor
+    all_s = jnp.concatenate([jnp.where(live, state.f_score, INF),
+                             state.f_buf_score, state.cold_score])
+    all_r = jnp.concatenate([state.f_row, state.f_buf_row, state.cold_row])
+    ss, sr = jax.lax.sort((all_s, all_r), num_keys=1)
+    head_s, head_r = ss[:h], sr[:h]
+    cold_s, cold_r = ss[h:h + cc], sr[h:h + cc]
+    n_cold = jnp.sum(jnp.isfinite(cold_s)).astype(jnp.int32)
+    dropped = jnp.sum(jnp.isfinite(ss[h + cc:])).astype(jnp.int32)
+    watermark = jnp.where(n_cold > 0, head_s[h - 1], jnp.inf)
+    p = state.f_buf_score.shape[0]
+    return dataclasses.replace(
+        state,
+        f_score=head_s, f_row=head_r,
+        f_cursor=jnp.zeros((), jnp.int32),
+        f_buf_score=jnp.full((p,), INF, jnp.float32),
+        f_buf_row=jnp.zeros((p,), jnp.int32),
+        f_buf_n=jnp.zeros((), jnp.int32),
+        f_live=state.f_live - dropped,
+        cold_score=cold_s, cold_row=cold_r, cold_n=n_cold,
+        watermark=watermark,
+        n_dropped=state.n_dropped + dropped,
+    )
+
+
 def expand_impl(
     state: TraversalState, dg: DeviceGraph, batch: int,
     gather_adj=None, ops: DenseStateOps = DENSE_OPS,
@@ -309,6 +375,14 @@ def expand_impl(
     c = state.f_score.shape[0]
     p = state.f_buf_score.shape[0]
     assert c >= b, "frontier_capacity must be >= batch"
+    if state.cold_score.shape[0] > 0:
+        # two-level layout: when head+buffer can't satisfy this batch and
+        # the cold store holds entries, refill first (rare: once per ~H
+        # pops). Pops themselves never touch cold — the watermark
+        # invariant keeps the global minimum inside head+buffer.
+        hb_live = state.f_live - state.cold_n
+        need = (hb_live < b) & (state.cold_n > 0)
+        state = jax.lax.cond(need, _refill_two_level, lambda s: s, state)
     # main candidates: the next B entries at the sorted prefix's cursor
     start = jnp.minimum(state.f_cursor, c - b)
     offs = start + jnp.arange(b, dtype=jnp.int32)
@@ -462,45 +536,90 @@ def integrate_impl(
     # compact finite pushes to the front (small sort over B*M0+B)
     new_scores_all, new_rows_all = jax.lax.sort(
         (new_scores_all, new_rows_all), num_keys=1)
-    n_push = jnp.sum(jnp.isfinite(new_scores_all)).astype(jnp.int32)
     p_new = new_scores_all.shape[0]
     c = state.f_score.shape[0]
     p = state.f_buf_score.shape[0]
+    cc = state.cold_score.shape[0]
+    two_level = cc > 0
+
+    cold_s, cold_r = state.cold_score, state.cold_row
+    cold_n, watermark = state.cold_n, state.watermark
+    f_live0, n_dropped0 = state.f_live, state.n_dropped
+    if two_level:
+        # route: scores < watermark take the head/buffer path; the rest
+        # append straight to the (unsorted) cold store. The push batch is
+        # sorted ascending, so each class is a contiguous run.
+        finite = jnp.isfinite(new_scores_all)
+        qual = finite & (new_scores_all < watermark)
+        n_push = jnp.sum(qual).astype(jnp.int32)
+        n_cold_new = jnp.sum(finite).astype(jnp.int32) - n_push
+        idx = jnp.arange(p_new, dtype=jnp.int32)
+        pos_cold = jnp.where(finite & ~qual, cold_n + idx - n_push, cc)
+        cold_s = cold_s.at[pos_cold].set(new_scores_all, mode="drop")
+        cold_r = cold_r.at[pos_cold].set(new_rows_all, mode="drop")
+        kept_cold = jnp.minimum(cold_n + n_cold_new, cc) - cold_n
+        cold_n = cold_n + kept_cold
+        f_live0 = f_live0 + kept_cold
+        n_dropped0 = n_dropped0 + (n_cold_new - kept_cold)
+        buf_scores_new = jnp.where(qual, new_scores_all, INF)
+    else:
+        n_push = jnp.sum(jnp.isfinite(new_scores_all)).astype(jnp.int32)
+        buf_scores_new = new_scores_all
 
     def do_append(args):
-        f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = args
+        (f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live,
+         c_s, c_r, c_n, wm, n_dropped) = args
         pos = buf_n + jnp.arange(p_new, dtype=jnp.int32)
-        pos = jnp.where(jnp.isfinite(new_scores_all), pos, p)  # drop pad
-        buf_s = buf_s.at[pos].set(new_scores_all, mode="drop")
+        pos = jnp.where(jnp.isfinite(buf_scores_new), pos, p)  # drop pad
+        buf_s = buf_s.at[pos].set(buf_scores_new, mode="drop")
         buf_r = buf_r.at[pos].set(new_rows_all, mode="drop")
-        return f_score, f_row, cursor, buf_s, buf_r, buf_n + n_push, \
-            f_live + n_push, n_dropped
+        return (f_score, f_row, cursor, buf_s, buf_r, buf_n + n_push,
+                f_live + n_push, c_s, c_r, c_n, wm, n_dropped)
 
     def do_merge(args):
-        f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = args
+        (f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live,
+         c_s, c_r, c_n, wm, n_dropped) = args
         # entries before the cursor were already popped: mask them out
         live = jnp.arange(c, dtype=jnp.int32) >= cursor
         all_s = jnp.concatenate([jnp.where(live, f_score, INF), buf_s,
-                                 new_scores_all])
+                                 buf_scores_new])
         all_r = jnp.concatenate([f_row, buf_r, new_rows_all])
         ss, sr = jax.lax.sort((all_s, all_r), num_keys=1)
-        dropped_now = jnp.sum(jnp.isfinite(ss[c:])).astype(jnp.int32)
+        if two_level:
+            # overflow SPILLS to the cold store instead of dropping; the
+            # watermark becomes the head's max so later sub-watermark
+            # pushes keep flowing to the head
+            spill_s, spill_r = ss[c:], sr[c:]
+            spill_n = jnp.sum(jnp.isfinite(spill_s)).astype(jnp.int32)
+            sp_idx = jnp.arange(spill_s.shape[0], dtype=jnp.int32)
+            sp_pos = jnp.where(jnp.isfinite(spill_s), c_n + sp_idx, cc)
+            c_s = c_s.at[sp_pos].set(spill_s, mode="drop")
+            c_r = c_r.at[sp_pos].set(spill_r, mode="drop")
+            kept = jnp.minimum(c_n + spill_n, cc) - c_n
+            c_n = c_n + kept
+            wm = jnp.where(spill_n > 0, ss[c - 1], wm)
+            dropped_now = spill_n - kept
+        else:
+            dropped_now = jnp.sum(jnp.isfinite(ss[c:])).astype(jnp.int32)
         return (ss[:c], sr[:c], jnp.zeros((), jnp.int32),
                 jnp.full((p,), INF, jnp.float32),
                 jnp.zeros((p,), jnp.int32),
                 jnp.zeros((), jnp.int32),
                 f_live + n_push - dropped_now,
+                c_s, c_r, c_n, wm,
                 n_dropped + dropped_now)
 
     args = (state.f_score, state.f_row, state.f_cursor, state.f_buf_score,
-            state.f_buf_row, state.f_buf_n, state.f_live, state.n_dropped)
+            state.f_buf_row, state.f_buf_n, f_live0,
+            cold_s, cold_r, cold_n, watermark, n_dropped0)
     if p_new > p:
         # buffer smaller than one step's pushes: always merge
         out_args = do_merge(args)
     else:
         out_args = jax.lax.cond(
             state.f_buf_n + n_push <= p, do_append, do_merge, args)
-    f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live, n_dropped = out_args
+    (f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live,
+     cold_s, cold_r, cold_n, watermark, n_dropped) = out_args
 
     return dataclasses.replace(
         state,
@@ -511,6 +630,10 @@ def integrate_impl(
         f_buf_row=buf_r,
         f_buf_n=buf_n,
         f_live=f_live,
+        cold_score=cold_s,
+        cold_row=cold_r,
+        cold_n=cold_n,
+        watermark=watermark,
         enqueued=enqueued,
         scored=scored,
         scores=scores,
@@ -563,20 +686,45 @@ def prime(
     all_rows = jnp.concatenate([state.f_row, entry_row])
     sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
                                               num_keys=1)
+    cc = state.cold_score.shape[0]
+    cold_s, cold_r = state.cold_score, state.cold_row
+    cold_n, watermark = state.cold_n, state.watermark
+    n_dropped = state.n_dropped
+    spill_fin = jnp.sum(jnp.isfinite(sorted_scores[c:])).astype(jnp.int32)
+    if cc > 0:
+        # head overflow spills to the cold store (two-level layout)
+        spill_s, spill_r = sorted_scores[c:], sorted_rows[c:]
+        sp_idx = jnp.arange(spill_s.shape[0], dtype=jnp.int32)
+        sp_pos = jnp.where(jnp.isfinite(spill_s), cold_n + sp_idx, cc)
+        cold_s = cold_s.at[sp_pos].set(spill_s, mode="drop")
+        cold_r = cold_r.at[sp_pos].set(spill_r, mode="drop")
+        kept = jnp.minimum(cold_n + spill_fin, cc) - cold_n
+        cold_n = cold_n + kept
+        watermark = jnp.where(spill_fin > 0, sorted_scores[c - 1],
+                              watermark)
+        n_dropped = n_dropped + (spill_fin - kept)
+        lost = spill_fin - kept
+    else:
+        lost = spill_fin
     f_live = (state.f_live
               + jnp.sum(jnp.isfinite(entry_score)).astype(jnp.int32)
-              - jnp.sum(jnp.isfinite(sorted_scores[c:])).astype(jnp.int32))
+              - lost)
     return dataclasses.replace(
         state,
         f_score=sorted_scores[:c],
         f_row=sorted_rows[:c],
         f_cursor=jnp.zeros((), jnp.int32),
         f_live=f_live,
+        cold_score=cold_s,
+        cold_row=cold_r,
+        cold_n=cold_n,
+        watermark=watermark,
         enqueued=enqueued,
         scored=scored,
         scores=scores,
         order_log=order_log,
         n_scored=n_scored,
+        n_dropped=n_dropped,
     )
 
 
@@ -735,6 +883,11 @@ def load_state(path: str) -> TraversalState:
             jnp.sum(live & jnp.isfinite(arrays["f_score"]))
             + jnp.sum(jnp.isfinite(arrays["f_buf_score"]))
         ).astype(jnp.int32)
+    if "cold_score" not in arrays:  # pre-two-level checkpoint
+        arrays["cold_score"] = jnp.full((0,), INF, jnp.float32)
+        arrays["cold_row"] = jnp.zeros((0,), jnp.int32)
+        arrays["cold_n"] = jnp.zeros((), jnp.int32)
+        arrays["watermark"] = jnp.asarray(jnp.inf, jnp.float32)
     return TraversalState(**arrays)
 
 
@@ -786,8 +939,11 @@ def frontier_live_scan(state: TraversalState) -> jnp.ndarray:
     :func:`frontier_live` (tests assert they agree after every phase)."""
     c = state.f_score.shape[0]
     live = jnp.arange(c, dtype=jnp.int32) >= state.f_cursor
-    return (jnp.sum(live & jnp.isfinite(state.f_score))
-            + jnp.sum(jnp.isfinite(state.f_buf_score))).astype(jnp.int32)
+    total = (jnp.sum(live & jnp.isfinite(state.f_score))
+             + jnp.sum(jnp.isfinite(state.f_buf_score)))
+    if state.cold_score.shape[0] > 0:
+        total = total + jnp.sum(jnp.isfinite(state.cold_score))
+    return total.astype(jnp.int32)
 
 
 def frontier_size(state: TraversalState) -> int:

@@ -42,6 +42,7 @@ class DeviceTraverser:
         frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
+        head_capacity: int | None = None,
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
     ) -> None:
@@ -54,7 +55,7 @@ class DeviceTraverser:
 
         self.dg = dev.prepare_device_graph(graph)
         self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
-                                    buffer_capacity)
+                                    buffer_capacity, head_capacity)
         self._keys = np.asarray(graph.keys)
         self._primed = False
         self._pool: Optional[ThreadPoolExecutor] = None
