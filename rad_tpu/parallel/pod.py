@@ -84,6 +84,7 @@ class PodTraverser:
         smiles_store=None,
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
+        order_log_spill: bool | str = False,
     ) -> None:
         if (target_packed is None) == (scoring_fn is None):
             raise ValueError(
@@ -99,6 +100,15 @@ class PodTraverser:
         self.stats = {"steps": 0}
         self._host_mode = scoring_fn is not None
         self._bridge = None
+        # host-spilled order log (docs/SCALING.md beyond-HBM regime): the
+        # replicated device ring stays O(log_capacity); the full insertion
+        # order accumulates host-side (RAM or file)
+        self._spill = None
+        if order_log_spill:
+            from rad_tpu.traverse.spill import SpilledOrderLog
+            self._spill = SpilledOrderLog(
+                order_log_spill if isinstance(order_log_spill, str)
+                else None)
 
         if shard_state:
             # billion-scale layout: scored/scores/enqueued row-sharded too
@@ -149,6 +159,8 @@ class PodTraverser:
                                           packed_top)[0]
         self.state = dev.prime(self.state, self.dg, ids, seed_scores)
         self._primed = True
+        if self._spill is not None:
+            self._spill.drain(self.state)
         return n_top
 
     def traverse(self, n_to_score: Optional[int] = None,
@@ -164,7 +176,9 @@ class PodTraverser:
                 self._bridge.score_batch,
                 n_scored_of=lambda st: int(st.n_scored),
                 n_to_score=n_to_score, timeout=timeout,
-                pipeline_depth=pipeline_depth, stats=self.stats)
+                pipeline_depth=pipeline_depth, stats=self.stats,
+                after_integrate=(self._spill.drain
+                                 if self._spill is not None else None))
             return dict(self.stats, n_scored=self.n_scored)
 
         start = time.monotonic()
@@ -183,6 +197,8 @@ class PodTraverser:
             self.state = self._step(self.state, self._target,
                                     self._target_pop)
             self.stats["steps"] += 1
+            if self._spill is not None:
+                self._spill.drain(self.state)
         self.stats.update(termination_reason=reason,
                           runtime_seconds=time.monotonic() - start,
                           n_scored=int(self.state.n_scored))
@@ -230,8 +246,14 @@ class PodTraverser:
 
     def get_molecules(self, n: int | None = None) -> List[Tuple]:
         """(node_id, score[, smiles]) in traversal order; SMILES included
-        in host mode (parity with rad/scored.py:63-85)."""
-        ids = dev.read_order_log(self.state)
+        in host mode (parity with rad/scored.py:63-85). With
+        ``order_log_spill`` the complete order is served from the host log
+        even past the device ring capacity."""
+        if self._spill is not None:
+            self._spill.drain(self.state)
+            ids = self._spill.read()
+        else:
+            ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
         scores = np.asarray(self.state.scores)[ids]

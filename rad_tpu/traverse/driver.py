@@ -45,6 +45,7 @@ class DeviceTraverser:
         head_capacity: int | None = None,
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
+        order_log_spill: bool | str = False,
     ) -> None:
         self.graph = graph
         self.scoring_fn = scoring_fn
@@ -56,6 +57,16 @@ class DeviceTraverser:
         self.dg = dev.prepare_device_graph(graph)
         self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
                                     buffer_capacity, head_capacity)
+        # host-spilled order log: the device ring stays O(log_capacity)
+        # while the complete insertion order accumulates on the host
+        # (in RAM, or appended to a file when a path is given) — the
+        # beyond-HBM regime of docs/SCALING.md
+        self._spill = None
+        if order_log_spill:
+            from rad_tpu.traverse.spill import SpilledOrderLog
+            self._spill = SpilledOrderLog(
+                order_log_spill if isinstance(order_log_spill, str)
+                else None)
         self._keys = np.asarray(graph.keys)
         self._primed = False
         self._pool: Optional[ThreadPoolExecutor] = None
@@ -103,6 +114,8 @@ class DeviceTraverser:
         self.stats["scoring_time"] += time.perf_counter() - t0
         self.state = dev.prime(self.state, self.dg, ids, scores)
         self._primed = True
+        if self._spill is not None:
+            self._spill.drain(self.state)
         return n_top
 
     def _ensure_pool(self):
@@ -155,7 +168,9 @@ class DeviceTraverser:
             self.state, expand, integrate, self._score_batch,
             n_scored_of=lambda st: int(st.n_scored),
             n_to_score=n_to_score, timeout=timeout,
-            pipeline_depth=pipeline_depth, stats=self.stats)
+            pipeline_depth=pipeline_depth, stats=self.stats,
+            after_integrate=(self._spill.drain if self._spill is not None
+                             else None))
         return dict(self.stats, n_scored=self.n_scored)
 
     def shutdown(self) -> None:
@@ -184,8 +199,13 @@ class DeviceTraverser:
 
     def get_molecules(self, n: int | None = None) -> List[Tuple[int, float, str]]:
         """(node_id, score, smiles) in traversal order (parity with
-        rad/scored.py:63-85)."""
-        ids = dev.read_order_log(self.state)
+        rad/scored.py:63-85). With ``order_log_spill`` the complete order
+        is served from the host log even past the device ring capacity."""
+        if self._spill is not None:
+            self._spill.drain(self.state)
+            ids = self._spill.read()
+        else:
+            ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
         scores = np.asarray(self.state.scores)[ids]

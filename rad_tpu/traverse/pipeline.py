@@ -101,6 +101,7 @@ def pipelined_traverse(
     timeout: Optional[float] = None,
     pipeline_depth: int = 1,
     stats: Optional[dict] = None,
+    after_integrate: Optional[Callable] = None,
 ) -> Tuple[object, str]:
     """Run expand → host-score → integrate until a stop condition.
 
@@ -109,6 +110,8 @@ def pipelined_traverse(
     integrate(state, out, new_scores [K] f32 device array) -> state
     score_batch(to_score np [K]) -> np [K] f32 (positions of valid ids
                                     filled; padding ignored by integrate)
+    after_integrate(state) — optional host hook run after every integrate
+    (e.g. the incremental order-log drain, rad_tpu.traverse.spill)
 
     Termination reasons mirror the reference (rad/traverser.py:178-245 +
     rad/coordination_service.py:415-457): ``n_to_score``, ``timeout``,
@@ -145,6 +148,8 @@ def pipelined_traverse(
                                                   dtype=jnp.float32))
         stats["device_time"] += time.perf_counter() - t0
         stats["steps"] += 1
+        if after_integrate is not None:
+            after_integrate(state)
         return state
 
     try:
