@@ -153,6 +153,7 @@ def build_hnsw(
     expansion_add: int = 200,
     ndim: int | None = None,
     seed: int = 0,
+    extend_candidates: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph over packed fingerprints (host, exact semantics).
 
@@ -160,6 +161,13 @@ def build_hnsw(
     (README.md:47-53): ``connectivity`` = M, ``expansion_add`` = efC.
     ``keys`` are the user keys (default: 0..N-1 before level-sorting —
     i.e. key == original row index of ``packed``).
+
+    ``extend_candidates`` enables the HNSW paper's Algorithm-4 candidate
+    extension: before neighbor selection, the beam's candidate set is
+    augmented with the candidates' own neighbors (re-scored against the
+    inserted node). Helps link quality in low-margin regimes (uniform
+    random bits — the distance-concentration pathology in BENCHMARKS.md);
+    off by default to match usearch behavior.
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -234,7 +242,22 @@ def build_hnsw(
             found = _search_layer(dist, i, eps, expansion_add,
                                   neighbors[lc], visited)
             cap = m0 if lc == 0 else m
-            sel = select_neighbors_heuristic(dist, i, found, cap)
+            cand = found
+            if extend_candidates and found:
+                seen = {c for _, c in found} | {i}
+                ext_ids = []
+                for _, c in found:
+                    row = neighbors[lc][c]
+                    for nb in row[row >= 0].tolist():
+                        if nb not in seen:
+                            seen.add(nb)
+                            ext_ids.append(nb)
+                if ext_ids:
+                    ext_ids = np.asarray(ext_ids, dtype=np.int64)
+                    ext_d = dist(i, ext_ids)
+                    cand = sorted(found + list(zip(ext_d.tolist(),
+                                                   ext_ids.tolist())))
+            sel = select_neighbors_heuristic(dist, i, cand, cap)
             _link(lc, i, sel)
             for b in sel:
                 _add_reverse(lc, b, i)
