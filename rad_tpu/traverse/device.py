@@ -531,11 +531,14 @@ def integrate_impl(
     desc_row = jnp.where(down_ok, down_row, 0)
 
     # -- frontier push: append to buffer; merge-sort only when full --------
+    # Pushes stay in candidate order and are compacted with cumsums instead
+    # of a sort (this was a [B*M0+B]-key 2-array sort on the hot path).
+    # Tie/pop order is UNCHANGED: the old stable score-sort kept equal-score
+    # pushes in candidate order, cumsum compaction keeps the same relative
+    # slot order for equal scores, and every downstream selection (buffer
+    # top_k, stable merge sorts) breaks ties by slot position.
     new_scores_all = jnp.concatenate([cand_score, desc_score])
     new_rows_all = jnp.concatenate([cand_row_entry, desc_row])
-    # compact finite pushes to the front (small sort over B*M0+B)
-    new_scores_all, new_rows_all = jax.lax.sort(
-        (new_scores_all, new_rows_all), num_keys=1)
     p_new = new_scores_all.shape[0]
     c = state.f_score.shape[0]
     p = state.f_buf_score.shape[0]
@@ -545,16 +548,17 @@ def integrate_impl(
     cold_s, cold_r = state.cold_score, state.cold_row
     cold_n, watermark = state.cold_n, state.watermark
     f_live0, n_dropped0 = state.f_live, state.n_dropped
+    finite = jnp.isfinite(new_scores_all)
     if two_level:
         # route: scores < watermark take the head/buffer path; the rest
-        # append straight to the (unsorted) cold store. The push batch is
-        # sorted ascending, so each class is a contiguous run.
-        finite = jnp.isfinite(new_scores_all)
+        # append straight to the (unsorted) cold store, compacted in
+        # candidate order.
         qual = finite & (new_scores_all < watermark)
         n_push = jnp.sum(qual).astype(jnp.int32)
-        n_cold_new = jnp.sum(finite).astype(jnp.int32) - n_push
-        idx = jnp.arange(p_new, dtype=jnp.int32)
-        pos_cold = jnp.where(finite & ~qual, cold_n + idx - n_push, cc)
+        to_cold = finite & ~qual
+        n_cold_new = jnp.sum(to_cold).astype(jnp.int32)
+        pos_cold = jnp.where(
+            to_cold, cold_n + jnp.cumsum(to_cold.astype(jnp.int32)) - 1, cc)
         cold_s = cold_s.at[pos_cold].set(new_scores_all, mode="drop")
         cold_r = cold_r.at[pos_cold].set(new_rows_all, mode="drop")
         kept_cold = jnp.minimum(cold_n + n_cold_new, cc) - cold_n
@@ -563,14 +567,15 @@ def integrate_impl(
         n_dropped0 = n_dropped0 + (n_cold_new - kept_cold)
         buf_scores_new = jnp.where(qual, new_scores_all, INF)
     else:
-        n_push = jnp.sum(jnp.isfinite(new_scores_all)).astype(jnp.int32)
+        n_push = jnp.sum(finite).astype(jnp.int32)
         buf_scores_new = new_scores_all
 
     def do_append(args):
         (f_score, f_row, cursor, buf_s, buf_r, buf_n, f_live,
          c_s, c_r, c_n, wm, n_dropped) = args
-        pos = buf_n + jnp.arange(p_new, dtype=jnp.int32)
-        pos = jnp.where(jnp.isfinite(buf_scores_new), pos, p)  # drop pad
+        fin = jnp.isfinite(buf_scores_new)
+        pos = buf_n + jnp.cumsum(fin.astype(jnp.int32)) - 1
+        pos = jnp.where(fin, pos, p)  # drop pad/cold-routed entries
         buf_s = buf_s.at[pos].set(buf_scores_new, mode="drop")
         buf_r = buf_r.at[pos].set(new_rows_all, mode="drop")
         return (f_score, f_row, cursor, buf_s, buf_r, buf_n + n_push,
