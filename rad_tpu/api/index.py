@@ -73,10 +73,9 @@ class HNSWIndex:
         Adding after a graph exists (usearch ``Index.add`` semantics,
         reference README.md:58) is supported by *rebuild*: the existing
         rows are folded into the pending set and the graph is reconstructed
-        on the next build()/query — O(N) per append batch, so batch appends
-        rather than adding one vector at a time. (usearch inserts
-        incrementally; static screening libraries make rebuild the simpler
-        trade here.)
+        on the next build()/query — O(N) per append batch. For true O(K)
+        incremental insertion into a built graph (usearch's actual
+        mechanism) use :meth:`insert`.
         """
         if self._graph is not None and not self._pending_fps:
             # graph came from load()/from_graph(): seed the rebuild with its
@@ -104,6 +103,33 @@ class HNSWIndex:
         if log:
             logger.info("queued %d vectors (total pending %d)",
                         len(keys), sum(len(k) for k in self._pending_keys))
+
+    def insert(self, keys, vectors, **kwargs) -> None:
+        """True incremental insertion into the BUILT graph — O(K) insert
+        work instead of ``add``'s O(N+K) rebuild (usearch's own append
+        mechanism, reference README.md:58). Builds first if needed.
+
+        Node ids are renumbered (the level-sorted id invariant); user keys
+        are stable — re-resolve ids via :meth:`get_node_ids_from_keys`
+        (the reference workflow does exactly that,
+        examples/DUDEZ_example.ipynb:405-409).
+        """
+        from rad_tpu.build.incremental import insert_into_graph
+
+        vectors = np.asarray(vectors)
+        if vectors.ndim == 1:
+            vectors = vectors[None, :]
+        if vectors.shape[1] == self.ndim and vectors.dtype != np.uint32:
+            from rad_tpu.fp.pack import pack_fingerprints
+            vectors = pack_fingerprints(vectors)
+        keys = np.atleast_1d(np.asarray(keys, dtype=np.int64))
+        g = self.graph  # builds pending rows if necessary
+        self._graph = insert_into_graph(
+            g, vectors, new_keys=keys,
+            expansion_add=self.expansion_add, seed=self.seed, **kwargs)
+        # a later add() folds rows back from the graph (no pending copies)
+        self._pending_keys = []
+        self._pending_fps = []
 
     # ---------------------------------------------------------------- build
     def build(self, backend: str | None = None, **kwargs) -> HNSWGraph:

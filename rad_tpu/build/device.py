@@ -75,13 +75,17 @@ def _dist_rows(packed, pops, q_ids, cand_ids, valid):
 
 
 def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
-                       prefix_limit, active, ef: int, n: int):
+                       prefix_limit, active, ef: int, n: int,
+                       extra_visible=None):
     """Masked batched beam search at one layer over the built prefix.
 
     adj_l: [N_l, M_l]; ep_ids/ep_ds: [B, S] seed candidates; active: [B]
     (inactive rows keep their seeds). Returns (beam_d, beam_id) [B, ef]
     ascending. Candidates with id >= prefix_limit (not yet inserted) are
-    invisible.
+    invisible — unless ``extra_visible`` (an [>=N_l] bool array in node-id
+    space) marks them visible, which is how incremental insertion
+    (rad_tpu.build.incremental) exposes the pre-existing graph whose node
+    ids interleave with the new nodes'.
 
     The visited set is size-gated (rad_tpu.search.visited): a dense
     [B, N] bitmap while it fits the memory budget (exact, one gather +
@@ -130,8 +134,10 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
         expanded = expanded.at[rowsel, sel].set(True)
         u = jnp.maximum(beam_id[rowsel, sel], 0)
         nbrs = adj_l[u]                                              # [B, M_l]
-        valid = (nbrs >= 0) & (nbrs < prefix_limit[:, None]) \
-            & has_work[:, None]
+        vis = nbrs < prefix_limit[:, None]
+        if extra_visible is not None:
+            vis = vis | extra_visible[jnp.maximum(nbrs, 0)]
+        valid = (nbrs >= 0) & vis & has_work[:, None]
         if dense:
             seen = visited[rowsel[:, None], jnp.maximum(nbrs, 0)]
             valid = valid & ~seen
