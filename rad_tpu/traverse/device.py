@@ -390,28 +390,13 @@ def expand_impl(
                        jax.lax.dynamic_slice(state.f_score, (start,), (b,)),
                        INF)
     main_r = jax.lax.dynamic_slice(state.f_row, (start,), (b,))
-    # buffer candidates: its top-B. Live entries are a compacted prefix
-    # [0, f_buf_n) (appends are contiguous, merges empty the buffer), so
-    # scan only the smallest static width >= f_buf_n via lax.switch —
-    # bit-identical to the full-capacity top_k (slots past f_buf_n are
-    # +inf and tie-breaking indices are prefix positions either way), but
-    # the common mostly-empty-buffer step pays a B-wide scan, not P.
-    if p <= 4 * b:
-        bneg, bidx = jax.lax.top_k(-state.f_buf_score, b)
-    else:
-        widths = []
-        w = b
-        while w < p:
-            widths.append(w)
-            w *= 4
-        widths.append(p)
-        branches = [
-            (lambda buf_s, _w=_w: jax.lax.top_k(-buf_s[:_w], b))
-            for _w in widths
-        ]
-        sel_w = jnp.sum(state.f_buf_n
-                        > jnp.asarray(widths, jnp.int32)).astype(jnp.int32)
-        bneg, bidx = jax.lax.switch(sel_w, branches, state.f_buf_score)
+    # buffer candidates: its top-B (the only selection over a large array,
+    # and P is small). A lax.switch cascade over prefix widths >= f_buf_n
+    # was measured and REJECTED on v5e: bit-identical but neutral on
+    # exhaustive sweeps and 15-20% slower in the screening regime — the
+    # conditional costs more than the narrower scan saves (BENCHMARKS.md
+    # engine grid).
+    bneg, bidx = jax.lax.top_k(-state.f_buf_score, b)
     cat_s = jnp.concatenate([main_s, -bneg])
     cat_r = jnp.concatenate([main_r, state.f_buf_row[bidx]])
     neg, sel = jax.lax.top_k(-cat_s, b)
