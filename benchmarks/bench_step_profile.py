@@ -15,8 +15,6 @@ Prints one JSON line with the top ops by total device time.
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
 import json
 import os
 import sys
@@ -30,30 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def aggregate_xla_ops(logdir: str):
-    """Sum per-op durations from the TPU plane's 'XLA Ops' line."""
-    import jax
-
-    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
-                      recursive=True)
-    if not files:
-        raise RuntimeError(f"no xplane.pb under {logdir}")
-    agg = collections.Counter()
-    n_events = 0
-    for f in files:
-        pd = jax.profiler.ProfileData.from_file(f)
-        for plane in pd.planes:
-            if "TPU" not in plane.name:
-                continue
-            for line in plane.lines:
-                if line.name != "XLA Ops":
-                    continue
-                for ev in line.events:
-                    agg[ev.name] += ev.duration_ns
-                    n_events += 1
-    return agg, n_events
 
 
 def main(argv=None) -> int:
@@ -115,9 +89,10 @@ def main(argv=None) -> int:
     log(f"  traced window: {wall*1e3:.0f} ms wall, "
         f"{(scored - warm_scored)} scored")
 
+    from rad_tpu.utils.profiling import aggregate_xla_ops
     agg, n_events = aggregate_xla_ops(logdir)
     total_ns = sum(agg.values())
-    top = agg.most_common(args.top)
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]
     log(f"\n{n_events} events, device total {total_ns/1e6:.1f} ms over "
         f"{steps} steps = {total_ns/1e3/steps:.1f} us/step accounted")
     rows = []

@@ -11,9 +11,9 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict, Iterator
+from typing import Dict, Iterator, Tuple
 
-__all__ = ["profile_trace", "Timer"]
+__all__ = ["profile_trace", "Timer", "aggregate_xla_ops"]
 
 
 @contextlib.contextmanager
@@ -28,6 +28,44 @@ def profile_trace(logdir: str) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def aggregate_xla_ops(logdir: str,
+                      plane_match: str = "TPU") -> Tuple[Dict[str, int], int]:
+    """Sum per-op device durations (ns) from a :func:`profile_trace` dump.
+
+    Reads every ``*.xplane.pb`` under ``logdir`` and aggregates the
+    matching device plane's "XLA Ops" line per op name — the programmatic
+    equivalent of XProf's op table, usable through the remote tunnel.
+    Returns ``({op_name: total_ns}, n_events)``.
+
+    Caveat: while/cond event durations include overlapped child waits —
+    read leaf fusion/sort/gather lines, not loop events (see
+    benchmarks/bench_step_profile.py for a worked decomposition).
+    """
+    import glob
+    import os
+
+    import jax
+
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not files:
+        raise RuntimeError(f"no xplane.pb under {logdir}")
+    agg: Dict[str, int] = {}
+    n_events = 0
+    for f in files:
+        pd = jax.profiler.ProfileData.from_file(f)
+        for plane in pd.planes:
+            if plane_match not in plane.name:
+                continue
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    agg[ev.name] = agg.get(ev.name, 0) + ev.duration_ns
+                    n_events += 1
+    return agg, n_events
 
 
 class Timer:
