@@ -77,7 +77,7 @@ class PodTraverser:
         frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
-        head_capacity: int | None = None,
+        head_capacity: int | None | str = "auto",
         scorer=None,
         shard_state: bool = False,
         scoring_fn: Optional[Callable[[str], float]] = None,

@@ -179,7 +179,7 @@ def auto_frontier_capacity(n_rows: int, cap_max: int = 1 << 22) -> int:
 def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
                log_capacity: int | None = None,
                buffer_capacity: int = 1 << 15,
-               head_capacity: int | None = None) -> TraversalState:
+               head_capacity: int | None | str = "auto") -> TraversalState:
     """The frontier is a sorted main array [C] plus an append buffer [P].
 
     Pushes go to the buffer (no sort); a full merge-sort happens only when
@@ -202,9 +202,17 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
     same total capacity and drop policy, much cheaper steady-state merges.
     Equal-score pop order may differ from the single-level layout once
     spills occur.
+
+    The default ``"auto"`` enables it (head = 2¹⁶) once the frontier is
+    large enough for merge sorts to dominate (capacity ≥ 2¹⁸) — the
+    screening-regime profile shows the full-capacity merge at ~630 µs/step
+    (BENCHMARKS.md); small frontiers stay single-level. ``None`` forces
+    the classic single-level layout.
     """
     if frontier_capacity is None:
         frontier_capacity = auto_frontier_capacity(dg.n_rows)
+    if head_capacity == "auto":
+        head_capacity = (1 << 16) if frontier_capacity >= (1 << 18) else None
     if head_capacity is not None and head_capacity < frontier_capacity:
         head, cold_cap = head_capacity, frontier_capacity
     else:

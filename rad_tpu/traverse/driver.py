@@ -42,7 +42,7 @@ class DeviceTraverser:
         frontier_capacity: int | None = None,
         log_capacity: int | None = None,
         buffer_capacity: int = 1 << 15,
-        head_capacity: int | None = None,
+        head_capacity: int | None | str = "auto",
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
         order_log_spill: bool | str = False,

@@ -128,3 +128,31 @@ def test_two_level_checkpoint_roundtrip(built, tmp_path):
     b, _ = _run(built, st2, dg)
     np.testing.assert_array_equal(dev.read_order_log(a),
                                   dev.read_order_log(b))
+
+
+def test_head_capacity_auto_rule():
+    """Default 'auto' enables the two-level layout only at merge-dominated
+    frontier sizes (>= 2^18); explicit None forces single-level."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rad_tpu.traverse import device as dev
+
+    class _DG:  # minimal stand-in (init_state touches only these fields)
+        n_nodes = 100
+        n_rows = 110
+        max_level = 1
+        offsets = jnp.asarray(np.array([0, 100, 110, 110], np.int32))
+        adj = jnp.zeros((110, 4), jnp.int32)
+
+    big = dev.init_state(_DG(), frontier_capacity=1 << 18)
+    assert big.cold_score.shape[0] == 1 << 18
+    assert big.f_score.shape[0] == 1 << 16
+
+    small = dev.init_state(_DG(), frontier_capacity=1 << 14)
+    assert small.cold_score.shape[0] == 0
+
+    forced = dev.init_state(_DG(), frontier_capacity=1 << 18,
+                            head_capacity=None)
+    assert forced.cold_score.shape[0] == 0
+    assert forced.f_score.shape[0] == 1 << 18
