@@ -15,7 +15,10 @@ build per machine), then merge the sub-graphs into one level-sorted
   diversity heuristic over (existing ∪ entrants).
 * **layers l >= 1** — memberships shrink geometrically (≈ N/M^l), so the
   cross-shard k-NN there is exact: a blocked brute-force top-k per shard
-  pair, merged the same way.
+  pair, merged the same way. At-scale arithmetic: even at N=500M/M=16 the
+  layer-1 stitch is ~31M queries × (N/M/S) db rows per pair ≈ 2×10¹⁴
+  dist-evals — ~80 chip-minutes at the measured 4.4×10¹⁰/s kernel rate,
+  embarrassingly parallel across shard pairs like everything else here.
 
 Quality intuition: a random shard is a uniform sample of the library, so
 each sub-graph is a valid HNSW over that sample; a node's true top-k has
