@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Single-chip engine scale ceiling: a 100M-node device-resident traversal.
+
+BASELINE config 3 names ZINC-100M device-side traversal as the staged
+scale target; this benchmark runs the traversal engine at that node count
+on ONE chip. Everything big — the layered HNSW-shaped adjacency, the
+score table, the fingerprints — is GENERATED ON DEVICE inside jitted
+programs, because at 100M nodes the adjacency alone is ~7 GB and
+host->device transfer through the remote tunnel would dominate the
+wall-clock (and 100M-node graph *construction* is a pod-scale job,
+docs/SCALING.md — the partition builder's output has exactly this shape).
+
+Two scorer modes:
+  --mode hash  (default): the per-node score is a pre-materialized random
+      table gathered by node id — the engine-ceiling measurement (the
+      gather models a score/surrogate lookup; a random graph has no
+      similarity structure to exploit anyway).
+  --mode fps: real packed fingerprints (device-generated random bits) and
+      the fused Tanimoto-to-target scorer (`fused_run`) — adds the
+      [K, W]-row fingerprint gather + popcount work to every step.
+
+Memory at n=100M, m=8 (the reference README's default connectivity,
+/root/reference/README.md:47-53): adjacency [R=114M, 16] int32 = 7.3 GB,
+score table 0.4 GB, order log 0.4 GB, enqueued+scored 0.2 GB, frontier
+2^22 = 48 MB -> ~8.5 GB of 16 GB HBM.
+
+    python benchmarks/bench_scale.py --n 100000000 --budget 10000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def hnsw_layer_sizes(n: int, m: int) -> list[int]:
+    """Expected HNSW layer occupancy: n_l = round(n * m^-l), min 1."""
+    sizes = []
+    l = 0
+    while True:
+        nl = int(round(n * m ** (-l)))
+        if nl < 1:
+            break
+        sizes.append(nl)
+        if nl == 1:
+            break
+        l += 1
+    return sizes
+
+
+def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64):
+    """HNSW-shaped random layered graph, adjacency generated on device.
+
+    Layer 0 has cap 2m (usearch convention, rad_tpu.build.reference), upper
+    layers cap m; the flat table is [R_pad, 2m] with -1 padding. The extra
+    R_pad - R rows (chunk round-up) are never referenced: row ids are
+    always offsets[level] + node < R.
+    """
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.traverse.device import DeviceGraph
+
+    sizes = hnsw_layer_sizes(n, m)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    r = int(offsets[-1])
+    m0 = 2 * m
+    chunk = -(-r // n_chunks)  # ceil
+    r_pad = chunk * n_chunks
+    offsets_dev = jnp.asarray(
+        np.concatenate([offsets, [r]]).astype(np.int32))
+    sizes_dev = jnp.asarray(np.asarray(sizes + [1], np.int32))
+    max_level = len(sizes) - 1
+
+    @partial(jax.jit, static_argnames=("nch",), donate_argnums=(1,))
+    def gen(key, adj, offs, szs, nch):
+        def body(i, adj):
+            lo = i * chunk
+            rows = lo + jnp.arange(chunk, dtype=jnp.int32)
+            lev = jnp.clip(
+                jnp.searchsorted(offs[: max_level + 2], rows,
+                                 side="right") - 1, 0, max_level)
+            nl = szs[lev]
+            safe_nl = jnp.maximum(nl, 1).astype(jnp.uint32)
+            bits = jax.random.bits(jax.random.fold_in(key, i),
+                                   (chunk, m0), jnp.uint32)
+            ids = (bits % safe_nl[:, None]).astype(jnp.int32)
+            node = rows - offs[lev]
+            ids = jnp.where(ids == node[:, None],
+                            (ids + 1) % jnp.maximum(nl, 1)[:, None], ids)
+            cap_row = jnp.where(lev == 0, m0, m)
+            col_ok = jnp.arange(m0, dtype=jnp.int32)[None, :] < cap_row[:, None]
+            ids = jnp.where(col_ok & (nl[:, None] > 1) & (rows[:, None] < r),
+                            ids, -1)
+            return jax.lax.dynamic_update_slice(adj, ids, (lo, 0))
+
+        return jax.lax.fori_loop(0, nch, body, adj)
+
+    key = jax.random.PRNGKey(seed)
+    adj = jnp.full((r_pad, m0), -1, jnp.int32)
+    adj = gen(key, adj, offsets_dev, sizes_dev, n_chunks)
+    dg = DeviceGraph(adj=adj, offsets=offsets_dev, n_nodes=n, n_rows=r,
+                     m0=m0, max_level=max_level)
+    return dg, sizes
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--m", type=int, default=8,
+                    help="connectivity (reference README default 8)")
+    ap.add_argument("--budget", type=int, default=10_000_000,
+                    help="n_to_score (default 10%% of 100M)")
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--frontier", type=int, default=1 << 22)
+    ap.add_argument("--buffer", type=int, default=1 << 17)
+    ap.add_argument("--head", default="auto")
+    ap.add_argument("--mode", choices=["hash", "fps"], default="hash")
+    ap.add_argument("--n-bits", type=int, default=1024)
+    ap.add_argument("--log-capacity", type=int, default=None,
+                    help="order-log ring capacity (default n)")
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.traverse import device as dev
+
+    log(f"device: {jax.devices()[0]}")
+    t0 = time.perf_counter()
+    dg, sizes = make_device_graph(args.n, args.m, seed=0)
+    jax.block_until_ready(dg.adj)
+    log(f"graph generated on device: {time.perf_counter() - t0:.1f}s, "
+        f"R={dg.n_rows}, levels={len(sizes)}, adj "
+        f"{dg.adj.shape} ({dg.adj.nbytes / 1e9:.2f} GB)")
+
+    key = jax.random.PRNGKey(1)
+    if args.mode == "hash":
+        # score table [N, 1] f32 — gathered by node id inside the loop
+        packed = jax.random.uniform(key, (args.n, 1), jnp.float32)
+        pops = jnp.zeros((args.n,), jnp.int8)
+        scorer = lambda rows, _pops: rows[:, 0]
+    else:
+        w = args.n_bits // 32
+        packed = jax.random.bits(key, (args.n, w), jnp.uint32)
+        from rad_tpu.fp.pack import popcount_rows
+        pops = popcount_rows(packed).astype(jnp.int32)
+        target = jax.random.bits(jax.random.PRNGKey(7), (w,), jnp.uint32)
+        t_pop = popcount_rows(target[None, :])[0]
+    jax.block_until_ready(packed)
+    log(f"score source ready ({packed.nbytes / 1e9:.2f} GB)")
+
+    n_top = sizes[-1] if sizes[-1] > 1 else sizes[-2] if len(sizes) > 1 else 1
+    top_ids = jnp.arange(max(n_top, 1), dtype=jnp.int32)
+    head = args.head if args.head in (None, "auto") else int(args.head)
+    if isinstance(head, str) and head.lower() == "none":
+        head = None
+
+    def fresh_state():
+        s = dev.init_state(dg, frontier_capacity=args.frontier,
+                           buffer_capacity=args.buffer,
+                           head_capacity=head,
+                           log_capacity=args.log_capacity)
+        if args.mode == "hash":
+            seed_scores = packed[: top_ids.shape[0], 0]
+        else:
+            from rad_tpu.fp.tanimoto import tanimoto_matrix
+            seed_scores = tanimoto_matrix(
+                target[None, :], packed[: top_ids.shape[0]])[0]
+        return dev.prime(s, dg, top_ids, seed_scores)
+
+    if args.mode == "hash":
+        run = dev.make_device_run(dg, packed, pops, scorer,
+                                  batch=args.batch)
+        run_fn = lambda st: run(st, jnp.int32(args.budget))
+    else:
+        run_fn = lambda st: dev.fused_run(
+            st, dg, packed, pops, target, t_pop,
+            jnp.int32(args.budget), batch=args.batch)
+
+    log("compiling + first run ...")
+    t0 = time.perf_counter()
+    state = run_fn(fresh_state())
+    scored = int(state.n_scored)
+    log(f"first run: {time.perf_counter() - t0:.1f}s, scored {scored}, "
+        f"dropped {int(state.n_dropped)}, steps {int(state.n_steps)}")
+
+    best = math.inf
+    for i in range(args.runs):
+        state = fresh_state()
+        jax.block_until_ready(state.f_score)
+        t0 = time.perf_counter()
+        state = run_fn(state)
+        scored = int(state.n_scored)  # host readback forces completion
+        dt = time.perf_counter() - t0
+        log(f"run {i}: {dt:.2f}s, {scored} scored -> "
+            f"{scored / dt:.0f} nodes/s (dropped {int(state.n_dropped)})")
+        best = min(best, dt)
+
+    print(json.dumps({
+        "metric": "scale_traversal_nodes_per_sec",
+        "value": scored / best,
+        "unit": "nodes/s",
+        "n": args.n,
+        "mode": args.mode,
+        "budget": args.budget,
+        "batch": args.batch,
+        "m": args.m,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -176,11 +176,15 @@ class HNSWIndex:
 
     # --------------------------------------------------------------- search
     def search(self, queries, k: int = 10, expansion_search: int | None = None,
-               exact: bool = False):
+               exact: bool = False, backend: str | None = None,
+               prefix_filter: int | None = None,
+               prefix_keep: int | None = None):
         """Batched k-NN by Tanimoto distance → ``(dists [B,k], keys [B,k])``.
 
         ``exact=True`` runs brute force (ground truth); otherwise the jitted
-        device beam search.
+        device beam search, or the multithreaded C++ host search with
+        ``backend="native"`` (usearch ``Index.search`` CPU parity — for
+        hosts serving a graph without an accelerator).
         """
         queries = np.atleast_2d(np.asarray(queries, dtype=np.uint32))
         g = self.graph
@@ -197,9 +201,14 @@ class HNSWIndex:
             else:
                 d, ids = bruteforce_topk(qj, db, k)
             d, ids = np.asarray(d), np.asarray(ids)
+        elif backend == "native":
+            from rad_tpu.native import search_knn_native
+            d, ids = search_knn_native(g, queries, k=k, expansion_search=ef)
         else:
             from rad_tpu.search.knn import search_device
-            d, ids = search_device(g, queries, k=k, expansion_search=ef)
+            d, ids = search_device(g, queries, k=k, expansion_search=ef,
+                                   prefix_filter=prefix_filter,
+                                   prefix_keep=prefix_keep)
             d, ids = np.asarray(d), np.asarray(ids)
         keys = np.where(ids >= 0, np.asarray(g.keys)[np.maximum(ids, 0)], -1)
         return d, keys

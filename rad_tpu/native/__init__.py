@@ -22,7 +22,8 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["native_available", "build_hnsw_native", "bruteforce_topk_native"]
+__all__ = ["native_available", "build_hnsw_native", "search_knn_native",
+           "bruteforce_topk_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "hnsw_builder.cpp")
 _LIB: Optional[ctypes.CDLL] = None
@@ -107,6 +108,25 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,                    # ef_construction
         ctypes.c_int32,                    # n_threads
     ]
+    lib.rad_search_knn.restype = ctypes.c_int
+    lib.rad_search_knn.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32),   # packed
+        ctypes.POINTER(ctypes.c_int32),    # pops
+        ctypes.c_int64,                    # n
+        ctypes.c_int32,                    # words
+        ctypes.POINTER(ctypes.c_int64),    # layer_sizes
+        ctypes.c_int32,                    # max_level
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),  # tables
+        ctypes.POINTER(ctypes.c_int32),    # layer_caps
+        ctypes.POINTER(ctypes.c_uint32),   # queries
+        ctypes.POINTER(ctypes.c_int32),    # q_pops
+        ctypes.c_int64,                    # nq
+        ctypes.c_int32,                    # k
+        ctypes.c_int32,                    # ef (expansion_search)
+        ctypes.c_int32,                    # n_threads
+        ctypes.POINTER(ctypes.c_float),    # out_d
+        ctypes.POINTER(ctypes.c_int64),    # out_i
+    ]
     lib.rad_bruteforce_topk.restype = None
     lib.rad_bruteforce_topk.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
@@ -189,6 +209,59 @@ def build_hnsw_native(
         ndim=ndim,
         connectivity=m,
     )
+
+
+def search_knn_native(graph, queries: np.ndarray, k: int = 10,
+                      expansion_search: int = 64, n_threads: int = 0):
+    """Batched k-NN beam search on the host C++ core: (dists, node_ids).
+
+    The CPU counterpart of the jitted device search (rad_tpu.search.knn) —
+    usearch ``Index.search`` parity for deployments that serve a graph
+    without an accelerator (e.g. the HTTP server host). Same semantics:
+    greedy upper-layer descent from the entry point, then an
+    ``expansion_search``-wide beam on layer 0. ``n_threads=0`` = all
+    cores; ids are node ids (map to keys via ``graph.keys``).
+    """
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_LIB_ERR}")
+    packed = np.ascontiguousarray(np.asarray(graph.packed), dtype=np.uint32)
+    n, w = packed.shape
+    queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.uint32)
+    if queries.shape[1] != w:
+        raise ValueError(
+            f"query width {queries.shape[1]} != graph width {w}")
+    nq = queries.shape[0]
+    pops = np.ascontiguousarray(
+        np.asarray(graph.popcounts).astype(np.int32))
+    q_pops = np.ascontiguousarray(
+        popcount_rows_np(queries).astype(np.int32))
+    tables = [np.ascontiguousarray(np.asarray(t), dtype=np.int32)
+              for t in graph.neighbors]
+    max_level = len(tables) - 1
+    layer_sizes = np.array([t.shape[0] for t in tables], dtype=np.int64)
+    caps = np.array([t.shape[1] for t in tables], dtype=np.int32)
+    table_ptrs = (ctypes.POINTER(ctypes.c_int32) * (max_level + 1))(
+        *[t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for t in tables])
+    out_d = np.empty((nq, k), np.float32)
+    out_i = np.empty((nq, k), np.int64)
+    rc = lib.rad_search_knn(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, w,
+        layer_sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_level, table_ptrs,
+        caps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        q_pops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nq, k,
+        expansion_search, n_threads,
+        out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native search failed with code {rc}")
+    return out_d, out_i
 
 
 def bruteforce_topk_native(packed: np.ndarray, queries: np.ndarray,

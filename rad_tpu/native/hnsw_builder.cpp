@@ -232,6 +232,69 @@ struct Builder {
     }
 };
 
+// query->node distance (the query vector is not a library row)
+struct QDist {
+    const uint32_t* packed;
+    const int32_t* pops;
+    int words;
+    const uint32_t* q;
+    int32_t qpop;
+
+    inline float operator()(int64_t b) const {
+        const uint32_t* pb = packed + b * words;
+        int inter = 0;
+        int w = 0;
+        for (; w + 2 <= words; w += 2) {
+            uint64_t xa, xb;
+            std::memcpy(&xa, q + w, 8);
+            std::memcpy(&xb, pb + w, 8);
+            inter += __builtin_popcountll(xa & xb);
+        }
+        for (; w < words; ++w)
+            inter += __builtin_popcount(q[w] & pb[w]);
+        int uni = qpop + pops[b] - inter;
+        if (uni <= 0) return 0.0f;
+        return 1.0f - (float)inter / (float)uni;
+    }
+};
+
+// layer-0 beam for a query vector (same control flow as search_layer, with
+// the query-distance functor and no id limit — the whole graph is built)
+void search_layer_query(const QDist& qd, const Layer& layer,
+                        std::vector<Candidate>& entries, int ef,
+                        int64_t n_total, VisitedPool& vis,
+                        std::vector<Candidate>& out) {
+    std::priority_queue<Candidate, std::vector<Candidate>, CmpMin> cand;
+    std::priority_queue<Candidate, std::vector<Candidate>, CmpMax> result;
+    vis.reset(n_total);
+    for (auto& e : entries) {
+        if (vis.test_and_set(e.id)) continue;
+        cand.push(e);
+        result.push(e);
+        if ((int)result.size() > ef) result.pop();
+    }
+    while (!cand.empty()) {
+        Candidate c = cand.top();
+        if ((int)result.size() >= ef && c.d > result.top().d) break;
+        cand.pop();
+        const int32_t* row = layer.row(c.id);
+        for (int k = 0; k < layer.cap; ++k) {
+            int32_t nb = row[k];
+            if (nb < 0) break;
+            if (vis.test_and_set(nb)) continue;
+            float d = qd(nb);
+            if ((int)result.size() < ef || d < result.top().d) {
+                cand.push({d, nb});
+                result.push({d, nb});
+                if ((int)result.size() > ef) result.pop();
+            }
+        }
+    }
+    out.clear();
+    while (!result.empty()) { out.push_back(result.top()); result.pop(); }
+    std::sort(out.begin(), out.end(), cand_less);
+}
+
 }  // namespace
 
 extern "C" {
@@ -272,6 +335,85 @@ int rad_build_hnsw(const uint32_t* packed, const int32_t* pops, int64_t n,
             int64_t i = next.fetch_add(1);
             if (i >= n) break;
             b.insert(i, vis, scratch);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
+// Batched k-NN search over a built graph — the host-side counterpart of
+// usearch's Index.search (reference SURVEY.md §2 row 1): greedy descent
+// through the upper layers, then an expansion_search-wide beam on layer 0.
+// Node 0 is the entry point (the rad_tpu id scheme sorts ids by level
+// descending). Multithreaded over queries; each thread keeps its own
+// epoch-stamped visited pool. Returns node ids (key mapping is the Python
+// side's job, as in graph/storage.py).
+int rad_search_knn(const uint32_t* packed, const int32_t* pops, int64_t n,
+                   int32_t words, const int64_t* layer_sizes,
+                   int32_t max_level, int32_t** tables,
+                   const int32_t* layer_caps, const uint32_t* queries,
+                   const int32_t* q_pops, int64_t nq, int32_t k,
+                   int32_t ef, int32_t n_threads, float* out_d,
+                   int64_t* out_i) {
+    if (n <= 0 || nq <= 0) return 0;
+    std::vector<Layer> layers;
+    for (int l = 0; l <= max_level; ++l)
+        layers.push_back({tables[l], layer_sizes[l], (int)layer_caps[l]});
+    int beam = ef > k ? ef : k;
+
+    auto run_query = [&](int64_t qi, VisitedPool& vis,
+                         std::vector<Candidate>& scratch) {
+        QDist qd{packed, pops, (int)words, queries + qi * words, q_pops[qi]};
+        int64_t ep = 0;
+        float d_ep = qd(0);
+        for (int lc = max_level; lc >= 1; --lc) {
+            bool improved = true;
+            while (improved) {
+                improved = false;
+                const int32_t* row = layers[lc].row(ep);
+                float best_d = d_ep;
+                int64_t best = -1;
+                for (int kk = 0; kk < layers[lc].cap; ++kk) {
+                    int32_t nb = row[kk];
+                    if (nb < 0) break;
+                    float d = qd(nb);
+                    if (d < best_d) { best_d = d; best = nb; }
+                }
+                if (best >= 0) { d_ep = best_d; ep = best; improved = true; }
+            }
+        }
+        std::vector<Candidate> entries{{d_ep, ep}};
+        search_layer_query(qd, layers[0], entries, beam, n, vis, scratch);
+        for (int j = 0; j < k; ++j) {
+            if (j < (int)scratch.size()) {
+                out_d[qi * k + j] = scratch[j].d;
+                out_i[qi * k + j] = scratch[j].id;
+            } else {
+                out_d[qi * k + j] = 1e30f;
+                out_i[qi * k + j] = -1;
+            }
+        }
+    };
+
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt == 1 || nq == 1) {
+        VisitedPool vis;
+        std::vector<Candidate> scratch;
+        for (int64_t qi = 0; qi < nq; ++qi) run_query(qi, vis, scratch);
+        return 0;
+    }
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        VisitedPool vis;
+        std::vector<Candidate> scratch;
+        for (;;) {
+            int64_t qi = next.fetch_add(1);
+            if (qi >= nq) break;
+            run_query(qi, vis, scratch);
         }
     };
     std::vector<std::thread> pool;

@@ -50,7 +50,8 @@ def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width",
-                                   "visited_capacity"))
+                                   "visited_capacity", "prefix_words",
+                                   "prefix_keep"))
 def search_device_jit(
     packed: jnp.ndarray,
     pops: jnp.ndarray,
@@ -62,6 +63,10 @@ def search_device_jit(
     max_level: int,
     expand_width: int = 4,
     visited_capacity: int | None = None,
+    prefix_words: int = 0,
+    prefix_keep: int = 0,
+    prefix: jnp.ndarray | None = None,
+    prefix_pops: jnp.ndarray | None = None,
 ):
     """Batched search. Returns ``(dists [B, k], node_ids [B, k])``.
 
@@ -74,6 +79,14 @@ def search_device_jit(
     ``visited_capacity``: per-query visited hash table size (power of two);
     defaults to ~4× the expected visit count. Memory is B·H·4 bytes,
     independent of library size.
+
+    ``prefix_words`` > 0 enables the two-stage prefix filter (the
+    pHNSW/AQR-style screen, PAPERS.md): per candidate wave, Tanimoto on the
+    first ``prefix_words`` words (gathered from the compact ``prefix``
+    array — traffic shrinks by W/prefix_words) ranks the E·M0 candidates,
+    and only the best ``prefix_keep`` get full-width distances and beam
+    entry; the rest are pruned permanently. A heuristic: recall/throughput
+    trade measured in benchmarks/bench_prefix.py.
     """
     n = packed.shape[0]
     m0 = adj.shape[1]
@@ -90,8 +103,15 @@ def search_device_jit(
     # converges in ≈ a few × ef/E iterations).
     max_iters = (16 * ef) // max(e, 1) + 256
     q_pops = popcount_rows(queries)
+    pw = prefix_words
+    keep = min(prefix_keep, e * m0) if pw > 0 else 0
+    if pw > 0:
+        assert prefix is not None and prefix_pops is not None
+        q_pref_pops = popcount_rows(queries[:, :pw])
+    else:
+        q_pref_pops = jnp.zeros((queries.shape[0],), jnp.int32)
 
-    def one_query(q, q_pop):
+    def one_query(q, q_pop, q_pref_pop):
         # ---- greedy descent through layers max_level..1 ------------------
         def descend_layer(carry, l_rev):
             ep, d_ep = carry
@@ -178,11 +198,25 @@ def search_device_jit(
             else:
                 visited, seen = hashset_check_insert(visited, rows, valid)
                 valid = valid & ~seen
-            d_n = _query_dist(q, q_pop, packed, pops, rows, valid)
+            if pw > 0:
+                # stage 1: rank the wave by prefix Tanimoto (compact
+                # [N, pw] gather), keep the best `keep` for full distances
+                d_a = _query_dist(q[:pw], q_pref_pop, prefix, prefix_pops,
+                                  rows, valid)
+                neg_a, ksel = jax.lax.top_k(-d_a, keep)
+                kvalid = jnp.isfinite(neg_a)
+                krows = jnp.maximum(rows[ksel], 0)
+                d_n = _query_dist(q, q_pop, packed, pops, krows, kvalid)
+                new_ids = jnp.where(kvalid, rows[ksel], -1)
+                w_new = keep
+            else:
+                d_n = _query_dist(q, q_pop, packed, pops, rows, valid)
+                new_ids = jnp.where(valid, rows, -1)
+                w_new = e * m0
             all_d = jnp.concatenate([beam_d, d_n])
-            all_id = jnp.concatenate([beam_id, jnp.where(valid, rows, -1)])
+            all_id = jnp.concatenate([beam_id, new_ids])
             all_e = jnp.concatenate([expanded,
-                                     jnp.zeros((e * m0,), jnp.bool_)])
+                                     jnp.zeros((w_new,), jnp.bool_)])
             sd, sid, se = jax.lax.sort((all_d, all_id, all_e), num_keys=1)
             return sd[:ef], sid[:ef], se[:ef], visited, it + 1
 
@@ -191,7 +225,7 @@ def search_device_jit(
             (beam_d, beam_id, expanded, visited, jnp.int32(0)))
         return beam_d[:k], beam_id[:k]
 
-    return jax.vmap(one_query)(queries, q_pops)
+    return jax.vmap(one_query)(queries, q_pops, q_pref_pops)
 
 
 def _prep(graph: HNSWGraph):
@@ -208,6 +242,18 @@ def _prep(graph: HNSWGraph):
     return prep
 
 
+def _prefix_prep(graph: HNSWGraph, packed: jnp.ndarray, pw: int):
+    """Compact [N, pw] prefix array + its popcounts, cached on the graph."""
+    cache = getattr(graph, "_prefix_prep", None)
+    if cache is None:
+        cache = {}
+        graph._prefix_prep = cache
+    if pw not in cache:
+        prefix = jnp.array(packed[:, :pw])  # compact copy, not a view
+        cache[pw] = (prefix, popcount_rows(prefix))
+    return cache[pw]
+
+
 def search_device(
     graph: HNSWGraph,
     queries: np.ndarray,
@@ -216,25 +262,42 @@ def search_device(
     expand_width: int = 4,
     chunk_size: int | None = None,
     visited_capacity: int | None = None,
+    prefix_filter: int | None = None,
+    prefix_keep: int | None = None,
 ):
     """Search a built graph: ``(dists [B, k], node_ids [B, k])``.
 
     Query batches larger than ``chunk_size`` are processed in equal chunks
     through one compiled program (bounds compile size and the B·H visited
     tables; per-query memory is independent of library size).
+
+    ``prefix_filter``: number of leading fingerprint BITS for the two-stage
+    candidate screen (e.g. 128); ``prefix_keep`` = candidates per wave that
+    graduate to full-width distances (default E·M0/4). Heuristic —
+    measured recall/throughput trade in benchmarks/bench_prefix.py.
     """
     dg, packed, pops = _prep(graph)
     queries = np.atleast_2d(np.asarray(queries, np.uint32))
     ef = max(expansion_search, k)
     b = queries.shape[0]
+    pw = 0
+    prefix = prefix_pops = None
+    keep = 0
+    if prefix_filter:
+        pw = max(1, int(prefix_filter) // 32)
+        m0 = dg.adj.shape[1]
+        keep = prefix_keep or max(k, (expand_width * m0) // 4)
+        prefix, prefix_pops = _prefix_prep(graph, packed, pw)
     if chunk_size is None:
         chunk_size = max(1, min(b, 4096))
+    kw = dict(k=k, ef=ef, max_level=dg.max_level,
+              expand_width=expand_width,
+              visited_capacity=visited_capacity,
+              prefix_words=pw, prefix_keep=keep,
+              prefix=prefix, prefix_pops=prefix_pops)
     if b <= chunk_size:
         return search_device_jit(packed, pops, dg.adj, dg.offsets,
-                                 jnp.asarray(queries), k=k, ef=ef,
-                                 max_level=dg.max_level,
-                                 expand_width=expand_width,
-                                 visited_capacity=visited_capacity)
+                                 jnp.asarray(queries), **kw)
     # pad to a multiple of chunk_size so every chunk reuses one compile
     pad = (-b) % chunk_size
     if pad:
@@ -244,9 +307,7 @@ def search_device(
     for lo in range(0, queries.shape[0], chunk_size):
         d, i = search_device_jit(
             packed, pops, dg.adj, dg.offsets,
-            jnp.asarray(queries[lo:lo + chunk_size]), k=k, ef=ef,
-            max_level=dg.max_level, expand_width=expand_width,
-            visited_capacity=visited_capacity)
+            jnp.asarray(queries[lo:lo + chunk_size]), **kw)
         outs_d.append(np.asarray(d))
         outs_i.append(np.asarray(i))
     d = np.concatenate(outs_d)[:b]

@@ -92,3 +92,56 @@ def test_native_build_speed(fps):
     build_hnsw(sub, connectivity=8, expansion_add=40, seed=1)
     t_py = time.perf_counter() - t0
     assert t_cc < t_py / 5, f"native {t_cc:.3f}s vs python {t_py:.3f}s"
+
+
+def test_native_search_exact_at_full_beam(fps, native_graph):
+    """With ef = N the layer-0 beam degenerates to an exhaustive sweep of
+    the connected component, so the native search must return the true
+    top-k (bruteforce oracle) for every query."""
+    from rad_tpu.native import search_knn_native
+    queries = random_fingerprints(16, n_bits=256, density=0.2, seed=3)
+    d_s, i_s = search_knn_native(native_graph, queries, k=10,
+                                 expansion_search=len(native_graph))
+    d_b, i_b = bruteforce_topk_native(
+        np.asarray(native_graph.packed), queries, k=10)
+    np.testing.assert_allclose(d_s, d_b, atol=1e-6)
+    # distances sorted ascending, ids valid
+    assert (np.diff(d_s, axis=1) >= -1e-7).all()
+    assert (i_s >= 0).all() and (i_s < len(native_graph)).all()
+
+
+def test_native_search_recall_and_threads(fps, native_graph):
+    """Beam search recall at modest ef on the native graph, and thread-count
+    invariance (each query is independent; results must not depend on the
+    worker pool size)."""
+    from rad_tpu.native import search_knn_native
+    queries = random_fingerprints(32, n_bits=256, density=0.2, seed=9)
+    d1, i1 = search_knn_native(native_graph, queries, k=10,
+                               expansion_search=128, n_threads=1)
+    d4, i4 = search_knn_native(native_graph, queries, k=10,
+                               expansion_search=128, n_threads=4)
+    np.testing.assert_array_equal(i1, i4)
+    np.testing.assert_allclose(d1, d4)
+    _, i_b = bruteforce_topk_native(
+        np.asarray(native_graph.packed), queries, k=10)
+    recall = np.mean([
+        len(set(i1[q].tolist()) & set(i_b[q].tolist())) / 10
+        for q in range(queries.shape[0])
+    ])
+    assert recall >= 0.85, f"native search recall@10 = {recall}"
+
+
+def test_index_search_native_backend(fps):
+    """HNSWIndex.search(backend='native') returns keys consistent with the
+    device search path on the same graph."""
+    from rad_tpu.api.index import HNSWIndex
+    idx = HNSWIndex(ndim=256, connectivity=8, expansion_add=64)
+    keys = np.arange(500, dtype=np.int64) + 1000
+    idx.add(keys, fps[:500])
+    idx.build(backend="native")
+    queries = fps[:4]
+    d_n, k_n = idx.search(queries, k=5, expansion_search=500,
+                          backend="native")
+    d_e, k_e = idx.search(queries, k=5, exact=True)
+    np.testing.assert_allclose(d_n, d_e, atol=1e-5)
+    assert (k_n >= 1000).all()

@@ -63,3 +63,46 @@ def test_device_matches_host_oracle_quality(built):
     # mean top-5 distance within noise of each other
     assert abs(float(np.mean(np.asarray(d_dev))) -
                float(np.mean(d_host))) < 0.02
+
+
+def test_prefix_filter_recall_and_degenerate_equivalence():
+    """Two-stage prefix screen: keep=all is set-equivalent to the baseline
+    search (the filter only reorders the candidate wave), and a 128-bit/
+    keep-quarter screen stays within a small recall delta of baseline."""
+    # clustered analog-series library: the regime the screen is for (on
+    # uniform-random bits the prefix estimate is distance-concentration
+    # noise and the filter costs recall — documented in BENCHMARKS.md)
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples"))
+    from enrichment_example import make_library
+    try:
+        from rad_tpu.native import build_hnsw_native as _build
+    except Exception:
+        _build = build_hnsw
+    fps, _, _ = make_library(4000, 1024, seed=11)
+    g = _build(fps, connectivity=8, expansion_add=48, seed=2)
+    rng = np.random.default_rng(3)
+    queries = np.asarray(g.packed)[rng.choice(4000, 24, replace=False)]
+    m0 = 2 * 8
+    e = 4
+    d0, i0 = search_device(g, queries, k=10, expansion_search=48,
+                           expand_width=e)
+    d0, i0 = np.asarray(d0), np.asarray(i0)
+    # degenerate: keep every candidate -> same converged set
+    d1, i1 = search_device(g, queries, k=10, expansion_search=48,
+                           expand_width=e, prefix_filter=128,
+                           prefix_keep=e * m0)
+    np.testing.assert_allclose(np.asarray(d1), d0, atol=1e-6)
+    # real screen: quarter keep, recall within 0.05 of baseline
+    _, i2 = search_device(g, queries, k=10, expansion_search=48,
+                          expand_width=e, prefix_filter=128,
+                          prefix_keep=(e * m0) // 4)
+    i2 = np.asarray(i2)
+    overlap = np.mean([
+        len(set(i2[q].tolist()) & set(i0[q].tolist())) / 10
+        for q in range(queries.shape[0])
+    ])
+    assert overlap >= 0.9, f"prefix-filtered overlap with baseline {overlap}"
