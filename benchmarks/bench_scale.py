@@ -127,7 +127,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frontier", type=int, default=1 << 22)
     ap.add_argument("--buffer", type=int, default=1 << 17)
     ap.add_argument("--head", default="auto")
-    ap.add_argument("--mode", choices=["hash", "fps"], default="hash")
+    ap.add_argument("--mode", choices=["hash", "fps", "id"], default="hash",
+                    help="'id' = score computed from the node id in-loop "
+                         "(no [N] score table at all — the minimum-memory "
+                         "config for the largest single-chip node counts)")
     ap.add_argument("--n-bits", type=int, default=1024)
     ap.add_argument("--log-capacity", type=int, default=None,
                     help="order-log ring capacity (default n)")
@@ -147,7 +150,9 @@ def main(argv=None) -> int:
         f"{dg.adj.shape} ({dg.adj.nbytes / 1e9:.2f} GB)")
 
     key = jax.random.PRNGKey(1)
-    if args.mode == "hash":
+    if args.mode == "id":
+        packed = pops = None
+    elif args.mode == "hash":
         # score table [N, 1] f32 — gathered by node id inside the loop
         packed = jax.random.uniform(key, (args.n, 1), jnp.float32)
         pops = jnp.zeros((args.n,), jnp.int8)
@@ -156,17 +161,29 @@ def main(argv=None) -> int:
         w = args.n_bits // 32
         packed = jax.random.bits(key, (args.n, w), jnp.uint32)
         from rad_tpu.fp.pack import popcount_rows
-        pops = popcount_rows(packed).astype(jnp.int32)
+        # chunked: popcount materializes an [N, W] int32 intermediate —
+        # 6.4 GB at 50M rows, which OOMs next to the resident arrays
+        chunks = []
+        step = 1 << 22
+        for lo in range(0, args.n, step):
+            chunks.append(popcount_rows(packed[lo:lo + step]))
+        pops = jnp.concatenate(chunks).astype(jnp.int32)
         target = jax.random.bits(jax.random.PRNGKey(7), (w,), jnp.uint32)
         t_pop = popcount_rows(target[None, :])[0]
-    jax.block_until_ready(packed)
-    log(f"score source ready ({packed.nbytes / 1e9:.2f} GB)")
+    if packed is not None:
+        jax.block_until_ready(packed)
+        log(f"score source ready ({packed.nbytes / 1e9:.2f} GB)")
 
     n_top = sizes[-1] if sizes[-1] > 1 else sizes[-2] if len(sizes) > 1 else 1
     top_ids = jnp.arange(max(n_top, 1), dtype=jnp.int32)
     head = args.head if args.head in (None, "auto") else int(args.head)
     if isinstance(head, str) and head.lower() == "none":
         head = None
+
+    def id_score(ids):
+        # pseudo-random f32 in [0, 1) from the node id (golden-ratio hash)
+        x = ids.astype(jnp.float32) * 0.6180339887498949
+        return x - jnp.floor(x)
 
     def fresh_state():
         s = dev.init_state(dg, frontier_capacity=args.frontier,
@@ -175,6 +192,8 @@ def main(argv=None) -> int:
                            log_capacity=args.log_capacity)
         if args.mode == "hash":
             seed_scores = packed[: top_ids.shape[0], 0]
+        elif args.mode == "id":
+            seed_scores = id_score(top_ids)
         else:
             from rad_tpu.fp.tanimoto import tanimoto_matrix
             seed_scores = tanimoto_matrix(
@@ -185,6 +204,32 @@ def main(argv=None) -> int:
         run = dev.make_device_run(dg, packed, pops, scorer,
                                   batch=args.batch)
         run_fn = lambda st: run(st, jnp.int32(args.budget))
+    elif args.mode == "id":
+        batch = args.batch
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _run_id(state, n_to_score, dg_a):
+            def cond(carry):
+                st, steps = carry
+                return ((st.n_scored < n_to_score)
+                        & (steps < (1 << 20))
+                        & (dev.frontier_live(st) > 0))
+
+            def body(carry):
+                st, steps = carry
+                st, out = dev.expand_impl(st, dg_a, batch)
+                ts = out["to_score"]
+                scores = jnp.where(ts >= 0, id_score(ts), jnp.inf)
+                st = dev.integrate_impl(
+                    st, dg_a, out["exp_node"], out["exp_level"],
+                    out["exp_score"], out["exp_valid"], out["cand"],
+                    out["to_score"], scores)
+                return st, steps + 1
+
+            state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+            return state
+
+        run_fn = lambda st: _run_id(st, jnp.int32(args.budget), dg)
     else:
         run_fn = lambda st: dev.fused_run(
             st, dg, packed, pops, target, t_pop,

@@ -12,7 +12,7 @@ add-shift-mask reduction on uint32, which lowers to a short VPU sequence.
 
 from __future__ import annotations
 
-import hashlib
+
 from typing import Iterable, Sequence
 
 import jax.numpy as jnp
@@ -128,21 +128,32 @@ def random_fingerprints(
     return out
 
 
+def _fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit — the shared hash of the Python and native (C++)
+    fallback fingerprinters; both must stay bit-identical."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
 def _hash_fingerprint_bits(smiles: str, n_bits: int, radius: int = 2) -> np.ndarray:
     """Deterministic hash-based fingerprint used when RDKit is unavailable.
 
-    Folds all substrings of length 1..(2*radius+1) of the SMILES string into
-    the bit space — a crude circular-substructure analogue that preserves the
-    key property tests need: similar strings → similar fingerprints,
-    deterministic across processes.
+    Folds all byte-substrings of length 1..(2*radius+1) of the SMILES
+    string into the bit space — a crude circular-substructure analogue that
+    preserves the key property tests need: similar strings → similar
+    fingerprints, deterministic across processes. The native batch
+    fingerprinter (rad_tpu.native.smiles_fingerprints_native) computes the
+    identical function multithreaded.
     """
     bits = np.zeros(n_bits, dtype=np.uint8)
+    data = smiles.encode("utf-8")
     max_len = 2 * radius + 1
     for length in range(1, max_len + 1):
-        for i in range(len(smiles) - length + 1):
-            frag = smiles[i : i + length]
-            h = hashlib.blake2b(frag.encode(), digest_size=8).digest()
-            bits[int.from_bytes(h, "little") % n_bits] = 1
+        for i in range(len(data) - length + 1):
+            bits[_fnv1a64(data[i : i + length]) % n_bits] = 1
     if not bits.any():
         bits[0] = 1
     return bits
@@ -178,5 +189,24 @@ def smiles_fingerprint(smiles: str, n_bits: int = 1024, radius: int = 2) -> np.n
 def smiles_fingerprints(
     smiles: Sequence[str] | Iterable[str], n_bits: int = 1024, radius: int = 2
 ) -> np.ndarray:
-    """Packed fingerprints ``[N, W]`` for a batch of SMILES strings."""
+    """Packed fingerprints ``[N, W]`` for a batch of SMILES strings.
+
+    The library-ingestion data loader (reference: RDKit fingerprinting in
+    examples/DUDEZ_example.ipynb:92-118). Prefers RDKit Morgan when
+    importable; otherwise the multithreaded native C++ fingerprinter
+    (bit-identical to the Python fallback); otherwise the Python loop.
+    """
+    smiles = list(smiles)
+    try:  # pragma: no cover - exercised only where rdkit is installed
+        import rdkit  # noqa: F401
+        has_rdkit = True
+    except ImportError:
+        has_rdkit = False
+    if not has_rdkit and len(smiles) > 64:
+        try:
+            from rad_tpu.native import smiles_fingerprints_native
+            return smiles_fingerprints_native(smiles, n_bits=n_bits,
+                                              radius=radius)
+        except Exception:
+            pass
     return np.stack([smiles_fingerprint(s, n_bits, radius) for s in smiles])

@@ -23,7 +23,7 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 __all__ = ["native_available", "build_hnsw_native", "search_knn_native",
-           "bruteforce_topk_native"]
+           "smiles_fingerprints_native", "bruteforce_topk_native"]
 
 _SRC = os.path.join(os.path.dirname(__file__), "hnsw_builder.cpp")
 _LIB: Optional[ctypes.CDLL] = None
@@ -126,6 +126,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,                    # n_threads
         ctypes.POINTER(ctypes.c_float),    # out_d
         ctypes.POINTER(ctypes.c_int64),    # out_i
+    ]
+    lib.rad_fingerprint_smiles.restype = ctypes.c_int
+    lib.rad_fingerprint_smiles.argtypes = [
+        ctypes.c_char_p,                   # buf
+        ctypes.POINTER(ctypes.c_int64),    # offsets [n+1]
+        ctypes.c_int64,                    # n
+        ctypes.c_int32,                    # n_bits
+        ctypes.c_int32,                    # radius
+        ctypes.POINTER(ctypes.c_uint32),   # out [n, W]
+        ctypes.c_int32,                    # n_threads
     ]
     lib.rad_bruteforce_topk.restype = None
     lib.rad_bruteforce_topk.argtypes = [
@@ -262,6 +272,40 @@ def search_knn_native(graph, queries: np.ndarray, k: int = 10,
     if rc != 0:
         raise RuntimeError(f"native search failed with code {rc}")
     return out_d, out_i
+
+
+def smiles_fingerprints_native(smiles, n_bits: int = 1024, radius: int = 2,
+                               n_threads: int = 0) -> np.ndarray:
+    """Multithreaded batch SMILES fingerprinting: packed ``[N, W] uint32``.
+
+    The native library-ingestion data loader — bit-identical to the Python
+    fallback ``rad_tpu.fp.pack._hash_fingerprint_bits`` (FNV-1a 64 over
+    byte substrings), used for RDKit-free environments. ``n_threads=0`` =
+    all cores.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native library unavailable: {_LIB_ERR}")
+    smiles = list(smiles)
+    n = len(smiles)
+    w = (n_bits + 31) // 32
+    out = np.zeros((max(n, 1), w), np.uint32)
+    if n == 0:
+        return out[:0]
+    encoded = [s.encode("utf-8") for s in smiles]
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum([len(e) for e in encoded], out=offsets[1:])
+    buf = b"".join(encoded)
+    rc = lib.rad_fingerprint_smiles(
+        buf,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, n_bits, radius,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native fingerprinting failed with code {rc}")
+    return out
 
 
 def bruteforce_topk_native(packed: np.ndarray, queries: np.ndarray,

@@ -422,6 +422,62 @@ int rad_search_knn(const uint32_t* packed, const int32_t* pops, int64_t n,
     return 0;
 }
 
+// Batch SMILES fingerprinting — the native library-ingestion data loader
+// (the role RDKit fingerprinting plays in the reference's workflow,
+// examples/DUDEZ_example.ipynb:92-118, when RDKit is absent). MUST stay
+// bit-identical to rad_tpu.fp.pack._hash_fingerprint_bits: FNV-1a 64 over
+// every byte-substring of length 1..2*radius+1, LSB-first bit packing.
+// `buf` is the concatenated UTF-8 strings, `offsets` the [n+1] boundaries;
+// `out` is a pre-zeroed [n, ceil(n_bits/32)] uint32 row-major array.
+int rad_fingerprint_smiles(const char* buf, const int64_t* offsets,
+                           int64_t n, int32_t n_bits, int32_t radius,
+                           uint32_t* out, int32_t n_threads) {
+    if (n <= 0 || n_bits <= 0) return 0;
+    int words = (n_bits + 31) / 32;
+    int max_len = 2 * radius + 1;
+
+    auto do_one = [&](int64_t i) {
+        const unsigned char* s =
+            (const unsigned char*)buf + offsets[i];
+        int64_t len = offsets[i + 1] - offsets[i];
+        uint32_t* row = out + i * words;
+        bool any = false;
+        for (int L = 1; L <= max_len; ++L) {
+            for (int64_t p = 0; p + L <= len; ++p) {
+                uint64_t h = 0xCBF29CE484222325ull;
+                for (int j = 0; j < L; ++j) {
+                    h ^= (uint64_t)s[p + j];
+                    h *= 0x100000001B3ull;
+                }
+                uint64_t bit = h % (uint64_t)n_bits;
+                row[bit >> 5] |= 1u << (bit & 31);
+                any = true;
+            }
+        }
+        if (!any) row[0] |= 1u;
+    };
+
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt == 1 || n < 256) {
+        for (int64_t i = 0; i < n; ++i) do_one(i);
+        return 0;
+    }
+    std::atomic<int64_t> next{0};
+    auto worker = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n) break;
+            do_one(i);
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return 0;
+}
+
 // Brute-force exact top-k by Tanimoto (ground truth / CPU baseline).
 void rad_bruteforce_topk(const uint32_t* packed, const int32_t* pops,
                          int64_t n, int32_t words, const uint32_t* queries,

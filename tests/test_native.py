@@ -145,3 +145,29 @@ def test_index_search_native_backend(fps):
     d_e, k_e = idx.search(queries, k=5, exact=True)
     np.testing.assert_allclose(d_n, d_e, atol=1e-5)
     assert (k_n >= 1000).all()
+
+
+def test_native_fingerprints_match_python_fallback():
+    """The C++ batch fingerprinter computes the exact Python fallback
+    function (shared FNV-1a 64 substring hash, LSB-first packing)."""
+    from rad_tpu.fp.pack import _hash_fingerprint_bits, pack_fingerprints
+    from rad_tpu.native import smiles_fingerprints_native
+    smiles = ["CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "N", "",
+              "CCCCCCCCCCCCCCCC", "C[C@H](N)C(=O)O"]
+    for n_bits, radius in [(512, 2), (1024, 2), (256, 1)]:
+        want = np.stack([
+            pack_fingerprints(_hash_fingerprint_bits(s, n_bits, radius))
+            for s in smiles])
+        got = smiles_fingerprints_native(smiles, n_bits=n_bits,
+                                         radius=radius)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_native_fingerprint_batch_dispatch():
+    """smiles_fingerprints (the public loader) routes large RDKit-free
+    batches through the native path and agrees with the per-molecule API."""
+    from rad_tpu.fp.pack import smiles_fingerprint, smiles_fingerprints
+    smiles = [f"C{'C' * (i % 17)}O" for i in range(100)]
+    batch = smiles_fingerprints(smiles, n_bits=512)
+    one = np.stack([smiles_fingerprint(s, n_bits=512) for s in smiles])
+    np.testing.assert_array_equal(batch, one)
