@@ -186,6 +186,7 @@ class RADTraverser:
                 buffer_capacity=buffer_capacity,
                 n_score_threads=n_score_threads,
                 shard_state=kwargs.pop("shard_state", False),
+                head_capacity=kwargs.pop("head_capacity", "auto"),
                 order_log_spill=kwargs.pop("order_log_spill", False),
             )
         elif engine == "device":
@@ -199,7 +200,7 @@ class RADTraverser:
                 log_capacity=log_capacity,
                 buffer_capacity=buffer_capacity,
                 n_score_threads=n_score_threads,
-                head_capacity=kwargs.pop("head_capacity", None),
+                head_capacity=kwargs.pop("head_capacity", "auto"),
                 order_log_spill=kwargs.pop("order_log_spill", False),
             )
         else:
