@@ -135,6 +135,9 @@ def main(argv=None) -> int:
     ap.add_argument("--log-capacity", type=int, default=None,
                     help="order-log ring capacity (default n)")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--profile", metavar="DIR",
+                    help="wrap one timed run in jax.profiler.trace and "
+                         "print the top device ops (leaf events)")
     args = ap.parse_args(argv)
 
     import jax
@@ -161,12 +164,15 @@ def main(argv=None) -> int:
         w = args.n_bits // 32
         packed = jax.random.bits(key, (args.n, w), jnp.uint32)
         from rad_tpu.fp.pack import popcount_rows
-        # chunked: popcount materializes an [N, W] int32 intermediate —
-        # 6.4 GB at 50M rows, which OOMs next to the resident arrays
+        # chunked AND serialized: popcount materializes an [N, W] int32
+        # intermediate (6.4 GB at 50M rows), and async dispatch would queue
+        # every chunk's temporaries live at once — block per chunk
         chunks = []
-        step = 1 << 22
+        step = 1 << 21
         for lo in range(0, args.n, step):
-            chunks.append(popcount_rows(packed[lo:lo + step]))
+            c = popcount_rows(packed[lo:lo + step])
+            jax.block_until_ready(c)
+            chunks.append(c)
         pops = jnp.concatenate(chunks).astype(jnp.int32)
         target = jax.random.bits(jax.random.PRNGKey(7), (w,), jnp.uint32)
         t_pop = popcount_rows(target[None, :])[0]
@@ -253,6 +259,20 @@ def main(argv=None) -> int:
         log(f"run {i}: {dt:.2f}s, {scored} scored -> "
             f"{scored / dt:.0f} nodes/s (dropped {int(state.n_dropped)})")
         best = min(best, dt)
+
+    if args.profile:
+        import jax.profiler
+        from rad_tpu.utils.profiling import aggregate_xla_ops
+        state = fresh_state()
+        jax.block_until_ready(state.f_score)
+        with jax.profiler.trace(args.profile):
+            state = run_fn(state)
+            _ = int(state.n_scored)
+        ops, n_ev = aggregate_xla_ops(args.profile)
+        total = sum(ops.values())
+        log(f"profile: {n_ev} events, {total/1e6:.1f} ms total device time")
+        for name, ns in sorted(ops.items(), key=lambda kv: -kv[1])[:25]:
+            log(f"  {ns/1e6:10.2f} ms  {name}")
 
     print(json.dumps({
         "metric": "scale_traversal_nodes_per_sec",

@@ -1,0 +1,59 @@
+"""Anti-rot execution tests for the scale benchmark (CPU, tiny shapes).
+
+bench_scale generates its graph ON DEVICE (nothing host-side to reuse), so
+these tests pin the generator's invariants and run all three scorer modes
+end-to-end at toy sizes — the same guard the examples have.
+"""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+
+sys.path.insert(0, "benchmarks")
+
+
+def test_layer_sizes_shape():
+    from bench_scale import hnsw_layer_sizes
+
+    sizes = hnsw_layer_sizes(100_000, 8)
+    assert sizes[0] == 100_000
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
+    assert sizes[-1] >= 1
+    # expected geometric decay
+    assert sizes[1] == pytest.approx(12_500, rel=0.01)
+
+
+def test_device_graph_generator_invariants():
+    from bench_scale import make_device_graph
+
+    dg, sizes = make_device_graph(20_000, 8, seed=3, n_chunks=4)
+    adj = np.asarray(dg.adj)
+    offsets = np.asarray(dg.offsets)
+    assert dg.n_rows == sum(sizes)
+    assert adj.shape[1] == 16
+    # per-level: ids in range, no self loops, padding beyond caps
+    for l, nl in enumerate(sizes):
+        rows = adj[offsets[l]:offsets[l] + nl]
+        cap = 16 if l == 0 else 8
+        valid = rows[:, :cap]
+        ok = valid >= 0
+        assert (valid[ok] < nl).all()
+        self_hits = valid == np.arange(nl)[:, None]
+        assert not self_hits.any()
+        assert (rows[:, cap:] == -1).all()
+
+
+@pytest.mark.parametrize("mode", ["hash", "id", "fps"])
+def test_bench_scale_runs(mode, capsys):
+    from bench_scale import main
+
+    rc = main(["--n", "30000", "--budget", "5000", "--frontier", "262144",
+               "--mode", mode, "--n-bits", "128", "--runs", "1"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "scale_traversal_nodes_per_sec"
+    assert out["value"] > 0
