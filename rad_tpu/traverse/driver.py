@@ -137,6 +137,8 @@ class DeviceTraverser:
         n_to_score: Optional[int] = None,
         timeout: Optional[float] = None,
         pipeline_depth: int = 1,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_interval: int = 100,
     ) -> dict:
         """Run the best-first sweep until a stop condition
         (reference rad/traverser.py:178-245 semantics: n_to_score reached,
@@ -148,6 +150,14 @@ class DeviceTraverser:
         items (rad/coordination_service.py:314-347). Equivalent to running
         the reference with ``pipeline_depth`` workers; traversal order may
         interleave but all once-only invariants hold.
+
+        ``checkpoint_path`` enables crash recovery: the state is persisted
+        atomically every ``checkpoint_interval`` integrated batches, so a
+        killed campaign resumes with :meth:`load_checkpoint` + another
+        ``traverse()`` call and loses at most one interval of scoring work
+        — the device-engine analogue of the reference's survive-worker-
+        loss journaling (rad/coordination_service.py:339-343; its state
+        survives in Redis, ours in the checkpoint file).
         """
         if not self._primed:
             raise RuntimeError("prime() must be called before traverse() "
@@ -164,14 +174,38 @@ class DeviceTraverser:
                 out["exp_node"], out["exp_level"], out["exp_score"],
                 out["exp_valid"], out["cand"], out["to_score"], new_scores)
 
+        n_since_ckpt = [0]
+
+        def after_integrate(state):
+            if self._spill is not None:
+                self._spill.drain(state)
+            if checkpoint_path is not None:
+                n_since_ckpt[0] += 1
+                if n_since_ckpt[0] >= checkpoint_interval:
+                    n_since_ckpt[0] = 0
+                    self._save_state_atomic(state, checkpoint_path)
+
         self.state, _ = pipelined_traverse(
             self.state, expand, integrate, self._score_batch,
             n_scored_of=lambda st: int(st.n_scored),
             n_to_score=n_to_score, timeout=timeout,
             pipeline_depth=pipeline_depth, stats=self.stats,
-            after_integrate=(self._spill.drain if self._spill is not None
-                             else None))
+            after_integrate=after_integrate)
+        if checkpoint_path is not None:
+            self._save_state_atomic(self.state, checkpoint_path)
         return dict(self.stats, n_scored=self.n_scored)
+
+    @staticmethod
+    def _save_state_atomic(state, path: str) -> None:
+        """Write-then-rename so a crash mid-save never corrupts the last
+        good checkpoint."""
+        import os
+        tmp = f"{path}.tmp.{os.getpid()}"
+        dev.save_state(state, tmp)
+        # np.savez appends .npz to paths without an extension
+        if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+            tmp = tmp + ".npz"
+        os.replace(tmp, path)
 
     def shutdown(self) -> None:
         if self._pool is not None:
