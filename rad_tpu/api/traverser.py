@@ -255,8 +255,10 @@ class RADTraverser:
             raise ValueError("Must provide either timeout or n_to_score")
         start = time.time()
         if self.engine in ("device", "pod"):
+            # pass through engine options (pipeline_depth, checkpoint_path,
+            # checkpoint_interval, ...) — n_workers is a host-engine knob
             stats = self._device_engine.traverse(n_to_score=n_to_score,
-                                                 timeout=timeout)
+                                                 timeout=timeout, **kwargs)
             self._monitor_stats = stats
             return stats
         # host engine: coordination + worker pool, 1 Hz-ish monitor poll
