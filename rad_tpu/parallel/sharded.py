@@ -265,10 +265,19 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
         check_vma=False,
     )
 
+    # graph arrays enter the jitted program as ARGUMENTS, not closure
+    # constants: multihost jit cannot close over non-addressable global
+    # arrays, and closure constants bloat compile payloads (the
+    # make_device_run lesson, CLAUDE.md)
     @jax.jit
-    def step(state: TraversalState, target_packed, target_pop):
-        return mapped(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+    def _step(state: TraversalState, adj, packed, pops, offsets,
+              target_packed, target_pop):
+        return mapped(state, adj, packed, pops, offsets,
                       target_packed, target_pop)
+
+    def step(state: TraversalState, target_packed, target_pop):
+        return _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                     target_packed, target_pop)
 
     return step
 
@@ -431,10 +440,19 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
         check_vma=False,
     )
 
+    # graph arrays enter the jitted program as ARGUMENTS, not closure
+    # constants: multihost jit cannot close over non-addressable global
+    # arrays, and closure constants bloat compile payloads (the
+    # make_device_run lesson, CLAUDE.md)
     @jax.jit
-    def step(state: TraversalState, target_packed, target_pop):
-        return mapped(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+    def _step(state: TraversalState, adj, packed, pops, offsets,
+              target_packed, target_pop):
+        return mapped(state, adj, packed, pops, offsets,
                       target_packed, target_pop)
+
+    def step(state: TraversalState, target_packed, target_pop):
+        return _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                     target_packed, target_pop)
 
     return step
 
@@ -510,9 +528,12 @@ def make_sharded_expand_integrate(sg: ShardedGraph, mesh: Mesh, batch: int,
     )
 
     @jax.jit
-    def expand(state: TraversalState):
-        state, outs = expand_mapped(state, sg.adj, sg.offsets)
+    def _expand(state: TraversalState, adj, offsets):
+        state, outs = expand_mapped(state, adj, offsets)
         return state, dict(zip(_OUT_KEYS, outs))
+
+    def expand(state: TraversalState):
+        return _expand(state, sg.adj, sg.offsets)
 
     def integrate_body(state: TraversalState, offsets, exp_node, exp_level,
                        exp_score, exp_valid, cand, to_score, new_scores):
@@ -529,11 +550,14 @@ def make_sharded_expand_integrate(sg: ShardedGraph, mesh: Mesh, batch: int,
     )
 
     @jax.jit
-    def integrate(state: TraversalState, out: dict, new_scores):
-        return integrate_mapped(state, sg.offsets, out["exp_node"],
+    def _integrate(state: TraversalState, offsets, out: dict, new_scores):
+        return integrate_mapped(state, offsets, out["exp_node"],
                                 out["exp_level"], out["exp_score"],
                                 out["exp_valid"], out["cand"],
                                 out["to_score"], new_scores)
+
+    def integrate(state: TraversalState, out: dict, new_scores):
+        return _integrate(state, sg.offsets, out, new_scores)
 
     return expand, integrate
 
@@ -580,11 +604,13 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
     )
 
     @jax.jit
-    def search(queries):
+    def _search(adj, packed, pops, offsets, queries):
         from rad_tpu.fp.pack import popcount_rows
         q_pops = popcount_rows(queries)
-        return mapped(sg.adj, sg.packed, sg.pops, sg.offsets, queries,
-                      q_pops)
+        return mapped(adj, packed, pops, offsets, queries, q_pops)
+
+    def search(queries):
+        return _search(sg.adj, sg.packed, sg.pops, sg.offsets, queries)
 
     return search
 
@@ -748,11 +774,13 @@ def make_sharded_search_2d(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
     )
 
     @jax.jit
-    def search(queries):
+    def _search(adj, packed, pops, offsets, queries):
         from rad_tpu.fp.pack import popcount_rows
         q_pops = popcount_rows(queries)
-        return mapped(sg.adj, sg.packed, sg.pops, sg.offsets, queries,
-                      q_pops)
+        return mapped(adj, packed, pops, offsets, queries, q_pops)
+
+    def search(queries):
+        return _search(sg.adj, sg.packed, sg.pops, sg.offsets, queries)
 
     return search
 

@@ -62,7 +62,52 @@ CHILD = textwrap.dedent("""
     true_ids = np.argsort(full, axis=1, kind="stable")[:, :3]
     np.testing.assert_allclose(
         d, np.take_along_axis(full, true_ids, 1), atol=1e-6)
-    print(f"proc {pid}: multihost ok", flush=True)
+
+    # sharded TRAVERSAL STEP across the 2-process mesh: the pod engine's
+    # fused step (replicated state, graph sharded over DCN+local devices)
+    # must match the single-device engine's scored set bit-for-bit
+    from rad_tpu.traverse import device as dev
+    from rad_tpu.parallel.sharded import make_sharded_step
+    from rad_tpu.fp.pack import popcount_rows
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec
+
+    dgl = dev.prepare_device_graph(graph)
+    packed_l = jnp.asarray(np.asarray(graph.packed))
+    pops_l = jnp.asarray(np.asarray(graph.popcounts))
+    target = jnp.asarray(np.asarray(graph.packed)[7])
+    t_pop = popcount_rows(target[None, :])[0]
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed = tanimoto_matrix(target[None, :], packed_l[:n_top])[0]
+    st = dev.prime(dev.init_state(dgl, frontier_capacity=1 << 10,
+                                  head_capacity=None), dgl, ids, seed)
+    import dataclasses as dc
+    st_np = jax.tree_util.tree_map(np.asarray, st)  # snapshot pre-donation
+
+    st_o = st
+    for _ in range(2):
+        st_o = dev.fused_step(st_o, dgl, packed_l, pops_l, target, t_pop, 8)
+    oracle_scored = np.asarray(st_o.scored)
+    oracle_n = int(st_o.n_scored)
+
+    def to_global(x):
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, PartitionSpec())
+    gstate = jax.tree_util.tree_map(to_global, st_np)
+    step = make_sharded_step(sg, mesh, batch=8)
+    gt = to_global(np.asarray(target))
+    gtp = to_global(np.asarray(t_pop))
+    for _ in range(2):
+        gstate = step(gstate, gt, gtp)
+    sharded_scored = np.asarray(jax.device_get(
+        multihost_utils.process_allgather(gstate.scored, tiled=True)))
+    np.testing.assert_array_equal(sharded_scored, oracle_scored)
+    n_sh = int(np.asarray(jax.device_get(
+        multihost_utils.process_allgather(gstate.n_scored, tiled=True))))
+    assert n_sh == oracle_n, (n_sh, oracle_n)
+    print(f"proc {pid}: multihost ok (step parity {oracle_n} scored)",
+          flush=True)
 """)
 
 
