@@ -156,10 +156,12 @@ def main(argv=None) -> int:
     if args.mode == "id":
         packed = pops = None
     elif args.mode == "hash":
-        # score table [N, 1] f32 — gathered by node id inside the loop
-        packed = jax.random.uniform(key, (args.n, 1), jnp.float32)
-        pops = jnp.zeros((args.n,), jnp.int8)
-        scorer = lambda rows, _pops: rows[:, 0]
+        # score table [N] f32, threaded through the pops argument —
+        # gathered by node id inside the loop. (A [N, 1]-shaped table
+        # paid a 1.9 ms/step layout-conversion reduce at 100M — profiled.)
+        packed = jnp.zeros((args.n, 1), jnp.uint8)
+        pops = jax.random.uniform(key, (args.n,), jnp.float32)
+        scorer = lambda _rows, table_rows: table_rows
     else:
         w = args.n_bits // 32
         packed = jax.random.bits(key, (args.n, w), jnp.uint32)
@@ -197,7 +199,7 @@ def main(argv=None) -> int:
                            head_capacity=head,
                            log_capacity=args.log_capacity)
         if args.mode == "hash":
-            seed_scores = packed[: top_ids.shape[0], 0]
+            seed_scores = pops[: top_ids.shape[0]]
         elif args.mode == "id":
             seed_scores = id_score(top_ids)
         else:
