@@ -273,6 +273,12 @@ class DenseStateOps:
     def gather_enqueued(arr, idx):
         return arr[idx]
 
+    # The three big state scatters are per-update DRAM-latency-bound at
+    # 100M (~2.8 ms per 32k updates, independent of array bytes).
+    # Pre-sorting the (idx, val) pairs for locality was MEASURED and
+    # REJECTED on v5e: 2.00M vs 2.17M nodes/s at 100M — 32k indices over
+    # 100M rows are too sparse for row-buffer reuse, and the argsorts
+    # cost more than they save (BENCHMARKS.md scale section).
     @staticmethod
     def scatter_scored(arr, idx, vals):
         return arr.at[idx].set(vals, mode="drop")
