@@ -20,7 +20,7 @@ Top-level API (mirrors rad/traverser.py:41-420):
     from rad_tpu import RADTraverser, HNSWIndex
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from rad_tpu.graph.storage import HNSWGraph
 

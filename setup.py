@@ -2,7 +2,7 @@ from setuptools import find_packages, setup
 
 setup(
     name="rad-tpu",
-    version="0.2.0",
+    version="0.3.0",
     description=("TPU-native retrieval-augmented docking: HNSW over packed "
                  "molecular fingerprints with score-guided traversal "
                  "(JAX/XLA/Pallas)"),
