@@ -487,6 +487,7 @@ def integrate_impl(
     to_score: jnp.ndarray,
     new_scores: jnp.ndarray,
     ops: DenseStateOps = DENSE_OPS,
+    commit: str = "cond",
 ) -> TraversalState:
     """Integrate host scores and complete the traversal step.
 
@@ -494,6 +495,15 @@ def integrate_impl(
     append; per-(node, level) enqueued check-and-set; frontier push of new
     candidates; level descent of the expanded nodes; capacity-C frontier
     merge (worst entries drop, counted in n_dropped).
+
+    ``commit`` selects the frontier-commit policy: ``"cond"`` (default)
+    decides append-vs-merge with a `lax.cond` on the actual push count;
+    ``"append"``/``"merge"`` force the branch with no cond — for callers
+    that lift the decision to a scalar OUTSIDE a vmap (the multi-campaign
+    engine, rad_tpu.traverse.multi: a vmapped cond executes both branches
+    every step, which would merge-sort every step). Forcing ``"append"``
+    is only sound when the caller guarantees the buffer cannot overflow
+    this step (f_buf_n + p_new <= P).
     """
     n = dg.n_nodes
     cap = state.order_log.shape[0]
@@ -641,9 +651,11 @@ def integrate_impl(
     args = (state.f_score, state.f_row, state.f_cursor, state.f_buf_score,
             state.f_buf_row, state.f_buf_n, f_live0,
             cold_s, cold_r, cold_n, watermark, n_dropped0)
-    if p_new > p:
-        # buffer smaller than one step's pushes: always merge
+    if commit == "merge" or p_new > p:
+        # forced merge, or buffer smaller than one step's pushes
         out_args = do_merge(args)
+    elif commit == "append":
+        out_args = do_append(args)
     else:
         out_args = jax.lax.cond(
             state.f_buf_n + n_push <= p, do_append, do_merge, args)
@@ -672,7 +684,8 @@ def integrate_impl(
     )
 
 
-integrate = jax.jit(integrate_impl, donate_argnums=(0,))
+integrate = jax.jit(integrate_impl, static_argnames=("commit",),
+                    donate_argnums=(0,))
 
 
 @jax.jit

@@ -1,0 +1,145 @@
+"""Multi-campaign traversal: T independent screenings in ONE compiled sweep.
+
+The reference runs one scoring campaign per traverser (one receptor, one
+Redis namespace); screening a panel — DUDE-Z alone has 43 receptors
+(reference examples/DUDEZ_example.ipynb) — means T sequential campaigns.
+On TPU the engine's per-step cost is a latency-pipelined chain of
+[B·M0]-wide state ops (BENCHMARKS.md step profile), so batching T
+campaigns' states into [T, ...] arrays amortizes the latency chain across
+campaigns: aggregate nodes/s grows with T at nearly constant wall-clock
+per step. The graph and fingerprint matrix are SHARED (read-only) — only
+the O(N)-per-campaign state replicates.
+
+Mechanics: each campaign keeps its own :class:`TraversalState` stacked on
+a leading T axis; one step vmaps expand → on-device Tanimoto-to-target
+scorer → integrate. Two vmap-specific adaptations, both semantics-free:
+
+- the frontier commit decision (append vs merge) is lifted to a SCALAR
+  `lax.cond` outside the vmap — a vmapped cond executes both branches,
+  which would merge-sort every step. The scalar uses the conservative
+  pre-step check ``any(f_buf_n + p_new > P)`` (merge a bit earlier than
+  strictly needed); pop order is invariant to merge timing (pinned by
+  tests/test_async.py buffer-size invariance), so results are unchanged.
+- finished campaigns are FROZEN: the step still computes their lanes (the
+  vmap is rectangular) but a `where(active)` mask discards the result, so
+  each campaign's final state is bit-identical to running it alone to the
+  same budget.
+
+Single-level frontier only (``head_capacity=None``): the two-level
+layout's refill cond would also degenerate under vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rad_tpu.traverse import device as dev
+from rad_tpu.traverse.device import DeviceGraph, TraversalState
+
+__all__ = ["init_multi", "prime_multi", "fused_run_multi",
+           "campaign_state"]
+
+
+def init_multi(dg: DeviceGraph, n_campaigns: int,
+               frontier_capacity: int | None = None,
+               log_capacity: int | None = None,
+               buffer_capacity: int = 1 << 15) -> TraversalState:
+    """T stacked fresh states (leading axis = campaign)."""
+    one = dev.init_state(dg, frontier_capacity, log_capacity,
+                         buffer_capacity, head_capacity=None)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_campaigns,) + x.shape),
+        one)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def prime_multi(states: TraversalState, dg: DeviceGraph,
+                node_ids: jnp.ndarray,
+                node_scores: jnp.ndarray) -> TraversalState:
+    """Seed every campaign from the same top-layer nodes with per-campaign
+    scores (``node_scores [T, K]``, ``node_ids [K]`` shared)."""
+    return jax.vmap(dev.prime, in_axes=(0, None, None, 0))(
+        states, dg, node_ids, node_scores)
+
+
+@partial(jax.jit, static_argnames=("batch", "max_steps"),
+         donate_argnums=(0,))
+def fused_run_multi(
+    states: TraversalState,
+    dg: DeviceGraph,
+    packed: jnp.ndarray,
+    pops: jnp.ndarray,
+    targets: jnp.ndarray,       # [T, W]
+    t_pops: jnp.ndarray,        # [T]
+    n_to_score: jnp.ndarray,    # scalar or [T]
+    batch: int,
+    max_steps: int = 1 << 20,
+) -> TraversalState:
+    """Run all campaigns to their budgets in one `lax.while_loop`."""
+    from rad_tpu.fp.pack import popcount
+
+    t = targets.shape[0]
+    budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
+    p = states.f_buf_score.shape[1]
+    p_new = batch * dg.m0 + batch  # max pushes any step can produce
+
+    def active_mask(st):
+        return (st.n_scored < budgets) & (st.f_live > 0)
+
+    def expand_score(state, target, t_pop):
+        state, out = dev.expand_impl(state, dg, batch)
+        ts = out["to_score"]
+        ok = ts >= 0
+        rows = packed[jnp.where(ok, ts, 0)]
+        inter = jnp.sum(popcount(rows & target[None, :]), axis=-1)
+        union = t_pop + pops[jnp.where(ok, ts, 0)] - inter
+        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        return state, out, scores
+
+    def integrate_with(commit):
+        def f(args):
+            sts, outs, scs = args
+            return jax.vmap(
+                lambda s, o, sc: dev.integrate_impl(
+                    s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
+                    o["exp_valid"], o["cand"], o["to_score"], sc,
+                    commit=commit)
+            )(sts, outs, scs)
+        return f
+
+    def body(carry):
+        states, steps = carry
+        active = active_mask(states)
+        # scalar commit decision over ACTIVE campaigns only (frozen lanes
+        # never grow their buffers, and a frozen near-full buffer must not
+        # force merges forever)
+        force = jnp.any(active & (states.f_buf_n + p_new > p))
+        sts, outs, scs = jax.vmap(expand_score)(states, targets, t_pops)
+        new_states = jax.lax.cond(force, integrate_with("merge"),
+                                  integrate_with("append"),
+                                  (sts, outs, scs))
+        # freeze finished campaigns: discard their lane's result
+        def keep(new, old):
+            a = active.reshape((t,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+        states = jax.tree_util.tree_map(keep, new_states, states)
+        return states, steps + 1
+
+    def cond(carry):
+        states, steps = carry
+        return jnp.any(active_mask(states)) & (steps < max_steps)
+
+    states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
+    return states
+
+
+def campaign_state(states: TraversalState, i: int) -> TraversalState:
+    """Extract campaign ``i``'s state (host-side convenience for the
+    single-campaign result APIs: read_order_log, scores, ...)."""
+    return jax.tree_util.tree_map(lambda x: x[i], states)

@@ -1,0 +1,91 @@
+"""Multi-campaign traversal: per-campaign bit-parity with solo runs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints
+from rad_tpu.fp.pack import popcount_rows
+from rad_tpu.fp.tanimoto import tanimoto_matrix
+from rad_tpu.traverse import device as dev
+from rad_tpu.traverse.multi import (campaign_state, fused_run_multi,
+                                    init_multi, prime_multi)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fps = random_fingerprints(600, n_bits=128, density=0.25, seed=41)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=6)
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    targets = jnp.asarray(
+        random_fingerprints(3, n_bits=128, density=0.25, seed=77))
+    t_pops = popcount_rows(targets)
+    return graph, dg, packed, pops, targets, t_pops
+
+
+def _solo(dg, packed, pops, target, t_pop, budget, frontier, buffer):
+    n_top = int(jnp.sum(dg.offsets[dg.max_level + 1]
+                        - dg.offsets[dg.max_level]))
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed = tanimoto_matrix(target[None, :], packed[:n_top])[0]
+    st = dev.init_state(dg, frontier_capacity=frontier,
+                        buffer_capacity=buffer, head_capacity=None)
+    st = dev.prime(st, dg, ids, seed)
+    return dev.fused_run(st, dg, packed, pops, target, t_pop,
+                         jnp.int32(budget), batch=4)
+
+
+def test_multi_campaign_matches_solo_runs(setup):
+    """Each campaign of the batched sweep ends bit-identical to running it
+    alone: same scored set, same scores, same insertion order — across
+    different per-campaign budgets (freezing) and the lifted merge cond."""
+    graph, dg, packed, pops, targets, t_pops = setup
+    frontier, buffer = 1 << 11, 1 << 8
+    budgets = jnp.asarray([80, 150, 120], jnp.int32)
+
+    states = init_multi(dg, 3, frontier_capacity=frontier,
+                        buffer_capacity=buffer)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(targets, packed[:n_top])
+    states = prime_multi(states, dg, ids, seeds)
+    states = fused_run_multi(states, dg, packed, pops, targets, t_pops,
+                             budgets, batch=4)
+
+    for i in range(3):
+        solo = _solo(dg, packed, pops, targets[i], t_pops[i],
+                     int(budgets[i]), frontier, buffer)
+        ci = campaign_state(states, i)
+        assert int(ci.n_scored) == int(solo.n_scored), f"campaign {i}"
+        np.testing.assert_array_equal(np.asarray(ci.scored),
+                                      np.asarray(solo.scored))
+        np.testing.assert_array_equal(
+            np.asarray(ci.scores)[np.asarray(solo.scored)],
+            np.asarray(solo.scores)[np.asarray(solo.scored)])
+        np.testing.assert_array_equal(dev.read_order_log(ci),
+                                      dev.read_order_log(solo))
+        assert int(ci.n_dropped) == 0 and int(solo.n_dropped) == 0
+
+
+def test_multi_campaign_budgets_respected(setup):
+    graph, dg, packed, pops, targets, t_pops = setup
+    states = init_multi(dg, 3, frontier_capacity=1 << 11,
+                        buffer_capacity=1 << 8)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(targets, packed[:n_top])
+    states = prime_multi(states, dg, ids, seeds)
+    budgets = jnp.asarray([50, 200, 100], jnp.int32)
+    states = fused_run_multi(states, dg, packed, pops, targets, t_pops,
+                             budgets, batch=4)
+    n = np.asarray(states.n_scored)
+    # each campaign met its budget (graph is large enough) without the
+    # slowest campaign dragging the finished ones past theirs by more
+    # than one batch's worth of discoveries
+    assert (n >= np.asarray(budgets)).all()
+    assert (n <= np.asarray(budgets) + 4 * dg.m0).all()
