@@ -151,7 +151,7 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "native", "host", "device"])
-    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--batch-size", type=int, default=16)  # depth: ~16 guidance rounds at the 2% budget (docs/ARCHITECTURE.md)
     ap.add_argument("--plot", help="write the enrichment curve to this PNG")
     ap.add_argument("--json-out", help="write the result record here")
     args = ap.parse_args(argv)

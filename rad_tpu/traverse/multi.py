@@ -42,7 +42,7 @@ from rad_tpu.traverse import device as dev
 from rad_tpu.traverse.device import DeviceGraph, TraversalState
 
 __all__ = ["init_multi", "prime_multi", "fused_run_multi",
-           "campaign_state"]
+           "fused_run_multi_tables", "campaign_state"]
 
 
 def init_multi(dg: DeviceGraph, n_campaigns: int,
@@ -125,6 +125,72 @@ def fused_run_multi(
                                   integrate_with("append"),
                                   (sts, outs, scs))
         # freeze finished campaigns: discard their lane's result
+        def keep(new, old):
+            a = active.reshape((t,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+        states = jax.tree_util.tree_map(keep, new_states, states)
+        return states, steps + 1
+
+    def cond(carry):
+        states, steps = carry
+        return jnp.any(active_mask(states)) & (steps < max_steps)
+
+    states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
+    return states
+
+
+@partial(jax.jit, static_argnames=("batch", "max_steps"),
+         donate_argnums=(0,))
+def fused_run_multi_tables(
+    states: TraversalState,
+    dg: DeviceGraph,
+    score_tables: jnp.ndarray,  # [T, N] float32 — per-campaign node scores
+    n_to_score: jnp.ndarray,    # scalar or [T]
+    batch: int,
+    max_steps: int = 1 << 20,
+) -> TraversalState:
+    """Multi-campaign sweep with per-campaign score TABLES.
+
+    The receptor-panel use case (reference examples/DUDEZ_example.ipynb:
+    one lookup-table DOCK scorer per receptor): campaign t's score for
+    node i is ``score_tables[t, i]``. Same engine as
+    :func:`fused_run_multi` with the Tanimoto scorer replaced by a
+    per-campaign gather.
+    """
+    t = score_tables.shape[0]
+    budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
+    p = states.f_buf_score.shape[1]
+    p_new = batch * dg.m0 + batch
+
+    def active_mask(st):
+        return (st.n_scored < budgets) & (st.f_live > 0)
+
+    def expand_score(state, table):
+        state, out = dev.expand_impl(state, dg, batch)
+        ts = out["to_score"]
+        ok = ts >= 0
+        scores = jnp.where(ok, table[jnp.where(ok, ts, 0)], jnp.inf)
+        return state, out, scores
+
+    def integrate_with(commit):
+        def f(args):
+            sts, outs, scs = args
+            return jax.vmap(
+                lambda s, o, sc: dev.integrate_impl(
+                    s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
+                    o["exp_valid"], o["cand"], o["to_score"], sc,
+                    commit=commit)
+            )(sts, outs, scs)
+        return f
+
+    def body(carry):
+        states, steps = carry
+        active = active_mask(states)
+        force = jnp.any(active & (states.f_buf_n + p_new > p))
+        sts, outs, scs = jax.vmap(expand_score)(states, score_tables)
+        new_states = jax.lax.cond(force, integrate_with("merge"),
+                                  integrate_with("append"),
+                                  (sts, outs, scs))
         def keep(new, old):
             a = active.reshape((t,) + (1,) * (new.ndim - 1))
             return jnp.where(a, new, old)

@@ -89,3 +89,55 @@ def test_multi_campaign_budgets_respected(setup):
     # than one batch's worth of discoveries
     assert (n >= np.asarray(budgets)).all()
     assert (n <= np.asarray(budgets) + 4 * dg.m0).all()
+
+
+def test_panel_example_runs_and_recovers(capsys):
+    """Anti-rot execution of examples/panel_screening.py + the batch-depth
+    property: at batch 8 (tens of guidance rounds) every receptor recovers
+    nearly all of its true top-100 at a 10% budget."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples"))
+    import panel_screening
+
+    rc = panel_screening.main(["--n", "6000", "--receptors", "2",
+                               "--batch", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "receptor 1" in out
+    mean = int(out.rsplit(":", 1)[1].split("/")[0])
+    assert mean >= 90, out
+
+
+def test_batch_depth_guidance_property(setup):
+    """The documented depth trade (docs/ARCHITECTURE.md): a batch that
+    compresses the whole budget into ~1 round floods the entry region and
+    loses the score gradient, while a deep batch follows it."""
+    graph, dg, packed, pops, targets, t_pops = setup
+    # score table = similarity to target 0 (a real gradient on this graph)
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+    table = tanimoto_matrix(targets[:1], packed)[0]
+    budget = 120
+
+    def run(batch):
+        states = init_multi(dg, 1, frontier_capacity=1 << 11,
+                            buffer_capacity=1 << 8)
+        n_top = graph.layer_sizes[graph.max_level]
+        ids = jnp.arange(n_top, dtype=jnp.int32)
+        states = prime_multi(states, dg, ids, table[None, :n_top])
+        from rad_tpu.traverse.multi import fused_run_multi_tables
+        states = fused_run_multi_tables(states, dg, table[None],
+                                        jnp.int32(budget), batch=batch)
+        st = campaign_state(states, 0)
+        scored = np.asarray(st.scored)
+        top = np.argsort(np.asarray(table), kind="stable")[:30]
+        return sum(scored[i] for i in top)
+
+    deep = run(2)       # ~15 guidance rounds
+    shallow = run(32)   # budget gone in ~1 round
+    assert deep > shallow, (deep, shallow)
+    # uniform-random fixture = weak gradient; the clustered-library case
+    # (test_panel_example_runs_and_recovers) pins the strong-recovery end
+    assert deep >= 10, deep
