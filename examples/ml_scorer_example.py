@@ -110,7 +110,9 @@ def main(argv=None) -> int:
     dg = dev.prepare_device_graph(graph)
     packed_d = jnp.asarray(gp)
     pops_d = jnp.asarray(np.asarray(graph.popcounts))
-    run = dev.make_device_run(dg, packed_d, pops_d, scorer, batch=32)
+    # batch 8: enrichment needs tens of guidance rounds within the budget
+    # (docs/ARCHITECTURE.md batch-depth section)
+    run = dev.make_device_run(dg, packed_d, pops_d, scorer, batch=8)
     state = dev.init_state(dg, frontier_capacity=1 << 16)
     n_top = graph.layer_sizes[graph.max_level]
     seed_ids = jnp.arange(n_top, dtype=jnp.int32)
