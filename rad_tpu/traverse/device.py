@@ -294,13 +294,14 @@ class DenseStateOps:
     # batch dedup on the hot path: dense engines use the sort-free scatter
     # variant while its [sentinel+1] scratch stays cheap, and switch to the
     # O(K log K) argsort once the scratch's per-step broadcast+scatter is
-    # O(N) work that dominates (PROFILED at 100M: the two scratches cost
-    # ~7.3 ms of a 26 ms step — BENCHMARKS.md scale section; at 1M the
-    # variants measure equal). Shard-aware ops always override with the
-    # argsort (an O(value range) scratch per chip would defeat sharding).
+    # O(N) work that matters (MEASURED: at 1M the variants are equal, at
+    # 10M argsort is +5% — 3.50M vs 3.32M nodes/s — and at 100M the two
+    # scratches cost 7.3 ms of a 26 ms step; BENCHMARKS.md). Shard-aware
+    # ops always override with the argsort (an O(value range) scratch per
+    # chip would defeat sharding).
     @staticmethod
     def first_occurrence(values, sentinel):
-        if sentinel + 1 > (1 << 24):
+        if sentinel + 1 > (1 << 23):
             return _first_occurrence(values, sentinel)
         return _first_occurrence_scatter(values, sentinel)
 
