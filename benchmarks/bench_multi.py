@@ -39,6 +39,8 @@ def main(argv=None) -> int:
     ap.add_argument("--frontier", type=int, default=1 << 20)
     ap.add_argument("--buffer", type=int, default=1 << 14)
     ap.add_argument("--t", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--head", type=int, default=None,
+                    help="two-level frontier head capacity per campaign")
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args(argv)
 
@@ -74,7 +76,8 @@ def main(argv=None) -> int:
 
         def fresh():
             s = init_multi(dg, t, frontier_capacity=args.frontier,
-                           buffer_capacity=args.buffer)
+                           buffer_capacity=args.buffer,
+                           head_capacity=args.head)
             return prime_multi(s, dg, ids, seeds)
 
         log(f"T={t}: compiling ...")

@@ -379,6 +379,7 @@ def _refill_two_level(state: TraversalState) -> TraversalState:
 def expand_impl(
     state: TraversalState, dg: DeviceGraph, batch: int,
     gather_adj=None, ops: DenseStateOps = DENSE_OPS,
+    refill: str = "cond",
 ) -> Tuple[TraversalState, dict]:
     """Pop the ``batch`` best frontier entries and gather their neighbors.
 
@@ -396,14 +397,22 @@ def expand_impl(
     c = state.f_score.shape[0]
     p = state.f_buf_score.shape[0]
     assert c >= b, "frontier_capacity must be >= batch"
-    if state.cold_score.shape[0] > 0:
+    if state.cold_score.shape[0] > 0 and refill != "skip":
         # two-level layout: when head+buffer can't satisfy this batch and
         # the cold store holds entries, refill first (rare: once per ~H
         # pops). Pops themselves never touch cold — the watermark
         # invariant keeps the global minimum inside head+buffer.
-        hb_live = state.f_live - state.cold_n
-        need = (hb_live < b) & (state.cold_n > 0)
-        state = jax.lax.cond(need, _refill_two_level, lambda s: s, state)
+        # ``refill`` lifts the decision for vmapped callers (the
+        # multi-campaign engine): "force" refills unconditionally (an
+        # exact rebuild — harmless when not needed), "skip" trusts the
+        # caller's scalar check that no campaign needs one this step.
+        if refill == "force":
+            state = _refill_two_level(state)
+        else:
+            hb_live = state.f_live - state.cold_n
+            need = (hb_live < b) & (state.cold_n > 0)
+            state = jax.lax.cond(need, _refill_two_level, lambda s: s,
+                                 state)
     # main candidates: the next B entries at the sorted prefix's cursor
     start = jnp.minimum(state.f_cursor, c - b)
     offs = start + jnp.arange(b, dtype=jnp.int32)
@@ -473,7 +482,7 @@ def expand_impl(
     return new_state, out
 
 
-expand = jax.jit(expand_impl, static_argnames=("batch",),
+expand = jax.jit(expand_impl, static_argnames=("batch", "refill"),
                  donate_argnums=(0,))
 
 

@@ -25,8 +25,11 @@ scorer → integrate. Two vmap-specific adaptations, both semantics-free:
   each campaign's final state is bit-identical to running it alone to the
   same budget.
 
-Single-level frontier only (``head_capacity=None``): the two-level
-layout's refill cond would also degenerate under vmap.
+The two-level frontier (``head_capacity`` in :func:`init_multi`) lifts
+its refill decision the same way: refill-all when any active campaign
+needs one (an exact rebuild is harmless for the others — only
+equal-score pop order can shift, the same caveat the single-campaign
+two-level layout documents).
 """
 
 from __future__ import annotations
@@ -48,10 +51,17 @@ __all__ = ["init_multi", "prime_multi", "fused_run_multi",
 def init_multi(dg: DeviceGraph, n_campaigns: int,
                frontier_capacity: int | None = None,
                log_capacity: int | None = None,
-               buffer_capacity: int = 1 << 15) -> TraversalState:
-    """T stacked fresh states (leading axis = campaign)."""
+               buffer_capacity: int = 1 << 15,
+               head_capacity: int | None | str = None) -> TraversalState:
+    """T stacked fresh states (leading axis = campaign).
+
+    ``head_capacity`` enables the two-level frontier per campaign; the
+    multi loop lifts the refill decision to a scalar (refill-all when any
+    active campaign needs one — an exact rebuild, harmless when not
+    needed; equal-score pop order may differ from solo runs, the same
+    caveat as the single-campaign two-level layout)."""
     one = dev.init_state(dg, frontier_capacity, log_capacity,
-                         buffer_capacity, head_capacity=None)
+                         buffer_capacity, head_capacity=head_capacity)
     return jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n_campaigns,) + x.shape),
         one)
@@ -65,6 +75,70 @@ def prime_multi(states: TraversalState, dg: DeviceGraph,
     scores (``node_scores [T, K]``, ``node_ids [K]`` shared)."""
     return jax.vmap(dev.prime, in_axes=(0, None, None, 0))(
         states, dg, node_ids, node_scores)
+
+
+def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
+    """Shared multi-campaign while-loop: scalar-lifted refill + commit
+    decisions around a vmapped expand→score→integrate step, with frozen
+    finished campaigns. ``vm_expand_score(states, refill)`` runs the
+    vmapped expand + scorer and returns (states, outs, scores)."""
+    t = budgets.shape[0]
+    p = states.f_buf_score.shape[1]
+    p_new = batch * dg.m0 + batch  # max pushes any step can produce
+    two_level = states.cold_score.shape[1] > 0
+
+    def active_mask(st):
+        return (st.n_scored < budgets) & (st.f_live > 0)
+
+    def integrate_with(commit):
+        def f(args):
+            sts, outs, scs = args
+            return jax.vmap(
+                lambda s, o, sc: dev.integrate_impl(
+                    s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
+                    o["exp_valid"], o["cand"], o["to_score"], sc,
+                    commit=commit)
+            )(sts, outs, scs)
+        return f
+
+    def make_step(refill):
+        def step(args):
+            states, force_commit = args
+            sts, outs, scs = vm_expand_score(states, refill)
+            return jax.lax.cond(force_commit, integrate_with("merge"),
+                                integrate_with("append"),
+                                (sts, outs, scs))
+        return step
+
+    def body(carry):
+        states, steps = carry
+        active = active_mask(states)
+        # scalar decisions over ACTIVE campaigns only (frozen lanes never
+        # change, and a frozen near-full buffer / drained head must not
+        # force work forever)
+        force_commit = jnp.any(active & (states.f_buf_n + p_new > p))
+        if two_level:
+            hb_live = states.f_live - states.cold_n
+            any_refill = jnp.any(active & (hb_live < batch)
+                                 & (states.cold_n > 0))
+            new_states = jax.lax.cond(any_refill, make_step("force"),
+                                      make_step("skip"),
+                                      (states, force_commit))
+        else:
+            new_states = make_step("cond")((states, force_commit))
+
+        def keep(new, old):
+            a = active.reshape((t,) + (1,) * (new.ndim - 1))
+            return jnp.where(a, new, old)
+        states = jax.tree_util.tree_map(keep, new_states, states)
+        return states, steps + 1
+
+    def cond(carry):
+        states, steps = carry
+        return jnp.any(active_mask(states)) & (steps < max_steps)
+
+    states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
+    return states
 
 
 @partial(jax.jit, static_argnames=("batch", "max_steps"),
@@ -85,14 +159,9 @@ def fused_run_multi(
 
     t = targets.shape[0]
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
-    p = states.f_buf_score.shape[1]
-    p_new = batch * dg.m0 + batch  # max pushes any step can produce
 
-    def active_mask(st):
-        return (st.n_scored < budgets) & (st.f_live > 0)
-
-    def expand_score(state, target, t_pop):
-        state, out = dev.expand_impl(state, dg, batch)
+    def expand_score(state, target, t_pop, refill):
+        state, out = dev.expand_impl(state, dg, batch, refill=refill)
         ts = out["to_score"]
         ok = ts >= 0
         rows = packed[jnp.where(ok, ts, 0)]
@@ -102,41 +171,12 @@ def fused_run_multi(
         scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
         return state, out, scores
 
-    def integrate_with(commit):
-        def f(args):
-            sts, outs, scs = args
-            return jax.vmap(
-                lambda s, o, sc: dev.integrate_impl(
-                    s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
-                    o["exp_valid"], o["cand"], o["to_score"], sc,
-                    commit=commit)
-            )(sts, outs, scs)
-        return f
+    def vm_expand_score(states, refill):
+        return jax.vmap(lambda s, tg, tp: expand_score(s, tg, tp, refill)
+                        )(states, targets, t_pops)
 
-    def body(carry):
-        states, steps = carry
-        active = active_mask(states)
-        # scalar commit decision over ACTIVE campaigns only (frozen lanes
-        # never grow their buffers, and a frozen near-full buffer must not
-        # force merges forever)
-        force = jnp.any(active & (states.f_buf_n + p_new > p))
-        sts, outs, scs = jax.vmap(expand_score)(states, targets, t_pops)
-        new_states = jax.lax.cond(force, integrate_with("merge"),
-                                  integrate_with("append"),
-                                  (sts, outs, scs))
-        # freeze finished campaigns: discard their lane's result
-        def keep(new, old):
-            a = active.reshape((t,) + (1,) * (new.ndim - 1))
-            return jnp.where(a, new, old)
-        states = jax.tree_util.tree_map(keep, new_states, states)
-        return states, steps + 1
-
-    def cond(carry):
-        states, steps = carry
-        return jnp.any(active_mask(states)) & (steps < max_steps)
-
-    states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
-    return states
+    return _multi_loop(states, dg, budgets, batch, max_steps,
+                       vm_expand_score)
 
 
 @partial(jax.jit, static_argnames=("batch", "max_steps"),
@@ -159,50 +199,20 @@ def fused_run_multi_tables(
     """
     t = score_tables.shape[0]
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
-    p = states.f_buf_score.shape[1]
-    p_new = batch * dg.m0 + batch
 
-    def active_mask(st):
-        return (st.n_scored < budgets) & (st.f_live > 0)
-
-    def expand_score(state, table):
-        state, out = dev.expand_impl(state, dg, batch)
+    def expand_score(state, table, refill):
+        state, out = dev.expand_impl(state, dg, batch, refill=refill)
         ts = out["to_score"]
         ok = ts >= 0
         scores = jnp.where(ok, table[jnp.where(ok, ts, 0)], jnp.inf)
         return state, out, scores
 
-    def integrate_with(commit):
-        def f(args):
-            sts, outs, scs = args
-            return jax.vmap(
-                lambda s, o, sc: dev.integrate_impl(
-                    s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
-                    o["exp_valid"], o["cand"], o["to_score"], sc,
-                    commit=commit)
-            )(sts, outs, scs)
-        return f
+    def vm_expand_score(states, refill):
+        return jax.vmap(lambda s, tb: expand_score(s, tb, refill)
+                        )(states, score_tables)
 
-    def body(carry):
-        states, steps = carry
-        active = active_mask(states)
-        force = jnp.any(active & (states.f_buf_n + p_new > p))
-        sts, outs, scs = jax.vmap(expand_score)(states, score_tables)
-        new_states = jax.lax.cond(force, integrate_with("merge"),
-                                  integrate_with("append"),
-                                  (sts, outs, scs))
-        def keep(new, old):
-            a = active.reshape((t,) + (1,) * (new.ndim - 1))
-            return jnp.where(a, new, old)
-        states = jax.tree_util.tree_map(keep, new_states, states)
-        return states, steps + 1
-
-    def cond(carry):
-        states, steps = carry
-        return jnp.any(active_mask(states)) & (steps < max_steps)
-
-    states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
-    return states
+    return _multi_loop(states, dg, budgets, batch, max_steps,
+                       vm_expand_score)
 
 
 def campaign_state(states: TraversalState, i: int) -> TraversalState:

@@ -141,3 +141,31 @@ def test_batch_depth_guidance_property(setup):
     # uniform-random fixture = weak gradient; the clustered-library case
     # (test_panel_example_runs_and_recovers) pins the strong-recovery end
     assert deep >= 10, deep
+
+
+def test_multi_two_level_same_scored_set(setup):
+    """Two-level multi (scalar-lifted refill) scores the same SET as the
+    single-level multi at a lossless frontier — only equal-score pop
+    order may differ (the documented two-level caveat)."""
+    graph, dg, packed, pops, targets, t_pops = setup
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(targets, packed[:n_top])
+    budgets = jnp.asarray([100, 160, 130], jnp.int32)
+
+    def run(head):
+        states = init_multi(dg, 3, frontier_capacity=1 << 11,
+                            buffer_capacity=1 << 7, head_capacity=head)
+        states = prime_multi(states, dg, ids, seeds)
+        return fused_run_multi(states, dg, packed, pops, targets, t_pops,
+                               budgets, batch=4)
+
+    flat = run(None)
+    two = run(1 << 8)  # head 256 < frontier 2048 -> real cold store
+    for i in range(3):
+        a = campaign_state(flat, i)
+        b = campaign_state(two, i)
+        assert int(a.n_dropped) == 0 and int(b.n_dropped) == 0
+        np.testing.assert_array_equal(np.asarray(a.scored),
+                                      np.asarray(b.scored))
+        assert int(a.n_scored) == int(b.n_scored)
