@@ -49,6 +49,15 @@ def main(argv=None) -> int:
     # needs >= tens of best-first rounds within the budget, so keep
     # batch*M0 well under budget/10 (docs/ARCHITECTURE.md)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frontier", type=int, default=None,
+                    help="per-campaign frontier capacity (default: auto; "
+                         "large panels over 1M-row graphs should cap it — "
+                         "a [43, 2M]-key vmapped merge sort faults the "
+                         "TPU kernel, BENCHMARKS.md)")
+    ap.add_argument("--head", type=int, default=None,
+                    help="two-level frontier head per campaign")
+    ap.add_argument("--graph-cache", help="save/load the built graph "
+                    "(.npz) so parameter sweeps pay the build once")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -60,13 +69,20 @@ def main(argv=None) -> int:
 
     fps, _, _ = make_library(args.n, args.n_bits, seed=0)
     t0 = time.perf_counter()
-    try:
-        from rad_tpu.native import build_hnsw_native
-        graph = build_hnsw_native(fps, connectivity=16, expansion_add=128,
-                                  seed=0)
-    except Exception:
-        from rad_tpu.build.reference import build_hnsw
-        graph = build_hnsw(fps, connectivity=16, expansion_add=128, seed=0)
+    if args.graph_cache and os.path.exists(args.graph_cache):
+        from rad_tpu.graph.storage import HNSWGraph
+        graph = HNSWGraph.load(args.graph_cache, mmap=False)
+    else:
+        try:
+            from rad_tpu.native import build_hnsw_native
+            graph = build_hnsw_native(fps, connectivity=16,
+                                      expansion_add=128, seed=0)
+        except Exception:
+            from rad_tpu.build.reference import build_hnsw
+            graph = build_hnsw(fps, connectivity=16, expansion_add=128,
+                               seed=0)
+        if args.graph_cache:
+            graph.save(args.graph_cache)
     t_build = time.perf_counter() - t0
 
     # per-receptor score tables, indexed by NODE id (level-sorted order)
@@ -89,7 +105,8 @@ def main(argv=None) -> int:
     n_top = graph.layer_sizes[graph.max_level]
     ids = jnp.arange(n_top, dtype=jnp.int32)
     states = init_multi(dg, args.receptors,
-                        frontier_capacity=None)
+                        frontier_capacity=args.frontier,
+                        head_capacity=args.head)
     states = prime_multi(states, dg, ids, t_tab[:, :n_top])
 
     t0 = time.perf_counter()
