@@ -50,7 +50,6 @@ def main(argv=None) -> int:
     from bench_scale import make_device_graph
     from rad_tpu.fp.pack import popcount_rows
     from rad_tpu.fp.tanimoto import tanimoto_matrix
-    from rad_tpu.traverse import device as dev
     from rad_tpu.traverse.multi import (fused_run_multi, init_multi,
                                         prime_multi)
 

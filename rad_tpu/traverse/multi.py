@@ -34,12 +34,10 @@ two-level layout documents).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from rad_tpu.traverse import device as dev
 from rad_tpu.traverse.device import DeviceGraph, TraversalState
@@ -198,18 +196,25 @@ def fused_run_multi_tables(
     per-campaign gather.
     """
     t = score_tables.shape[0]
+    n = score_tables.shape[1]
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
+    # flatten to one shared [T*N] operand gathered with per-lane offsets:
+    # a vmapped gather with a BATCHED operand lowers to a kernel that
+    # faults the TPU worker at [43, 1M] (observed); the offset form is a
+    # standard single-operand gather
+    flat = score_tables.reshape(-1)
+    bases = jnp.arange(t, dtype=jnp.int32) * n
 
-    def expand_score(state, table, refill):
+    def expand_score(state, base, refill):
         state, out = dev.expand_impl(state, dg, batch, refill=refill)
         ts = out["to_score"]
         ok = ts >= 0
-        scores = jnp.where(ok, table[jnp.where(ok, ts, 0)], jnp.inf)
+        scores = jnp.where(ok, flat[base + jnp.where(ok, ts, 0)], jnp.inf)
         return state, out, scores
 
     def vm_expand_score(states, refill):
-        return jax.vmap(lambda s, tb: expand_score(s, tb, refill)
-                        )(states, score_tables)
+        return jax.vmap(lambda s, b: expand_score(s, b, refill)
+                        )(states, bases)
 
     return _multi_loop(states, dg, budgets, batch, max_steps,
                        vm_expand_score)
