@@ -158,3 +158,24 @@ def test_periodic_checkpointing_survives_crash(tmp_path):
     ids_r = [m[0] for m in resumed]
     assert len(ids_r) == len(set(ids_r)), "once-only violated across resume"
     assert resumed == full, "resumed campaign diverged from uninterrupted"
+
+
+def test_batch_depth_warning_emitted(caplog):
+    """traverse() warns when the budget allows fewer than ~8 best-first
+    rounds at the configured batch (docs/ARCHITECTURE.md batch-depth)."""
+    import logging
+    graph, store, fn = _setup()
+    t = DeviceTraverser(graph, fn, store, batch_size=64, n_score_threads=1)
+    t.prime()
+    with caplog.at_level(logging.WARNING, logger="rad_tpu.traverse.driver"):
+        t.traverse(n_to_score=40)
+    t.shutdown()
+    assert any("best-first rounds" in r.message for r in caplog.records)
+
+    t2 = DeviceTraverser(graph, fn, store, batch_size=2, n_score_threads=1)
+    t2.prime()
+    with caplog.at_level(logging.WARNING, logger="rad_tpu.traverse.driver"):
+        caplog.clear()
+        t2.traverse(n_to_score=200)  # 200/(2*8) = 12.5 rounds >= 8
+    t2.shutdown()
+    assert not any("best-first rounds" in r.message for r in caplog.records)
