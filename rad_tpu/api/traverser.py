@@ -112,6 +112,18 @@ class _DeviceVisitedView:
 
 
 class RADTraverser:
+    """See the module docstring for the lifecycle and deployment modes.
+
+    Frontier-order caveat: device/pod engines default to a two-level
+    frontier (``head_capacity='auto'``) once the frontier capacity reaches
+    2^18 — measured +24% screening throughput. The scored SET is unchanged
+    (pinned by tests/test_two_level_frontier.py), but once head spills
+    occur, molecules with EQUAL scores may be popped — and hence appear in
+    ``get_molecules()`` order — in a different order than the host engine
+    or a single-level run. Pass ``head_capacity=None`` for exact
+    equal-score order parity at any capacity.
+    """
+
     def __init__(
         self,
         hnsw_service: Optional[HNSWService] = None,
@@ -255,8 +267,20 @@ class RADTraverser:
             raise ValueError("Must provide either timeout or n_to_score")
         start = time.time()
         if self.engine in ("device", "pod"):
-            # pass through engine options (pipeline_depth, checkpoint_path,
-            # checkpoint_interval, ...) — n_workers is a host-engine knob
+            # pass through engine options — pipeline_depth everywhere;
+            # checkpoint_path/checkpoint_interval are device-engine-only
+            # (the pod engine checkpoints via save_checkpoint()). Validate
+            # against the engine's signature so an unsupported or typo'd
+            # kwarg fails with a clear error instead of a bare TypeError.
+            import inspect
+            params = inspect.signature(
+                self._device_engine.traverse).parameters
+            bad = sorted(k for k in kwargs if k not in params)
+            if bad:
+                raise ValueError(
+                    f"engine '{self.engine}' traverse() does not accept "
+                    f"{bad}; supported: "
+                    f"{sorted(k for k in params if k != 'self')}")
             stats = self._device_engine.traverse(n_to_score=n_to_score,
                                                  timeout=timeout, **kwargs)
             self._monitor_stats = stats

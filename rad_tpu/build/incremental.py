@@ -155,6 +155,11 @@ def insert_into_graph(
         start = int(np.asarray(graph.keys).max()) + 1 if n else 0
         new_keys = np.arange(start, start + k, dtype=np.int64)
     new_keys = np.asarray(new_keys, dtype=np.int64)
+    if new_keys.shape[0] != k:
+        raise ValueError(
+            f"new_keys has {new_keys.shape[0]} entries for {k} "
+            f"fingerprints (mismatched lengths would silently drop or "
+            f"misattribute keys)")
     if np.intersect1d(new_keys, np.asarray(graph.keys)).size:
         raise ValueError("duplicate keys (multi-key indexes unsupported)")
     heuristic_k = heuristic_k or max(4 * m, 32)

@@ -239,6 +239,10 @@ class PodTraverser:
         else:
             self.state = state
         self._primed = bool(int(self.state.n_scored) > 0)
+        # drop any spill-log entries the pre-crash run wrote beyond this
+        # checkpoint (same resume guard as DeviceTraverser.load_checkpoint)
+        if self._spill is not None and len(self._spill) > self.n_scored:
+            self._spill.truncate(self.n_scored)
 
     @property
     def n_scored(self) -> int:

@@ -162,6 +162,14 @@ class TraversalState:
         return cls(*leaves)
 
 
+# head_capacity="auto" switches init_state to the two-level frontier at
+# this capacity (measured: +24% screening throughput, -5% exhaustive;
+# BENCHMARKS.md). Module-level so tests can shrink them and exercise the
+# auto-enabled path end-to-end at test scale.
+AUTO_HEAD_CAPACITY = 1 << 16
+AUTO_HEAD_THRESHOLD = 1 << 18
+
+
 def auto_frontier_capacity(n_rows: int, cap_max: int = 1 << 22) -> int:
     """Lossless-by-construction frontier capacity when affordable.
 
@@ -212,7 +220,9 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
     if frontier_capacity is None:
         frontier_capacity = auto_frontier_capacity(dg.n_rows)
     if head_capacity == "auto":
-        head_capacity = (1 << 16) if frontier_capacity >= (1 << 18) else None
+        head_capacity = (AUTO_HEAD_CAPACITY
+                         if frontier_capacity >= AUTO_HEAD_THRESHOLD
+                         else None)
     if head_capacity is not None and head_capacity < frontier_capacity:
         head, cold_cap = head_capacity, frontier_capacity
     else:

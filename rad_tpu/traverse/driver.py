@@ -240,6 +240,12 @@ class DeviceTraverser:
             raise ValueError("checkpoint is for a different graph size")
         self.state = state
         self._primed = bool(int(state.n_scored) > 0)
+        # an attached spill log may hold order the pre-crash run wrote
+        # beyond this checkpoint — drop it so the log never leads the
+        # restored state (stale entries would desync if the resumed run
+        # diverges, e.g. under a different batch_size)
+        if self._spill is not None and len(self._spill) > self.n_scored:
+            self._spill.truncate(self.n_scored)
 
     # -------------------------------------------------------------- results
     @property

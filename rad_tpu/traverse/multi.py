@@ -45,19 +45,74 @@ from rad_tpu.traverse.device import DeviceGraph, TraversalState
 __all__ = ["init_multi", "prime_multi", "fused_run_multi",
            "fused_run_multi_tables", "campaign_state"]
 
+import logging
+
+logger = logging.getLogger(__name__)
+
+# Measured TPU-kernel hazards (v5e via Mosaic; BENCHMARKS.md "multi"
+# section, CLAUDE.md): a vmapped merge sort at [43, 2M] keys hard-faults
+# the worker, and the vmapped engine at batch 8 on 1M-node real graphs
+# hard-faults. Safe measured operating points: per-campaign frontier+buffer
+# <= ~2^20 keys, and batch >= 512 on >= 1M-row graphs. These guards raise
+# at call/trace time instead of letting a library user fault the chip.
+MULTI_MAX_SORT_KEYS = 1 << 20
+MULTI_MIN_BATCH_BIG_GRAPH = 512
+MULTI_BIG_GRAPH_ROWS = 1 << 20
+
+
+def _check_multi_batch(dg: DeviceGraph, batch: int, n_campaigns: int,
+                       allow_hazard: bool) -> None:
+    if allow_hazard or n_campaigns <= 1:
+        return
+    if dg.n_rows >= MULTI_BIG_GRAPH_ROWS and batch < MULTI_MIN_BATCH_BIG_GRAPH:
+        raise ValueError(
+            f"vmapped multi-campaign engine with batch={batch} on a "
+            f"{dg.n_rows}-row graph: batches < "
+            f"{MULTI_MIN_BATCH_BIG_GRAPH} hard-fault the TPU worker at "
+            f"this scale (measured at batch=8 on 1M-node real graphs; "
+            f"BENCHMARKS.md). Use batch >= "
+            f"{MULTI_MIN_BATCH_BIG_GRAPH}, or pass allow_hazard=True to "
+            f"override on toolchains where the fault is fixed.")
+
 
 def init_multi(dg: DeviceGraph, n_campaigns: int,
                frontier_capacity: int | None = None,
                log_capacity: int | None = None,
                buffer_capacity: int = 1 << 15,
-               head_capacity: int | None | str = None) -> TraversalState:
+               head_capacity: int | None | str = None,
+               allow_hazard: bool = False) -> TraversalState:
     """T stacked fresh states (leading axis = campaign).
 
     ``head_capacity`` enables the two-level frontier per campaign; the
     multi loop lifts the refill decision to a scalar (refill-all when any
     active campaign needs one — an exact rebuild, harmless when not
     needed; equal-score pop order may differ from solo runs, the same
-    caveat as the single-campaign two-level layout)."""
+    caveat as the single-campaign two-level layout).
+
+    Per-campaign frontier capacity is capped at ~2^20 keys for T > 1: the
+    frontier merge (and two-level refill) sorts frontier+buffer keys, and
+    a vmapped sort at [43, 2M] keys hard-faults the TPU worker (measured;
+    BENCHMARKS.md). An auto-sized frontier is clamped with a log line; an
+    explicit larger request raises unless ``allow_hazard=True``."""
+    if n_campaigns > 1 and not allow_hazard:
+        if frontier_capacity is None:
+            auto = dev.auto_frontier_capacity(dg.n_rows)
+            cap = max(1 << 10, MULTI_MAX_SORT_KEYS - buffer_capacity)
+            if auto > cap:
+                logger.info(
+                    "init_multi: clamping auto frontier %d -> %d per "
+                    "campaign (vmapped sorts above ~2^20 keys fault the "
+                    "TPU worker; drops are counted in n_dropped)",
+                    auto, cap)
+                frontier_capacity = cap
+        elif frontier_capacity + buffer_capacity > MULTI_MAX_SORT_KEYS:
+            raise ValueError(
+                f"frontier_capacity={frontier_capacity} + buffer_capacity="
+                f"{buffer_capacity} > {MULTI_MAX_SORT_KEYS} per campaign "
+                f"with n_campaigns={n_campaigns}: vmapped merge sorts this "
+                f"wide hard-fault the TPU worker (measured at [43, 2M] "
+                f"keys; BENCHMARKS.md). Cap the per-campaign frontier at "
+                f"~2^20, or pass allow_hazard=True to override.")
     one = dev.init_state(dg, frontier_capacity, log_capacity,
                          buffer_capacity, head_capacity=head_capacity)
     return jax.tree_util.tree_map(
@@ -139,7 +194,7 @@ def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
     return states
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps"),
+@partial(jax.jit, static_argnames=("batch", "max_steps", "allow_hazard"),
          donate_argnums=(0,))
 def fused_run_multi(
     states: TraversalState,
@@ -151,11 +206,13 @@ def fused_run_multi(
     n_to_score: jnp.ndarray,    # scalar or [T]
     batch: int,
     max_steps: int = 1 << 20,
+    allow_hazard: bool = False,
 ) -> TraversalState:
     """Run all campaigns to their budgets in one `lax.while_loop`."""
     from rad_tpu.fp.pack import popcount
 
     t = targets.shape[0]
+    _check_multi_batch(dg, batch, t, allow_hazard)
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
 
     def expand_score(state, target, t_pop, refill):
@@ -177,7 +234,7 @@ def fused_run_multi(
                        vm_expand_score)
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps"),
+@partial(jax.jit, static_argnames=("batch", "max_steps", "allow_hazard"),
          donate_argnums=(0,))
 def fused_run_multi_tables(
     states: TraversalState,
@@ -186,6 +243,7 @@ def fused_run_multi_tables(
     n_to_score: jnp.ndarray,    # scalar or [T]
     batch: int,
     max_steps: int = 1 << 20,
+    allow_hazard: bool = False,
 ) -> TraversalState:
     """Multi-campaign sweep with per-campaign score TABLES.
 
@@ -197,6 +255,7 @@ def fused_run_multi_tables(
     """
     t = score_tables.shape[0]
     n = score_tables.shape[1]
+    _check_multi_batch(dg, batch, t, allow_hazard)
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
     # flatten to one shared [T*N] operand gathered with per-lane offsets:
     # a vmapped gather with a BATCHED operand lowers to a kernel that

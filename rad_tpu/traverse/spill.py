@@ -60,6 +60,28 @@ class SpilledOrderLog:
                 f.write(ids.tobytes())
         self._n += ids.size
 
+    def truncate(self, n: int) -> None:
+        """Discard entries at positions >= ``n``.
+
+        Checkpoint-resume guard (ADVICE r2): a file resumed after a crash
+        may hold order written *after* the restored checkpoint's
+        ``n_scored`` by the pre-crash run; if the resumed run diverges
+        (different batch size, different parameters), those tail entries
+        would be stale. Callers truncate to the checkpoint's ``n_scored``
+        on load so the log can never lead the restored state."""
+        n = max(0, min(int(n), self._n))
+        if n == self._n:
+            return
+        if self.path is None:
+            if len(self._chunks) > 1:
+                self._chunks = [np.concatenate(self._chunks)]
+            if self._chunks:
+                self._chunks = [self._chunks[0][:n]]
+        else:
+            with open(self.path, "r+b") as f:
+                f.truncate(n * 4)
+        self._n = n
+
     def drain(self, state) -> int:
         """Pull order-log entries [seen, n_scored) off the device ring.
 

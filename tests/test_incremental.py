@@ -112,3 +112,13 @@ def test_index_insert_api(fps):
     idx.add(np.arange(900, 910), fps[170:180])
     assert len(idx) == 180
     assert len(idx.graph) == 180
+
+
+def test_incremental_key_length_mismatch_rejected(fps):
+    """ADVICE r2: a keys array whose length disagrees with the fingerprint
+    count raises instead of silently truncating."""
+    base = build_hnsw(fps[:100], connectivity=4, expansion_add=20, seed=1)
+    with pytest.raises(ValueError, match="mismatched lengths"):
+        insert_into_graph(base, fps[100:110],
+                          new_keys=np.arange(5000, 5020),
+                          expansion_add=20)

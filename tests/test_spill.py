@@ -101,3 +101,50 @@ def test_pod_spill_on_device_scorer(setup):
     order = [m[0] for m in tr.get_molecules()]
     assert order == order_ref
     assert tr.n_scored > 64
+
+
+def test_truncate_ram_and_file(tmp_path):
+    """ADVICE r2: truncate() drops tail entries in both storage modes."""
+    ram = SpilledOrderLog()
+    ram.append(np.arange(10, dtype=np.int32))
+    ram.append(np.arange(10, 20, dtype=np.int32))
+    ram.truncate(7)
+    assert len(ram) == 7
+    assert ram.read().tolist() == list(range(7))
+    ram.truncate(100)  # no-op beyond length
+    assert len(ram) == 7
+
+    path = str(tmp_path / "order.bin")
+    f = SpilledOrderLog(path)
+    f.append(np.arange(20, dtype=np.int32))
+    f.truncate(5)
+    assert len(f) == 5
+    assert f.read().tolist() == list(range(5))
+    # a resumed log sees the truncated length
+    g = SpilledOrderLog(path)
+    assert len(g) == 5
+
+
+def test_load_checkpoint_trims_stale_spill(setup, tmp_path):
+    """Resuming from a checkpoint truncates spill entries the pre-crash
+    run wrote beyond the checkpoint's n_scored (ADVICE r2)."""
+    graph, store, scoring_fn = setup
+    spill_path = str(tmp_path / "order_resume.bin")
+    ckpt = str(tmp_path / "state.npz")
+    tr = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                         frontier_capacity=1 << 12, n_score_threads=1,
+                         log_capacity=64, order_log_spill=spill_path)
+    tr.prime()
+    tr.traverse(n_to_score=40, timeout=120)
+    tr.save_checkpoint(ckpt)
+    n_at_ckpt = tr.n_scored
+    tr.traverse(n_to_score=120, timeout=120)  # runs past the checkpoint
+    assert len(tr._spill) > n_at_ckpt
+    tr.shutdown()
+
+    tr2 = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                          frontier_capacity=1 << 12, n_score_threads=1,
+                          log_capacity=64, order_log_spill=spill_path)
+    tr2.load_checkpoint(ckpt)
+    assert len(tr2._spill) == tr2.n_scored == n_at_ckpt
+    tr2.shutdown()

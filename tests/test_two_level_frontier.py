@@ -156,3 +156,40 @@ def test_head_capacity_auto_rule():
                             head_capacity=None)
     assert forced.cold_score.shape[0] == 0
     assert forced.f_score.shape[0] == 1 << 18
+
+
+def test_auto_two_level_end_to_end_scored_set_parity(built, monkeypatch):
+    """ADVICE r2: exercise the AUTO-enabled two-level path end to end (not
+    just explicit small heads) and pin scored-set equality against the
+    single-level layout. The auto constants are shrunk so the default
+    'auto' rule engages (and spills/refills actually occur) at test
+    scale — the code path is identical to production's 2^16/2^18."""
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+
+    monkeypatch.setattr(dev, "AUTO_HEAD_CAPACITY", 128)
+    monkeypatch.setattr(dev, "AUTO_HEAD_THRESHOLD", 1 << 11)
+
+    dg = dev.prepare_device_graph(built)
+    packed = jnp.asarray(np.asarray(built.packed))
+    pops = jnp.asarray(np.asarray(built.popcounts))
+    target = jnp.asarray(np.asarray(built.packed)[5])
+    t_pop = popcount_rows(target[None, :])[0]
+    n_top = built.layer_sizes[built.max_level]
+    seeds = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = tanimoto_matrix(target[None, :], packed[:n_top])[0]
+
+    outs = []
+    for head in (None, "auto"):
+        st = dev.init_state(dg, frontier_capacity=1 << 12,
+                            buffer_capacity=128, head_capacity=head)
+        st = dev.prime(st, dg, seeds, seed_scores)
+        st = dev.fused_run(st, dg, packed, pops, target, t_pop,
+                           jnp.int32(len(built)), batch=16)
+        outs.append(st)
+    classic, auto = outs
+    assert auto.f_score.shape[0] == 128, "auto rule did not engage"
+    assert auto.cold_score.shape[0] == 1 << 12
+    assert int(auto.n_scored) == int(classic.n_scored)
+    assert set(dev.read_order_log(auto).tolist()) == \
+        set(dev.read_order_log(classic).tolist())
