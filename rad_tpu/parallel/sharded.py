@@ -48,6 +48,7 @@ __all__ = [
     "sharded_fused_step",
     "make_sharded_step",
     "make_sharded_step_full",
+    "TrafficMeter",
     "make_sharded_expand_integrate",
     "make_sharded_search",
     "make_sharded_search_2d",
@@ -212,8 +213,28 @@ def sharded_bruteforce_topk(sg: ShardedGraph, queries, k: int,
                               sg.n_nodes, k, mesh, sg.axis)
 
 
+def _shard_traffic(nd, adj_shard, fp_shard, offsets, out):
+    """Per-shard service counts for one step (hub-imbalance probe,
+    SURVEY.md §7 hard part 6).
+
+    ``adj_rows[s]`` = adjacency rows shard ``s`` served this step (one per
+    valid expansion); ``fp_rows[s]`` = candidate fingerprint rows it
+    served. Computed from replicated expand outputs — identical on every
+    shard, no collective. Skew across shards = hub-node load imbalance.
+    """
+    node, lvl, valid = out["exp_node"], out["exp_level"], out["exp_valid"]
+    rows = offsets[jnp.maximum(lvl, 0)] + jnp.maximum(node, 0)
+    adj_c = jnp.zeros((nd,), jnp.int32).at[
+        jnp.where(valid, rows // adj_shard, nd)].add(1, mode="drop")
+    ts = out["to_score"]
+    fp_c = jnp.zeros((nd,), jnp.int32).at[
+        jnp.where(ts >= 0, jnp.maximum(ts, 0) // fp_shard, nd)].add(
+        1, mode="drop")
+    return adj_c, fp_c
+
+
 def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
-                      scorer=None):
+                      scorer=None, traffic: bool = False):
     """Build the jitted pod traversal step: replicated state, sharded graph.
 
     Returns ``step(state, target_packed, target_pop) -> state`` — the
@@ -224,6 +245,11 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
     pharmacophore model, ...); the default is Tanimoto distance to
     ``target_packed``. It runs replicated on every chip over candidates
     gathered from their owning shards.
+
+    ``traffic=True`` makes the step return ``(state, traffic_dict)`` with
+    per-shard service counts ``{"adj_rows": [n_dev], "fp_rows": [n_dev]}``
+    for that step — the hub-imbalance instrumentation (skewed counts mean
+    hot shards; see :class:`TrafficMeter`).
     """
     axis = sg.axis
     nd = mesh.shape[axis]
@@ -251,17 +277,23 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
         pop_rows = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
         raw = scorer(fp_rows, pop_rows, target_packed, target_pop)
         scores = jnp.where(ok, raw.astype(jnp.float32), jnp.inf)
-        return integrate_impl(state, dg, out["exp_node"], out["exp_level"],
-                              out["exp_score"], out["exp_valid"], out["cand"],
-                              out["to_score"], scores)
+        state = integrate_impl(state, dg, out["exp_node"], out["exp_level"],
+                               out["exp_score"], out["exp_valid"],
+                               out["cand"], out["to_score"], scores)
+        if traffic:
+            adj_c, fp_c = _shard_traffic(nd, adj_shard, fp_shard, offsets,
+                                         out)
+            return state, adj_c, fp_c
+        return state
 
     state_spec = jax.tree_util.tree_map(lambda _: P(),
                                         _state_structure())
+    out_specs = (state_spec, P(), P()) if traffic else state_spec
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(state_spec, P(axis, None), P(axis, None), P(axis),
                   P(), P(), P()),
-        out_specs=state_spec,
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -276,10 +308,53 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
                       target_packed, target_pop)
 
     def step(state: TraversalState, target_packed, target_pop):
-        return _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
-                     target_packed, target_pop)
+        res = _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                    target_packed, target_pop)
+        if traffic:
+            state, adj_c, fp_c = res
+            return state, {"adj_rows": adj_c, "fp_rows": fp_c}
+        return res
 
     return step
+
+
+class TrafficMeter:
+    """Accumulates per-shard service counts across steps and reports the
+    hub-imbalance profile (SURVEY.md §7 hard part 6: high-degree hub nodes
+    concentrate gather traffic on their owning shard).
+
+    Feed it the ``traffic_dict`` a ``traffic=True`` sharded step returns::
+
+        step = make_sharded_step(sg, mesh, batch=64, traffic=True)
+        meter = TrafficMeter(n_devices)
+        state, t = step(state, target, t_pop); meter.add(t)
+        print(meter.stats())   # imbalance = max/mean rows served per shard
+    """
+
+    def __init__(self, n_devices: int):
+        self.n_devices = n_devices
+        self.adj_rows = np.zeros((n_devices,), np.int64)
+        self.fp_rows = np.zeros((n_devices,), np.int64)
+        self.steps = 0
+
+    def add(self, traffic: dict) -> None:
+        self.adj_rows += np.asarray(traffic["adj_rows"], np.int64)
+        self.fp_rows += np.asarray(traffic["fp_rows"], np.int64)
+        self.steps += 1
+
+    @staticmethod
+    def _imbalance(counts: np.ndarray) -> float:
+        mean = counts.mean()
+        return float(counts.max() / mean) if mean > 0 else 1.0
+
+    def stats(self) -> dict:
+        return {
+            "steps": self.steps,
+            "adj_rows_per_shard": self.adj_rows.tolist(),
+            "fp_rows_per_shard": self.fp_rows.tolist(),
+            "adj_imbalance": self._imbalance(self.adj_rows),
+            "fp_imbalance": self._imbalance(self.fp_rows),
+        }
 
 
 class _ShardStateOps:
@@ -387,14 +462,14 @@ def init_state_sharded(sg: ShardedGraph, mesh: Mesh,
 
 
 def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
-                           scorer=None):
+                           scorer=None, traffic: bool = False):
     """Pod step with BOTH graph and state sharded (billion-molecule layout).
 
     Like :func:`make_sharded_step` but ``scored``/``scores``/``enqueued``
     are row-sharded too (create the state with :func:`init_state_sharded`).
     Per-chip state memory drops from O(N) to O(N / n_devices); the extra
     cost is one psum per state gather, riding the same ICI exchange as the
-    fingerprint gathers.
+    fingerprint gathers. ``traffic=True`` as in :func:`make_sharded_step`.
     """
     axis = sg.axis
     nd = mesh.shape[axis]
@@ -425,18 +500,25 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
         pop_rows = _owned_gather(pops_l, safe, fp_shard, axis, fill_shift=0)
         raw = scorer(fp_rows, pop_rows, target_packed, target_pop)
         scores = jnp.where(ok, raw.astype(jnp.float32), jnp.inf)
-        return integrate_impl(state, dg, out["exp_node"], out["exp_level"],
-                              out["exp_score"], out["exp_valid"], out["cand"],
-                              out["to_score"], scores, ops=ops)
+        state = integrate_impl(state, dg, out["exp_node"], out["exp_level"],
+                               out["exp_score"], out["exp_valid"],
+                               out["cand"], out["to_score"], scores,
+                               ops=ops)
+        if traffic:
+            adj_c, fp_c = _shard_traffic(nd, adj_shard, fp_shard, offsets,
+                                         out)
+            return state, adj_c, fp_c
+        return state
 
     rep_spec = jax.tree_util.tree_map(lambda _: P(), _state_structure())
     state_spec = dataclasses.replace(
         rep_spec, enqueued=P(axis), scored=P(axis), scores=P(axis))
+    out_specs = (state_spec, P(), P()) if traffic else state_spec
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(state_spec, P(axis, None), P(axis, None), P(axis),
                   P(), P(), P()),
-        out_specs=state_spec,
+        out_specs=out_specs,
         check_vma=False,
     )
 
@@ -451,8 +533,12 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
                       target_packed, target_pop)
 
     def step(state: TraversalState, target_packed, target_pop):
-        return _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
-                     target_packed, target_pop)
+        res = _step(state, sg.adj, sg.packed, sg.pops, sg.offsets,
+                    target_packed, target_pop)
+        if traffic:
+            state, adj_c, fp_c = res
+            return state, {"adj_rows": adj_c, "fp_rows": fp_c}
+        return res
 
     return step
 

@@ -268,3 +268,120 @@ def test_sharded_search_2d_matches_1d(built):
     # self-queries: top-1 is the query itself
     assert (np.asarray(d2)[:, 0] == 0).all()
     assert np.asarray(i2)[:, 0].tolist() == list(range(16))
+
+
+def test_traffic_counters_match_host_recount(mesh, built):
+    """traffic=True instrumentation (hub-imbalance probe, SURVEY §7 hard
+    part 6): per-shard counts must equal a host recount from the
+    single-device engine's expand outputs, and must not perturb the state."""
+    from rad_tpu.parallel import TrafficMeter
+
+    graph = built
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=55)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = np.asarray(tanimoto_matrix(
+        jnp.asarray(target[None, :]),
+        jnp.asarray(np.asarray(graph.packed)[:n_top])))[0]
+
+    sg = shard_graph(graph, mesh)
+    nd = 8
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+
+    step_t = make_sharded_step(sg, mesh, batch=4, traffic=True)
+    step_plain = make_sharded_step(sg, mesh, batch=4)
+
+    st_t = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10),
+                     dg, ids, jnp.asarray(seed_scores))
+    st_p = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10),
+                     dg, ids, jnp.asarray(seed_scores))
+    # host-side oracle: the single-device stepwise engine yields the same
+    # expand outputs; recount shard ownership from them
+    st_h = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10),
+                     dg, ids, jnp.asarray(seed_scores))
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    offsets = np.asarray(dg.offsets)
+
+    meter = TrafficMeter(nd)
+    exp_adj = np.zeros(nd, np.int64)
+    exp_fp = np.zeros(nd, np.int64)
+    for _ in range(10):
+        st_t, traffic = step_t(st_t, t_packed, t_pop)
+        meter.add(traffic)
+        st_p = step_plain(st_p, t_packed, t_pop)
+
+        st_h, out = dev.expand(st_h, dg, 4)
+        ts = np.asarray(out["to_score"])
+        ok = ts >= 0
+        node = np.asarray(out["exp_node"])
+        lvl = np.asarray(out["exp_level"])
+        val = np.asarray(out["exp_valid"])
+        rows = offsets[np.maximum(lvl, 0)] + np.maximum(node, 0)
+        np.add.at(exp_adj, rows[val] // adj_shard, 1)
+        np.add.at(exp_fp, ts[ok] // fp_shard, 1)
+        # score with the same scorer and integrate to stay in lockstep
+        inter = np.asarray(tanimoto_matrix(
+            t_packed[None, :], packed[np.maximum(ts, 0)]))[0]
+        scores = jnp.asarray(np.where(ok, inter, np.inf), jnp.float32)
+        st_h = dev.integrate(st_h, dg, out["exp_node"], out["exp_level"],
+                             out["exp_score"], out["exp_valid"],
+                             out["cand"], out["to_score"], scores)
+
+    stats = meter.stats()
+    assert stats["steps"] == 10
+    np.testing.assert_array_equal(np.asarray(meter.adj_rows), exp_adj)
+    np.testing.assert_array_equal(np.asarray(meter.fp_rows), exp_fp)
+    assert stats["adj_imbalance"] >= 1.0
+    # instrumentation must not change the traversal
+    np.testing.assert_array_equal(np.asarray(st_t.scored),
+                                  np.asarray(st_p.scored))
+    np.testing.assert_array_equal(np.asarray(st_t.order_log),
+                                  np.asarray(st_p.order_log))
+
+
+def test_traffic_counters_fully_sharded(mesh, built):
+    """traffic=True on the fully-state-sharded step agrees with the
+    replicated-state step's counters."""
+    from rad_tpu.parallel import TrafficMeter
+    from rad_tpu.parallel.sharded import (init_state_sharded,
+                                          make_sharded_step_full)
+    from rad_tpu.traverse.device import DeviceGraph
+
+    graph = built
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=55)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = jnp.asarray(np.asarray(tanimoto_matrix(
+        jnp.asarray(target[None, :]),
+        jnp.asarray(np.asarray(graph.packed)[:n_top])))[0])
+
+    sg = shard_graph(graph, mesh)
+    step_r = make_sharded_step(sg, mesh, batch=4, traffic=True)
+    st_r = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10),
+                     dg, ids, seed_scores)
+
+    dg_pad = DeviceGraph(adj=sg.adj, offsets=sg.offsets,
+                         n_nodes=sg.n_pad_nodes, n_rows=sg.n_pad_rows,
+                         m0=sg.m0, max_level=sg.max_level)
+    step_f = make_sharded_step_full(sg, mesh, batch=4, traffic=True)
+    st_f = init_state_sharded(sg, mesh, frontier_capacity=1 << 10,
+                              log_capacity=len(graph))
+    st_f = dev.prime(st_f, dg_pad, ids, seed_scores)
+
+    m_r, m_f = TrafficMeter(8), TrafficMeter(8)
+    for _ in range(8):
+        st_r, tr = step_r(st_r, t_packed, t_pop)
+        st_f, tf = step_f(st_f, t_packed, t_pop)
+        m_r.add(tr)
+        m_f.add(tf)
+    assert int(st_r.n_scored) == int(st_f.n_scored)
+    np.testing.assert_array_equal(m_r.adj_rows, m_f.adj_rows)
+    np.testing.assert_array_equal(m_r.fp_rows, m_f.fp_rows)
