@@ -61,6 +61,10 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-native", action="store_true")
     ap.add_argument("--expand-width", type=int, default=None,
                     help="builder beam expand_width (None = module default)")
+    ap.add_argument("--exact", action="store_true",
+                    help="measure the MXU all-pairs builder "
+                         "(rad_tpu.build.exact)")
+    ap.add_argument("--candidates", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -106,6 +110,27 @@ def main(argv=None) -> int:
                             args.n / dt, "recall": rec})
         del g_nat
 
+    if args.exact:
+        from rad_tpu.build.exact import build_hnsw_exact
+        log("exact: compile+first build ...")
+        t0 = time.perf_counter()
+        g = build_hnsw_exact(fps, connectivity=args.connectivity, seed=0,
+                             candidates=args.candidates)
+        t_first = time.perf_counter() - t0
+        log(f"exact: first (incl. compile) {t_first:.1f}s")
+        t0 = time.perf_counter()
+        g = build_hnsw_exact(fps, connectivity=args.connectivity, seed=0,
+                             candidates=args.candidates)
+        _ = [np.asarray(t).sum() for t in g.neighbors]
+        dt = time.perf_counter() - t0
+        rec = measure_recall(g, queries, true_sets, args.k, args.ef_search)
+        log(f"exact: steady {dt:.1f}s = {args.n/dt:.0f} nodes/s  "
+            f"recall@{args.k}={rec:.3f}")
+        out["rows"].append({"builder": "exact", "nodes_per_sec":
+                            args.n / dt, "first_build_s": t_first,
+                            "steady_s": dt, "recall": rec})
+        del g
+
     kw = {}
     if args.expand_width is not None:
         kw["expand_width"] = args.expand_width
@@ -114,6 +139,8 @@ def main(argv=None) -> int:
         modes.append(True)
     if args.stepwise or not modes:
         modes.append(False)
+    if args.exact and not (args.fused or args.stepwise):
+        modes = []
     for batch in args.batches:
         for fused in modes:
             tag = f"device(batch={batch},fused={fused})"

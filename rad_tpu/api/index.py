@@ -156,6 +156,11 @@ class HNSWIndex:
         if backend == "device":
             from rad_tpu.build.device import build_hnsw_device
             self._graph = build_hnsw_device(fps, **common, **kwargs)
+        elif backend == "exact":
+            # MXU all-pairs construction (rad_tpu.build.exact) — the fast
+            # accelerator path at <=few-million-node scale
+            from rad_tpu.build.exact import build_hnsw_exact
+            self._graph = build_hnsw_exact(fps, **common, **kwargs)
         elif backend == "native":
             from rad_tpu.native import build_hnsw_native
             self._graph = build_hnsw_native(fps, **common, **kwargs)

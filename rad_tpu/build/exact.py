@@ -1,0 +1,282 @@
+"""Exact-kNN HNSW construction: the MXU does the work.
+
+The TPU-first answer to the build-throughput target (BASELINE: >=10x CPU
+build per chip). usearch builds incrementally — greedy descent + an
+``expansion_add``-wide beam per inserted vector (reference call site
+examples/DUDEZ_example.ipynb:183-192) — because on a CPU that is the only
+affordable way to find each node's neighbors. On a TPU the economics
+invert: the Pallas Tanimoto kernel evaluates ~4.6e10 distances/s/chip
+(BENCHMARKS.md), so the EXACT all-pairs top-K for an entire 100k-1M layer
+costs seconds of pure MXU time, while the beam's sequential while-loop is
+latency-bound (measured: the batched beam builder runs at ~765 nodes/s on
+the tunnel — hundreds of lockstep iterations of tiny ops).
+
+So this builder skips the beam entirely:
+
+1. sample all levels up front, order nodes level-descending (the
+   rad_tpu.graph.storage id scheme);
+2. per layer l (top -> 0): blocked exact top-K among the layer's nodes
+   (MXU distance blocks + running top-k merge — never materializes the
+   [N_l, N_l] matrix);
+3. vectorized neighbor-selection heuristic (Algorithm 4, same routine the
+   beam builder uses) over the exact candidate lists;
+4. symmetrize: forward + reverse edges sorted by (destination, distance),
+   each row keeps its distance-best ``cap`` incident edges — the global
+   form of the beam builder's reverse-link merge.
+
+Exactness dominates quality: candidates are the TRUE nearest neighbors,
+i.e. the ``expansion_add -> N`` limit of the beam search, so recall at
+equal M meets or beats any incremental build (pinned against the native
+builder in tests/test_build_exact.py). Cost is O(N^2) distances — the
+regime where this wins is exactly the reference's benchmark scale (1e5-1e6
+molecules, seconds of MXU time); past ~4M nodes prefer the batched beam
+builder (rad_tpu.build.device) or partition-and-stitch
+(rad_tpu.build.partition), whose shards can each use this builder.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rad_tpu.build.reference import sample_levels
+from rad_tpu.fp.pack import popcount_rows_np
+from rad_tpu.fp.tanimoto import tanimoto_matrix
+from rad_tpu.graph.storage import HNSWGraph
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["build_hnsw_exact"]
+
+INF = jnp.inf
+
+
+def _dist_block(q_packed, db_packed, use_pallas: bool):
+    if use_pallas:
+        from rad_tpu.fp.kernels import tanimoto_matrix_pallas
+        return tanimoto_matrix_pallas(q_packed, db_packed)
+    return tanimoto_matrix(q_packed, db_packed)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "q_block", "col_block", "use_pallas"))
+def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
+                   use_pallas: bool):
+    """Exact top-k neighbor ids+dists for every row of ``packed`` against
+    all rows (self excluded), blocked in both dimensions.
+
+    packed: [N_pad, W] (rows >= n_real are zero padding). Returns
+    (dists [N_pad, k], ids [N_pad, k]) — padded query rows return junk.
+    """
+    n_pad, w = packed.shape
+    nq = n_pad // q_block
+    nc = n_pad // col_block
+
+    def one_qblock(qi):
+        q = jax.lax.dynamic_slice(packed, (qi * q_block, 0), (q_block, w))
+        q_ids = qi * q_block + jnp.arange(q_block, dtype=jnp.int32)
+
+        def body(carry, ci):
+            best_d, best_i = carry
+            db = jax.lax.dynamic_slice(packed, (ci * col_block, 0),
+                                       (col_block, w))
+            d = _dist_block(q, db, use_pallas)
+            ids = ci * col_block + jnp.arange(col_block,
+                                             dtype=jnp.int32)[None, :]
+            bad = (ids >= n_real) | (ids == q_ids[:, None])  # pad + self
+            d = jnp.where(bad, INF, d)
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(ids, d.shape)], axis=1)
+            neg, sel = jax.lax.top_k(-cat_d, k)
+            return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+        init = (jnp.full((q_block, k), INF),
+                jnp.full((q_block, k), -1, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body, init,
+                                   jnp.arange(nc, dtype=jnp.int32))
+        return bd, bi
+
+    dists, ids = jax.lax.map(one_qblock,
+                             jnp.arange(nq, dtype=jnp.int32))
+    return dists.reshape(n_pad, k), ids.reshape(n_pad, k)
+
+
+@partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block"))
+def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
+                  heuristic_k: int, sel_block: int):
+    """Vectorized diversity selection + per-selection distances.
+
+    cand_d/cand_id: [N_pad, K] ascending exact candidates. Returns
+    (sel_ids [N_pad, m], sel_d [N_pad, m]); padded rows select nothing.
+    Chunked over ``sel_block`` rows — the heuristic's pairwise candidate
+    block is [B, kh, kh], which must stay VMEM/HBM-friendly.
+    """
+    from rad_tpu.build.device import _dist_rows, _select_neighbors
+
+    n_pad, k = cand_d.shape
+    nch = n_pad // sel_block
+
+    def one(chunk):
+        cd, ci, qi = chunk
+        active = qi < n_real
+        safe_q = jnp.minimum(qi, n_real - 1)
+        sel = _select_neighbors(packed, pops, safe_q, cd, ci, m,
+                                heuristic_k, active)
+        sel_d = _dist_rows(packed, pops, safe_q, sel,
+                           (sel >= 0) & active[:, None])
+        return sel, sel_d
+
+    q_ids = jnp.arange(n_pad, dtype=jnp.int32)
+    sel, sel_d = jax.lax.map(one, (cand_d.reshape(nch, sel_block, k),
+                                   cand_id.reshape(nch, sel_block, k),
+                                   q_ids.reshape(nch, sel_block)))
+    return sel.reshape(n_pad, -1), sel_d.reshape(n_pad, -1)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _symmetrize(sel, sel_d, n_real, cap: int):
+    """Rows = distance-best ``cap`` incident edges (forward + reverse).
+
+    The global form of the beam builder's reverse-link merge
+    (rad_tpu.build.device._apply_reverse_links): every directed selection
+    (i -> j, d) contributes edges (i, j) and (j, i); each destination keeps
+    its ``cap`` nearest entrants. One sort + one rank-limited scatter —
+    no per-row loops.
+    """
+    n_pad, m = sel.shape
+    src = jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), m)
+    dst = sel.reshape(-1)
+    d = sel_d.reshape(-1)
+    ok = (dst >= 0) & (src < n_real)
+    # both directions
+    e_dst = jnp.concatenate([jnp.where(ok, dst, n_pad),
+                             jnp.where(ok, src, n_pad)])
+    e_src = jnp.concatenate([src, jnp.where(ok, dst, n_pad)])
+    e_d = jnp.concatenate([jnp.where(ok, d, INF)] * 2)
+
+    sd_key, sdist, ssrc = jax.lax.sort((e_dst, e_d, e_src), num_keys=3)
+    # drop duplicate (dst, src) pairs (mutual selections appear twice)
+    dup = jnp.concatenate([
+        jnp.zeros((1,), jnp.bool_),
+        (sd_key[1:] == sd_key[:-1]) & (ssrc[1:] == ssrc[:-1])])
+    valid = (sd_key < n_pad) & jnp.isfinite(sdist) & ~dup
+
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), sd_key[1:] != sd_key[:-1]])
+    c = jnp.cumsum(valid.astype(jnp.int32))
+    base_at_start = jnp.where(first, c - valid.astype(jnp.int32),
+                              jnp.int32(-1))
+    base = jax.lax.associative_scan(jnp.maximum, base_at_start)
+    rank = c - 1 - base
+    keep = valid & (rank < cap)
+
+    rows = jnp.full((n_pad + 1, cap), -1, jnp.int32)
+    rows = rows.at[jnp.where(keep, sd_key, n_pad),
+                   jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ssrc, -1), mode="drop")
+    return rows[:n_pad]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def build_hnsw_exact(
+    packed: np.ndarray,
+    keys: np.ndarray | None = None,
+    connectivity: int = 16,
+    expansion_add: int | None = None,
+    ndim: int | None = None,
+    seed: int = 0,
+    candidates: int | None = None,
+    heuristic_k: int | None = None,
+    q_block: int = 4096,
+    col_block: int = 1 << 13,
+    sel_block: int = 2048,
+    use_pallas: bool | None = None,
+) -> HNSWGraph:
+    """Build an HNSW graph from exact per-layer top-K neighbor lists.
+
+    Same graph format and parameter semantics as the other builders;
+    ``expansion_add`` is accepted for API parity but ignored — exact
+    candidates are the infinite-beam limit. ``candidates`` (default
+    ``max(heuristic_k, 2*M0)``) is the per-node exact-kNN depth fed to the
+    selection heuristic.
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint32)
+    n, w = packed.shape
+    ndim = ndim or w * 32
+    m = connectivity
+    m0 = 2 * m
+    if keys is None:
+        keys = np.arange(n, dtype=np.int64)
+    keys = np.asarray(keys, dtype=np.int64)
+    heuristic_k = heuristic_k or max(4 * m, 32)
+    candidates = candidates or max(heuristic_k, 2 * m0)
+    for name, v in (("q_block", q_block), ("col_block", col_block),
+                    ("sel_block", sel_block)):
+        if v & (v - 1):
+            raise ValueError(f"{name}={v} must be a power of two")
+
+    levels_raw = sample_levels(n, m, seed)
+    order = np.lexsort((np.arange(n), -levels_raw))
+    packed = packed[order]
+    keys = keys[order]
+    levels = levels_raw[order]
+    max_level = int(levels[0]) if n else 0
+    layer_sizes = tuple(int((levels >= l).sum())
+                        for l in range(max_level + 1))
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    pops_np = popcount_rows_np(packed)
+    neighbors = []
+    for l in range(max_level + 1):
+        n_l = layer_sizes[l]
+        cap = m0 if l == 0 else m
+        if n_l <= 1:
+            neighbors.append(np.full((n_l, cap), -1, np.int32))
+            continue
+        k = min(candidates, n_l - 1)
+        # power-of-two padding so every block size divides n_pad exactly
+        # (q_block/col_block/sel_block are asserted powers of two); small
+        # layers shrink the blocks to one power-of-two pad
+        big = max(q_block, col_block, sel_block)
+        if n_l >= big:
+            n_pad = _round_up(n_l, big)
+            qb, cb, sb = q_block, col_block, sel_block
+        else:
+            n_pad = 1 << max(n_l - 1, 1).bit_length()
+            if use_pallas:
+                n_pad = max(n_pad, 1024)
+            qb = cb = n_pad
+            sb = min(sel_block, n_pad)
+        pad = np.zeros((n_pad - n_l, w), np.uint32)
+        packed_l = jnp.asarray(np.concatenate([packed[:n_l], pad]))
+        pops_l = jnp.asarray(np.concatenate(
+            [pops_np[:n_l], np.zeros(n_pad - n_l, pops_np.dtype)]))
+
+        cand_d, cand_id = _allpairs_topk(packed_l, n_l, k, qb, cb,
+                                         use_pallas)
+        sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
+                                   n_l, min(m, cap), heuristic_k, sb)
+        rows = _symmetrize(sel, sel_d, n_l, cap)
+        neighbors.append(np.asarray(jax.device_get(rows))[:n_l])
+
+    packed_d = jnp.asarray(packed)
+    return HNSWGraph(
+        packed=packed_d,
+        popcounts=jnp.asarray(pops_np),
+        keys=jnp.asarray(keys),
+        levels=jnp.asarray(levels),
+        neighbors=tuple(neighbors),
+        ndim=ndim,
+        connectivity=m,
+    )

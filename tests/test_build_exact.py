@@ -1,0 +1,111 @@
+"""Exact-kNN (MXU all-pairs) builder: structure, quality, determinism.
+
+The builder replaces the beam search with exact per-layer top-K candidate
+lists (the expansion_add -> N limit), so its recall at equal M must meet
+the incremental builders' (the usearch-semantics native core is the
+parity bar, reference examples/DUDEZ_example.ipynb:183-192 build usage).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rad_tpu.build.exact import build_hnsw_exact
+from rad_tpu.build.reference import build_hnsw
+from rad_tpu.fp import random_fingerprints
+from rad_tpu.fp.tanimoto import bruteforce_topk
+from rad_tpu.search.knn import search_device
+
+
+@pytest.fixture(scope="module")
+def fps():
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from enrichment_example import make_library
+    return make_library(2000, 128, seed=7)[0]
+
+
+@pytest.fixture(scope="module")
+def exact_graph(fps):
+    return build_hnsw_exact(fps, connectivity=8, seed=3)
+
+
+def test_structure_valid(exact_graph):
+    g = exact_graph
+    assert len(g) == 2000
+    assert sum(1 for _ in g.neighbors) == g.max_level + 1
+    for l, adj in enumerate(g.neighbors):
+        a = np.asarray(adj)
+        nl = g.layer_sizes[l]
+        cap = 16 if l == 0 else 8
+        assert a.shape == (nl, cap)
+        assert a.max() < nl and a.min() >= -1
+        assert not (a == np.arange(nl)[:, None]).any(), "self loop"
+        if nl > 1:
+            assert (a[:, 0] >= 0).all(), "isolated node"
+        for row in a[:50]:
+            real = row[row >= 0]
+            assert len(set(real.tolist())) == len(real), "duplicate edge"
+    # levels non-increasing (level-sorted id scheme)
+    lv = np.asarray(g.levels)
+    assert (np.diff(lv) <= 0).all()
+
+
+def test_recall_parity_with_host_builder(fps, exact_graph):
+    host = build_hnsw(fps, connectivity=8, expansion_add=64, seed=3)
+    rng = np.random.default_rng(5)
+    q = fps[rng.choice(2000, 128, replace=False)]
+    _, true_ids = bruteforce_topk(jnp.asarray(q), jnp.asarray(fps), 10)
+    ts = [set(np.asarray(true_ids)[i].tolist()) for i in range(128)]
+
+    def recall(g):
+        ids = np.asarray(search_device(g, q, k=10, expansion_search=64)[1])
+        keys = np.asarray(g.keys)
+        ids = np.where(ids >= 0, keys[np.maximum(ids, 0)], -1)
+        return float(np.mean([
+            len(set(ids[i].tolist()) & ts[i]) / 10 for i in range(128)]))
+
+    r_exact = recall(exact_graph)
+    r_host = recall(host)
+    assert r_exact >= r_host - 0.02, (r_exact, r_host)
+    assert r_exact >= 0.9
+
+
+def test_deterministic(fps):
+    g1 = build_hnsw_exact(fps[:600], connectivity=6, seed=1)
+    g2 = build_hnsw_exact(fps[:600], connectivity=6, seed=1)
+    for a, b in zip(g1.neighbors, g2.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(g1.keys), np.asarray(g2.keys))
+
+
+def test_keys_roundtrip(fps):
+    keys = np.arange(600, dtype=np.int64) * 7 + 3
+    g = build_hnsw_exact(fps[:600], keys=keys, connectivity=6, seed=1)
+    assert set(np.asarray(g.keys).tolist()) == set(keys.tolist())
+    # key -> id -> fingerprint row consistency
+    ids = g.get_node_ids_from_keys(keys[:5])
+    packed = np.asarray(g.packed)
+    for k, i in zip(keys[:5], ids):
+        src = int((k - 3) // 7)
+        np.testing.assert_array_equal(packed[int(i)], fps[src])
+
+
+def test_block_size_validation(fps):
+    with pytest.raises(ValueError, match="power of two"):
+        build_hnsw_exact(fps[:100], connectivity=4, q_block=3000)
+
+
+def test_index_backend(fps):
+    from rad_tpu.api.index import HNSWIndex
+    idx = HNSWIndex(ndim=128, connectivity=6)
+    idx.add(np.arange(500), fps[:500])
+    g = idx.build(backend="exact")
+    assert len(g) == 500
+    d, keys = idx.search(fps[:4], k=5)
+    assert keys.shape == (4, 5)
+    # a node's own fingerprint must come back first (distance 0)
+    assert np.allclose(np.asarray(d)[:, 0], 0.0)
