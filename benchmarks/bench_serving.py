@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Serve a 100M+-node mmap'd graph over HTTP (VERDICT r2 item #7).
+
+The reference's proof point is 2B molecules served from one CPU server via
+a memory-mapped vector-free index (reference index.html:568-580;
+scripts/start_hnsw_server.py:69 ``view=True, exclude_vectors=True``).
+This benchmark reproduces that deployment at the scale this machine's
+disk allows:
+
+1. synthesize a structurally-valid level-sorted HNSW adjacency at ``--n``
+   nodes (graph topology only — the serving path never touches vectors,
+   exactly like the reference's exclude_vectors deployment; the
+   reference's own CI serves a random test index,
+   scripts/start_hnsw_server.py:26-56);
+2. save it ``exclude_vectors=True`` (~14 GB at 100M, M=16);
+3. load with the genuine npz-member mmap (``HNSWGraph.load(mmap=True)``)
+   and serve with the stdlib HTTP server;
+4. measure /neighbors latency (p50/p99) and throughput with concurrent
+   keep-alive clients, plus server RSS to prove the graph is paged, not
+   resident.
+
+    python benchmarks/bench_serving.py --n 100000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import resource
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_graph_file(n: int, m: int, path: str, seed: int = 0) -> dict:
+    """Write a valid level-sorted HNSW-format graph of n nodes (no vectors)."""
+    from rad_tpu.build.reference import sample_levels
+    from rad_tpu.graph.storage import HNSWGraph
+
+    rng = np.random.default_rng(seed)
+    levels = np.sort(sample_levels(n, m, seed))[::-1].copy()
+    max_level = int(levels[0])
+    layer_sizes = [int((levels >= l).sum()) for l in range(max_level + 1)]
+    neighbors = []
+    for l, n_l in enumerate(layer_sizes):
+        cap = 2 * m if l == 0 else m
+        if n_l <= 1:
+            neighbors.append(np.full((n_l, cap), -1, np.int32))
+            continue
+        # random neighbors != self, a few -1 pads at the tail columns
+        a = rng.integers(0, n_l - 1, size=(n_l, cap), dtype=np.int32)
+        ids = np.arange(n_l, dtype=np.int32)[:, None]
+        a = np.where(a >= ids, a + 1, a)          # skip self
+        pad = rng.integers(0, 4, size=(n_l,))
+        for p in range(1, 4):
+            a[pad == p, cap - p:] = -1
+        neighbors.append(a)
+        del a
+    g = HNSWGraph(
+        packed=np.zeros((n, 1), np.uint32),
+        popcounts=np.zeros((n,), np.int32),
+        keys=np.arange(n, dtype=np.int64),
+        levels=levels.astype(np.int32),
+        neighbors=tuple(neighbors),
+        ndim=32 * 32,
+        connectivity=m,
+    )
+    g.save(path, exclude_vectors=True)
+    return {"max_level": max_level, "layer_sizes": layer_sizes}
+
+
+def rss_mb(pid: int | None = None) -> float:
+    if pid is None:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / 1024
+    return -1.0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000_000)
+    ap.add_argument("--connectivity", type=int, default=16)
+    ap.add_argument("--path", default="/tmp/serving_graph.npz")
+    ap.add_argument("--port", type=int, default=8941)
+    ap.add_argument("--requests", type=int, default=5000)
+    ap.add_argument("--threads", type=int, default=8)
+    ap.add_argument("--keep-file", action="store_true")
+    args = ap.parse_args(argv)
+
+    from rad_tpu.graph.storage import HNSWGraph
+    from rad_tpu.server.http_server import create_hnsw_server
+
+    if not os.path.exists(args.path):
+        log(f"synthesizing {args.n}-node graph file ...")
+        t0 = time.time()
+        info = synth_graph_file(args.n, args.connectivity, args.path)
+        log(f"wrote {args.path} in {time.time()-t0:.0f}s "
+            f"({os.path.getsize(args.path)/2**30:.1f} GiB), "
+            f"layers={info['layer_sizes'][:4]}...")
+
+    t0 = time.time()
+    graph = HNSWGraph.load(args.path, mmap=True)
+    t_load = time.time() - t0
+    log(f"mmap load: {t_load:.2f}s for "
+        f"{os.path.getsize(args.path)/2**30:.1f} GiB file; "
+        f"n={len(graph)}, max_level={graph.max_level}, "
+        f"has_vectors={graph.has_vectors}")
+
+    server, _app = create_hnsw_server(graph, host="127.0.0.1",
+                                     port=args.port)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    time.sleep(0.5)
+
+    import http.client
+
+    n = len(graph)
+    rng = np.random.default_rng(7)
+    node_ids = rng.integers(0, n, size=args.requests)
+
+    def worker(ids, out):
+        conn = http.client.HTTPConnection("127.0.0.1", args.port)
+        lat = []
+        for nid in ids:
+            t0 = time.perf_counter()
+            conn.request("GET", f"/neighbors/{int(nid)}/0")
+            resp = conn.getresponse()
+            body = resp.read()
+            lat.append(time.perf_counter() - t0)
+            assert resp.status == 200, (resp.status, body[:200])
+        conn.close()
+        out.extend(lat)
+
+    # warm (first-touch page faults) then measured
+    wout = []
+    worker(node_ids[:200], wout)
+
+    lats: list = []
+    chunks = np.array_split(node_ids, args.threads)
+    threads = [threading.Thread(target=worker, args=(c, lats))
+               for c in chunks]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    lats_ms = np.sort(np.asarray(lats)) * 1e3
+    result = {
+        "metric": "serving_neighbors",
+        "n_nodes": n,
+        "file_gib": round(os.path.getsize(args.path) / 2**30, 2),
+        "mmap_load_s": round(t_load, 2),
+        "qps": round(len(lats) / wall),
+        "threads": args.threads,
+        "p50_ms": round(float(lats_ms[len(lats_ms) // 2]), 3),
+        "p99_ms": round(float(lats_ms[int(len(lats_ms) * 0.99)]), 3),
+        "server_rss_mb": round(rss_mb(), 1),
+    }
+    server.shutdown()
+    if not args.keep_file:
+        os.remove(args.path)
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -227,20 +227,30 @@ class HNSWGraph:
         return [self._key_to_id[int(k)] for k in keys]
 
     # -------------------------------------------------------------- persist
-    def save(self, path: str) -> None:
-        """Persist to an ``.npz`` (analogue of usearch file persistence)."""
+    def save(self, path: str, exclude_vectors: bool = False) -> None:
+        """Persist to an ``.npz`` (analogue of usearch file persistence).
+
+        ``exclude_vectors=True`` omits the fingerprint matrix — the
+        reference's serving deployment (``Index(path=..., view=True,
+        exclude_vectors=True)``, scripts/start_hnsw_server.py:69): a
+        2B-molecule adjacency serves /neighbors without the 256 GB of
+        vectors. A graph loaded from such a file answers graph queries
+        but cannot compute distances (``has_vectors`` is False).
+        """
         arrays = {
-            "packed": np.asarray(self.packed),
-            "popcounts": np.asarray(self.popcounts),
             "keys": np.asarray(self.keys),
             "levels": np.asarray(self.levels),
         }
+        if not exclude_vectors:
+            arrays["packed"] = np.asarray(self.packed)
+            arrays["popcounts"] = np.asarray(self.popcounts)
         for l, t in enumerate(self.neighbors):
             arrays[f"neighbors_{l}"] = np.asarray(t)
         meta = {
             "ndim": self.ndim,
             "connectivity": self.connectivity,
             "n_layers": len(self.neighbors),
+            "exclude_vectors": bool(exclude_vectors),
             "version": 1,
         }
         arrays["meta_json"] = np.frombuffer(
@@ -263,9 +273,16 @@ class HNSWGraph:
         neighbors = tuple(
             data[f"neighbors_{l}"] for l in range(meta["n_layers"])
         )
+        if meta.get("exclude_vectors"):
+            n = data["keys"].shape[0]
+            packed = np.zeros((n, 0), np.uint32)
+            popcounts = np.zeros((n,), np.int32)
+        else:
+            packed = data["packed"]
+            popcounts = data["popcounts"]
         return cls(
-            packed=data["packed"],
-            popcounts=data["popcounts"],
+            packed=packed,
+            popcounts=popcounts,
             keys=data["keys"],
             levels=data["levels"],
             neighbors=neighbors,
@@ -288,6 +305,12 @@ class HNSWGraph:
             ndim=self.ndim,
             connectivity=self.connectivity,
         )
+
+    @property
+    def has_vectors(self) -> bool:
+        """False for graphs loaded from an ``exclude_vectors=True`` file
+        (serving-only deployment; graph queries work, distances do not)."""
+        return self.packed.shape[1] > 0
 
     def info(self) -> dict:
         """Metadata dict (parity with get_hnsw_info,

@@ -8,6 +8,7 @@ from rad_tpu.parallel.sharded import (
     sharded_fused_step,
     make_sharded_step,
     make_sharded_step_full,
+    make_sharded_step_multi,
     TrafficMeter,
     make_sharded_search,
     init_state_sharded,
@@ -22,6 +23,7 @@ __all__ = [
     "sharded_fused_step",
     "make_sharded_step",
     "make_sharded_step_full",
+    "make_sharded_step_multi",
     "TrafficMeter",
     "make_sharded_search",
     "init_state_sharded",

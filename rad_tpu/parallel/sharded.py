@@ -48,6 +48,7 @@ __all__ = [
     "sharded_fused_step",
     "make_sharded_step",
     "make_sharded_step_full",
+    "make_sharded_step_multi",
     "TrafficMeter",
     "make_sharded_expand_integrate",
     "make_sharded_search",
@@ -539,6 +540,88 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
             state, adj_c, fp_c = res
             return state, {"adj_rows": adj_c, "fp_rows": fp_c}
         return res
+
+    return step
+
+
+def make_sharded_step_multi(sg: ShardedGraph, mesh: Mesh, batch: int):
+    """Multi-campaign × pod composition: T vmapped campaigns over the
+    graph-sharded step (the CLAUDE.md open item).
+
+    T independent screenings share ONE row-sharded graph: per-campaign
+    state stacks on a leading [T] axis (build with
+    rad_tpu.traverse.multi.init_multi / prime_multi) and is replicated
+    across the mesh, while adjacency/fingerprint gathers ride the same
+    owned-gather psums as the single-campaign pod step — vmapped over
+    campaigns with a SHARED (non-batched) local operand, the layout the
+    measured batched-operand vmapped-gather hazard requires
+    (rad_tpu.traverse.multi docstring). Frontier commit/refill decisions
+    are scalar-lifted across campaigns exactly as in the single-chip
+    multi engine (rad_tpu.traverse.multi.multi_step), so each campaign's
+    result is bit-identical to its solo pod run at the same budget.
+
+    Returns ``step(states, targets [T, W], t_pops [T], budgets [T])``.
+    """
+    from rad_tpu.traverse.multi import multi_step
+
+    axis = sg.axis
+    nd = mesh.shape[axis]
+    adj_shard = sg.n_pad_rows // nd
+    fp_shard = sg.n_pad_nodes // nd
+    dg_meta = DeviceGraph(adj=jnp.zeros((1, 1), jnp.int32),
+                          offsets=sg.offsets, n_nodes=sg.n_nodes,
+                          n_rows=sg.n_rows, m0=sg.m0,
+                          max_level=sg.max_level)
+
+    def shard_body(states: TraversalState, adj_l, packed_l, pops_l,
+                   offsets, targets, t_pops, budgets):
+        dg = dataclasses.replace(dg_meta, offsets=offsets)
+
+        def gather_adj(rows):
+            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+
+        def expand_score(state, target, t_pop, refill):
+            state, out = expand_impl(state, dg, batch, refill=refill,
+                                     gather_adj=gather_adj)
+            ts = out["to_score"]
+            ok = ts >= 0
+            safe = jnp.where(ok, ts, 0)
+            fp_rows = _owned_gather(packed_l, safe, fp_shard, axis,
+                                    fill_shift=0)
+            pop_rows = _owned_gather(pops_l, safe, fp_shard, axis,
+                                     fill_shift=0)
+            raw = tanimoto_to_target_scorer(fp_rows, pop_rows, target,
+                                            t_pop)
+            scores = jnp.where(ok, raw.astype(jnp.float32), jnp.inf)
+            return state, out, scores
+
+        def vm_expand_score(sts, refill):
+            return jax.vmap(
+                lambda s, tg, tp: expand_score(s, tg, tp, refill)
+            )(sts, targets, t_pops)
+
+        return multi_step(states, dg, budgets, batch, vm_expand_score)
+
+    state_spec = jax.tree_util.tree_map(lambda _: P(), _state_structure())
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(state_spec, P(axis, None), P(axis, None), P(axis),
+                  P(), P(), P(), P()),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def _step(states, adj, packed, pops, offsets, targets, t_pops,
+              budgets):
+        return mapped(states, adj, packed, pops, offsets, targets,
+                      t_pops, budgets)
+
+    def step(states: TraversalState, targets, t_pops, budgets):
+        budgets = jnp.broadcast_to(jnp.asarray(budgets, jnp.int32),
+                                   (targets.shape[0],))
+        return _step(states, sg.adj, sg.packed, sg.pops, sg.offsets,
+                     targets, t_pops, budgets)
 
     return step
 

@@ -329,6 +329,10 @@ drop-in for the local service in any <code>RADTraverser</code>.</p>
 def _make_handler(app: HNSWServerApp):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
+        # without this, keep-alive clients hit the Nagle x delayed-ACK
+        # interaction: every response waits ~40 ms for the peer's ACK
+        # (measured: p50 44 ms -> sub-ms; benchmarks/bench_serving.py)
+        disable_nagle_algorithm = True
 
         def _respond(self, method: str) -> None:
             t0 = time.perf_counter()

@@ -130,18 +130,26 @@ def prime_multi(states: TraversalState, dg: DeviceGraph,
         states, dg, node_ids, node_scores)
 
 
-def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
-    """Shared multi-campaign while-loop: scalar-lifted refill + commit
-    decisions around a vmapped expand→score→integrate step, with frozen
-    finished campaigns. ``vm_expand_score(states, refill)`` runs the
-    vmapped expand + scorer and returns (states, outs, scores)."""
+def multi_active_mask(states: TraversalState, budgets):
+    return (states.n_scored < budgets) & (states.f_live > 0)
+
+
+def multi_step(states, dg, budgets, batch, vm_expand_score,
+               integrate_extra=None):
+    """ONE multi-campaign step: scalar-lifted refill + commit decisions
+    around a vmapped expand→score→integrate, with finished campaigns
+    frozen. ``vm_expand_score(states, refill)`` runs the vmapped expand +
+    scorer and returns (states, outs, scores).
+    ``integrate_extra`` (optional) is a dict of kwargs forwarded to
+    ``integrate_impl`` — the sharded composition passes its state ops
+    here. Shared by the fused while-loop and the pod multi-step."""
     t = budgets.shape[0]
     p = states.f_buf_score.shape[1]
     p_new = batch * dg.m0 + batch  # max pushes any step can produce
     two_level = states.cold_score.shape[1] > 0
+    extra = integrate_extra or {}
 
-    def active_mask(st):
-        return (st.n_scored < budgets) & (st.f_live > 0)
+    active = multi_active_mask(states, budgets)
 
     def integrate_with(commit):
         def f(args):
@@ -150,7 +158,7 @@ def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
                 lambda s, o, sc: dev.integrate_impl(
                     s, dg, o["exp_node"], o["exp_level"], o["exp_score"],
                     o["exp_valid"], o["cand"], o["to_score"], sc,
-                    commit=commit)
+                    commit=commit, **extra)
             )(sts, outs, scs)
         return f
 
@@ -163,32 +171,38 @@ def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
                                 (sts, outs, scs))
         return step
 
+    # scalar decisions over ACTIVE campaigns only (frozen lanes never
+    # change, and a frozen near-full buffer / drained head must not
+    # force work forever)
+    force_commit = jnp.any(active & (states.f_buf_n + p_new > p))
+    if two_level:
+        hb_live = states.f_live - states.cold_n
+        any_refill = jnp.any(active & (hb_live < batch)
+                             & (states.cold_n > 0))
+        new_states = jax.lax.cond(any_refill, make_step("force"),
+                                  make_step("skip"),
+                                  (states, force_commit))
+    else:
+        new_states = make_step("cond")((states, force_commit))
+
+    def keep(new, old):
+        a = active.reshape((t,) + (1,) * (new.ndim - 1))
+        return jnp.where(a, new, old)
+    return jax.tree_util.tree_map(keep, new_states, states)
+
+
+def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
+    """Shared multi-campaign while-loop around :func:`multi_step`."""
+
     def body(carry):
         states, steps = carry
-        active = active_mask(states)
-        # scalar decisions over ACTIVE campaigns only (frozen lanes never
-        # change, and a frozen near-full buffer / drained head must not
-        # force work forever)
-        force_commit = jnp.any(active & (states.f_buf_n + p_new > p))
-        if two_level:
-            hb_live = states.f_live - states.cold_n
-            any_refill = jnp.any(active & (hb_live < batch)
-                                 & (states.cold_n > 0))
-            new_states = jax.lax.cond(any_refill, make_step("force"),
-                                      make_step("skip"),
-                                      (states, force_commit))
-        else:
-            new_states = make_step("cond")((states, force_commit))
-
-        def keep(new, old):
-            a = active.reshape((t,) + (1,) * (new.ndim - 1))
-            return jnp.where(a, new, old)
-        states = jax.tree_util.tree_map(keep, new_states, states)
-        return states, steps + 1
+        return multi_step(states, dg, budgets, batch,
+                          vm_expand_score), steps + 1
 
     def cond(carry):
         states, steps = carry
-        return jnp.any(active_mask(states)) & (steps < max_steps)
+        return jnp.any(multi_active_mask(states, budgets)) \
+            & (steps < max_steps)
 
     states, _ = jax.lax.while_loop(cond, body, (states, jnp.int32(0)))
     return states

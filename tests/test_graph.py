@@ -163,3 +163,30 @@ def test_load_view_is_memory_mapped(tmp_path, small_graph):
     g2 = HNSWGraph.load(p, mmap=False)
     np.testing.assert_array_equal(np.asarray(g2.packed),
                                   np.asarray(g.packed))
+
+
+def test_exclude_vectors_serving_file(tmp_path, small_graph):
+    """exclude_vectors=True parity with the reference's serving deployment
+    (Index(path=, view=True, exclude_vectors=True),
+    reference scripts/start_hnsw_server.py:69): the file omits the
+    fingerprint matrix; a graph loaded from it answers every graph query
+    but reports has_vectors=False."""
+    import os
+
+    full = str(tmp_path / "full.npz")
+    lean = str(tmp_path / "lean.npz")
+    small_graph.save(full)
+    small_graph.save(lean, exclude_vectors=True)
+    assert os.path.getsize(lean) < os.path.getsize(full)
+
+    g = type(small_graph).load(lean, mmap=True)
+    assert not g.has_vectors
+    assert small_graph.has_vectors
+    assert len(g) == len(small_graph)
+    assert g.max_level == small_graph.max_level
+    # fork accessors still work (adjacency is intact)
+    ref = small_graph.get_neighbors(0, 0)
+    assert g.get_neighbors(0, 0) == ref
+    assert g.get_top_level_nodes() == small_graph.get_top_level_nodes()
+    np.testing.assert_array_equal(np.asarray(g.keys),
+                                  np.asarray(small_graph.keys))

@@ -385,3 +385,57 @@ def test_traffic_counters_fully_sharded(mesh, built):
     assert int(st_r.n_scored) == int(st_f.n_scored)
     np.testing.assert_array_equal(m_r.adj_rows, m_f.adj_rows)
     np.testing.assert_array_equal(m_r.fp_rows, m_f.fp_rows)
+
+
+def test_multi_campaign_pod_matches_solo_pod(mesh, built):
+    """Multi-campaign x pod composition: each vmapped campaign over the
+    sharded graph ends bit-identical to its own solo sharded run at the
+    same budget (the CLAUDE.md open item)."""
+    from rad_tpu.parallel.sharded import make_sharded_step_multi
+    from rad_tpu.traverse.multi import (campaign_state, init_multi,
+                                        multi_active_mask, prime_multi)
+
+    graph = built
+    t_count = 3
+    targets_np = random_fingerprints(t_count, n_bits=128, density=0.25,
+                                     seed=91)
+    targets = jnp.asarray(targets_np)
+    t_pops = popcount_rows(targets)
+    budgets = jnp.asarray([60, 120, 90], jnp.int32)
+
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    seed_scores = tanimoto_matrix(targets, packed[:n_top])  # [T, n_top]
+
+    sg = shard_graph(graph, mesh)
+    frontier, buffer = 1 << 11, 1 << 8
+
+    # multi x pod
+    states = init_multi(dg, t_count, frontier_capacity=frontier,
+                        buffer_capacity=buffer)
+    states = prime_multi(states, dg, ids, seed_scores)
+    step_m = make_sharded_step_multi(sg, mesh, batch=4)
+    for _ in range(200):
+        if not bool(jnp.any(multi_active_mask(states, budgets))):
+            break
+        states = step_m(states, targets, t_pops, budgets)
+
+    # solo pod runs
+    step_1 = make_sharded_step(sg, mesh, batch=4)
+    for t in range(t_count):
+        st = dev.init_state(dg, frontier_capacity=frontier,
+                            buffer_capacity=buffer, head_capacity=None)
+        st = dev.prime(st, dg, ids, seed_scores[t])
+        while (int(st.n_scored) < int(budgets[t])
+               and int(st.f_live) > 0):
+            st = step_1(st, targets[t], t_pops[t])
+        got = campaign_state(states, t)
+        assert int(got.n_scored) == int(st.n_scored) >= int(budgets[t])
+        np.testing.assert_array_equal(np.asarray(got.scored),
+                                      np.asarray(st.scored))
+        np.testing.assert_array_equal(np.asarray(got.order_log),
+                                      np.asarray(st.order_log))
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(st.scores), atol=0)
