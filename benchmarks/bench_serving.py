@@ -79,10 +79,9 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0) -> dict:
     return {"max_level": max_level, "layer_sizes": layer_sizes}
 
 
-def rss_mb(pid: int | None = None) -> float:
-    if pid is None:
-        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
-    with open(f"/proc/{pid}/status") as f:
+def rss_mb() -> float:
+    """CURRENT resident set (not peak): the paged-not-resident claim."""
+    with open("/proc/self/status") as f:
         for line in f:
             if line.startswith("VmRSS"):
                 return int(line.split()[1]) / 1024
@@ -104,12 +103,20 @@ def main(argv=None) -> int:
     from rad_tpu.server.http_server import create_hnsw_server
 
     if not os.path.exists(args.path):
-        log(f"synthesizing {args.n}-node graph file ...")
+        # synthesize in a CHILD process so this (serving) process's RSS
+        # reflects only mmap paging, never the construction arrays
+        log(f"synthesizing {args.n}-node graph file (subprocess) ...")
         t0 = time.time()
-        info = synth_graph_file(args.n, args.connectivity, args.path)
+        import subprocess
+        subprocess.run(
+            [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r}); "
+             f"from benchmarks.bench_serving import synth_graph_file; "
+             f"synth_graph_file({args.n}, {args.connectivity}, "
+             f"{args.path!r})"],
+            check=True)
         log(f"wrote {args.path} in {time.time()-t0:.0f}s "
-            f"({os.path.getsize(args.path)/2**30:.1f} GiB), "
-            f"layers={info['layer_sizes'][:4]}...")
+            f"({os.path.getsize(args.path)/2**30:.1f} GiB)")
 
     t0 = time.time()
     graph = HNSWGraph.load(args.path, mmap=True)

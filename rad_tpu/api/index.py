@@ -148,11 +148,19 @@ class HNSWIndex:
                       expansion_add=self.expansion_add, ndim=self.ndim,
                       seed=self.seed)
         if backend == "auto":
-            # native C++ builder (exact reference semantics, host-speed)
-            # when the toolchain allows; else the numpy reference builder.
-            # The batched JAX builder is opt-in via backend="device".
+            # On a TPU at <=2M nodes, the MXU all-pairs builder wins
+            # (8.9k nodes/s vs 6.3k native at 100k, recall identical —
+            # BENCHMARKS.md build table). Otherwise the native C++
+            # builder (exact reference semantics, host-speed) when the
+            # toolchain allows; else the numpy reference builder. The
+            # batched JAX beam builder stays opt-in (backend="device").
+            import jax
             from rad_tpu.native import native_available
-            backend = "native" if native_available() else "host"
+            if (jax.default_backend() == "tpu"
+                    and len(keys) <= 2_000_000):
+                backend = "exact"
+            else:
+                backend = "native" if native_available() else "host"
         if backend == "device":
             from rad_tpu.build.device import build_hnsw_device
             self._graph = build_hnsw_device(fps, **common, **kwargs)
