@@ -1,0 +1,146 @@
+"""Stage-level ablation of the exact-kNN builder (rad_tpu.build.exact).
+
+The r3 xplane profile attributed 8.4 s of the 10.3 s 100k build to
+`lax.top_k`, but swapping the per-block reduction to `approx_max_k`
+left the steady build at 10.8 s — the attribution hit the documented
+profiler trap (while/cond durations absorb overlapped child waits,
+CLAUDE.md). This script times each stage DIRECTLY with forced host
+readbacks at exactly the shapes the 100k build uses, so the wall-clock
+split is unambiguous:
+
+  allpairs  — _allpairs_topk at layer-0 shape (both reductions)
+  select    — _select_layer (diversity heuristic) on real candidates
+  symm      — _symmetrize (global reverse-edge merge)
+  assemble  — the build's host-side glue (everything minus the stages)
+
+Each stage at an already-built shape is a remote-compile cache hit.
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def timeit(fn, *args, runs=2):
+    """Time fn(*args) with full host readback; first call warms/compiles."""
+    import jax
+    best = np.inf
+    out = None
+    for i in range(runs + 1):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf)  # tunnel-safe barrier
+        dt = time.perf_counter() - t0
+        if i > 0:
+            best = min(best, dt)
+    return best, out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--n-bits", type=int, default=1024)
+    ap.add_argument("--connectivity", type=int, default=16)
+    ap.add_argument("--stages", nargs="+",
+                    default=["allpairs", "select", "symm", "build"])
+    ap.add_argument("--exact-topk", action="store_true",
+                    help="also time the approx_recall=None reduction")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.build import exact as ex
+    from rad_tpu.build.reference import sample_levels
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    log(f"device: {jax.devices()[0]}")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from enrichment_example import make_library
+    fps, _, _ = make_library(args.n, args.n_bits, seed=0)
+
+    n, w = fps.shape
+    m = args.connectivity
+    m0 = 2 * m
+    heuristic_k = max(4 * m, 32)
+    k = max(heuristic_k, 2 * m0)
+
+    # identical preprocessing to build_hnsw_exact
+    levels_raw = sample_levels(n, m, seed=0)
+    order = np.lexsort((np.arange(n), -levels_raw))
+    packed = np.ascontiguousarray(fps[order], dtype=np.uint32)
+    pops_np = popcount_rows_np(packed)
+
+    # layer-0 shapes
+    n_l = n
+    big = max(4096, 1 << 13, 2048)
+    n_pad = ex._round_up(n_l, big)
+    pad = np.zeros((n_pad - n_l, w), np.uint32)
+    packed_l = jnp.asarray(np.concatenate([packed[:n_l], pad]))
+    pops_l = jnp.asarray(np.concatenate(
+        [pops_np[:n_l], np.zeros(n_pad - n_l, pops_np.dtype)]))
+    kk = min(k, n_l - 1)
+
+    results = {}
+    cand_d = cand_id = sel = sel_d = None
+
+    if "allpairs" in args.stages:
+        dt, (cand_d, cand_id) = timeit(
+            lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                                      True, 0.99))
+        results["allpairs_approx"] = dt
+        log(f"allpairs (approx_max_k): {dt:.2f}s")
+        if args.exact_topk:
+            dt, _ = timeit(
+                lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                                          True, None))
+            results["allpairs_exact"] = dt
+            log(f"allpairs (exact top_k): {dt:.2f}s")
+
+    if "select" in args.stages and cand_d is not None:
+        dt, (sel, sel_d) = timeit(
+            lambda: ex._select_layer(packed_l, pops_l, cand_d, cand_id,
+                                     n_l, m, heuristic_k, 2048))
+        results["select"] = dt
+        log(f"select: {dt:.2f}s")
+
+    if "symm" in args.stages and sel is not None:
+        dt, _ = timeit(lambda: ex._symmetrize(sel, sel_d, n_l, m0))
+        results["symm"] = dt
+        log(f"symm: {dt:.2f}s")
+
+    if "build" in args.stages:
+        from rad_tpu.build.exact import build_hnsw_exact
+        t0 = time.perf_counter()
+        g = build_hnsw_exact(fps, connectivity=m, seed=0)
+        _ = [np.asarray(t).sum() for t in g.neighbors]
+        dt0 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        g = build_hnsw_exact(fps, connectivity=m, seed=0)
+        _ = [np.asarray(t).sum() for t in g.neighbors]
+        dt = time.perf_counter() - t0
+        results["build_total"] = min(dt0, dt)
+        log(f"full build: {min(dt0, dt):.2f}s "
+            f"({args.n / min(dt0, dt):.0f} nodes/s)")
+
+    print(json.dumps({"metric": "exact_build_stages", "n": args.n,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

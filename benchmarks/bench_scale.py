@@ -134,11 +134,17 @@ def main(argv=None) -> int:
     ap.add_argument("--n-bits", type=int, default=1024)
     ap.add_argument("--log-capacity", type=int, default=None,
                     help="order-log ring capacity (default n)")
+    ap.add_argument("--no-score-table", action="store_true",
+                    help="id mode only: drop the [N] f32 score table and "
+                         "recompute candidate scores from ids in-step "
+                         "(saves 4 bytes/node — the 200M config)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap one timed run in jax.profiler.trace and "
                          "print the top device ops (leaf events)")
     args = ap.parse_args(argv)
+    if args.no_score_table and args.mode != "id":
+        ap.error("--no-score-table requires --mode id")
 
     import jax
     import jax.numpy as jnp
@@ -198,6 +204,13 @@ def main(argv=None) -> int:
                            buffer_capacity=args.buffer,
                            head_capacity=head,
                            log_capacity=args.log_capacity)
+        if args.no_score_table:
+            # id mode recomputes candidate scores from node ids inside the
+            # step (ops override below) — the [N] f32 score table is pure
+            # ballast at the largest node counts (800 MB at 200M). Replace
+            # it with a 1-slot dummy; prime()'s scatter drops OOB indices.
+            import dataclasses as _dc
+            s = _dc.replace(s, scores=jnp.zeros((1,), jnp.float32))
         if args.mode == "hash":
             seed_scores = pops[: top_ids.shape[0]]
         elif args.mode == "id":
@@ -215,6 +228,20 @@ def main(argv=None) -> int:
     elif args.mode == "id":
         batch = args.batch
 
+        if args.no_score_table:
+            class _IdOps(dev.DenseStateOps):
+                @staticmethod
+                def gather_scores(arr, idx):
+                    return id_score(idx)
+
+                @staticmethod
+                def scatter_scores(arr, idx, vals):
+                    return arr
+
+            id_ops = _IdOps()
+        else:
+            id_ops = dev.DENSE_OPS
+
         @partial(jax.jit, donate_argnums=(0,))
         def _run_id(state, n_to_score, dg_a):
             def cond(carry):
@@ -231,7 +258,7 @@ def main(argv=None) -> int:
                 st = dev.integrate_impl(
                     st, dg_a, out["exp_node"], out["exp_level"],
                     out["exp_score"], out["exp_valid"], out["cand"],
-                    out["to_score"], scores)
+                    out["to_score"], scores, ops=id_ops)
                 return st, steps + 1
 
             state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))

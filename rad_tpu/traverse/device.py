@@ -824,7 +824,7 @@ def fused_step(
                      out["to_score"], scores)
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps"),
+@partial(jax.jit, static_argnames=("batch", "max_steps", "narrow_width"),
          donate_argnums=(0,))
 def fused_run(
     state: TraversalState,
@@ -836,6 +836,7 @@ def fused_run(
     n_to_score: jnp.ndarray,
     batch: int,
     max_steps: int = 1 << 20,
+    narrow_width: int | None = None,
 ) -> TraversalState:
     """Run the fully device-resident traversal to ``n_to_score`` in ONE
     compiled program — a `lax.while_loop` over :func:`fused_step`'s body.
@@ -843,6 +844,19 @@ def fused_run(
     This is BASELINE config 3 (device-side traversal with an on-device
     scorer): zero host round trips until termination, so throughput is pure
     device speed regardless of dispatch latency.
+
+    ``narrow_width`` (power of two, < batch*M0): exhaustive-tail
+    optimization. ``to_score`` is unique unscored ids compacted to the
+    front of a fixed [B*M0] vector; in the exhaustive regime late steps
+    discover only ~B live entries, yet the [B*M0, W] fingerprint gather
+    and the [B*M0]-wide score/scored/log scatters still pay per-slot
+    latency for the padding (per-candidate work is the measured step
+    bound, BENCHMARKS.md engine grid). When the live count fits, a
+    `lax.cond` runs the score+integrate half at this width instead —
+    identical scored set, order, and drop behavior (the trimmed slots are
+    -1 padding whose scatters drop anyway; tests/test_traverse.py pins
+    equality). Steps that discover more than ``narrow_width`` take the
+    full-width branch.
     """
     from rad_tpu.fp.pack import popcount
 
@@ -852,19 +866,31 @@ def fused_run(
                 & (steps < max_steps)
                 & (frontier_live(st) > 0))
 
-    def body(carry):
-        st, steps = carry
-        st, out = expand_impl(st, dg, batch)
-        ts = out["to_score"]
+    def score_integrate(st, out, ts):
         ok = ts >= 0
         rows = packed[jnp.where(ok, ts, 0)]
         inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
         union = target_pop + pops[jnp.where(ok, ts, 0)] - inter
         sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
         scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
-        st = integrate_impl(st, dg, out["exp_node"], out["exp_level"],
-                            out["exp_score"], out["exp_valid"], out["cand"],
-                            out["to_score"], scores)
+        return integrate_impl(st, dg, out["exp_node"], out["exp_level"],
+                              out["exp_score"], out["exp_valid"],
+                              out["cand"], ts, scores)
+
+    def body(carry):
+        st, steps = carry
+        st, out = expand_impl(st, dg, batch)
+        ts = out["to_score"]
+        if narrow_width is None or narrow_width >= ts.shape[0]:
+            st = score_integrate(st, out, ts)
+        else:
+            n_new = jnp.sum(ts >= 0)
+            st = jax.lax.cond(
+                n_new <= narrow_width,
+                lambda s, o: score_integrate(s, o, o["to_score"]
+                                             [:narrow_width]),
+                lambda s, o: score_integrate(s, o, o["to_score"]),
+                st, out)
         return st, steps + 1
 
     state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))

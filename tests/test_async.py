@@ -130,6 +130,46 @@ def test_fused_run_matches_fused_steps(setup):
                                np.asarray(s2.f_score), atol=1e-6)
 
 
+def test_fused_run_narrow_width_agrees(setup):
+    """narrow_width only trims -1 padding from the score/integrate half:
+    the scored set, order log, frontier, and drop counts must be identical
+    to the full-width run — including steps that overflow the narrow
+    branch (batch*M0 candidates > narrow_width forces the fallback)."""
+    graph, store, scoring_fn, _ = setup
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.fp.tanimoto import tanimoto_matrix
+
+    dg = dev.prepare_device_graph(graph)
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    target = jnp.asarray(random_fingerprints(1, 64, 0.3, 123)[0])
+    tp = popcount_rows(target[None, :])[0]
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(target[None, :], packed[:n_top])[0]
+
+    def run(narrow):
+        s = dev.prime(dev.init_state(dg, frontier_capacity=1 << 12), dg,
+                      ids, seeds)
+        # exhaustive: budget beyond graph size so both runs sweep fully
+        return dev.fused_run(s, dg, packed, pops, target, tp,
+                             jnp.int32(10**9), batch=4,
+                             narrow_width=narrow)
+
+    full = run(None)
+    for w in (8, 16):  # < batch * M0; 8 forces frequent full fallbacks
+        nar = run(w)
+        assert int(nar.n_scored) == int(full.n_scored) > n_top
+        np.testing.assert_array_equal(np.asarray(nar.order_log),
+                                      np.asarray(full.order_log))
+        np.testing.assert_array_equal(np.asarray(nar.scored),
+                                      np.asarray(full.scored))
+        np.testing.assert_allclose(np.asarray(nar.f_score),
+                                   np.asarray(full.f_score), atol=1e-6)
+        assert int(nar.n_dropped) == int(full.n_dropped)
+
+
 def test_frontier_buffer_sizes_agree(setup):
     """Tiny buffer (always-merge), moderate buffer (frequent merges), and
     huge buffer (no merge until the end) must all produce identical
