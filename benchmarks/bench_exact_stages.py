@@ -59,6 +59,10 @@ def main(argv=None) -> int:
                     default=["allpairs", "select", "symm", "build"])
     ap.add_argument("--exact-topk", action="store_true",
                     help="also time the approx_recall=None reduction")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="xplane-trace the allpairs stage and print the "
+                         "top device ops (leaf events; see CLAUDE.md for "
+                         "the while/cond attribution caveat)")
     args = ap.parse_args(argv)
 
     import jax
@@ -104,6 +108,18 @@ def main(argv=None) -> int:
                                       True, 0.99))
         results["allpairs_approx"] = dt
         log(f"allpairs (approx_max_k): {dt:.2f}s")
+        if args.profile:
+            import jax.profiler
+            from rad_tpu.utils.profiling import aggregate_xla_ops
+            with jax.profiler.trace(args.profile):
+                out = ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                                        True, 0.99)
+                np.asarray(out[0])
+            ops, n_ev = aggregate_xla_ops(args.profile)
+            total = sum(ops.values())
+            log(f"profile: {n_ev} events, {total/1e6:.1f} ms device")
+            for name, ns in sorted(ops.items(), key=lambda kv: -kv[1])[:20]:
+                log(f"  {ns/1e6:10.2f} ms  {name}")
         if args.exact_topk:
             dt, _ = timeit(
                 lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,

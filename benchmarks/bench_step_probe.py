@@ -39,7 +39,10 @@ def main(argv=None) -> int:
     ap.add_argument("--frontier", type=int, default=1 << 20)
     ap.add_argument("--graph-cache", default=None)
     ap.add_argument("--probes", nargs="+",
-                    default=["baseline", "no-dedup", "cheap-score"])
+                    default=["baseline", "no-dedup", "cheap-score"],
+                    help="also: narrow-<W> (fused_run narrow_width=W, "
+                         "e.g. narrow-1024) — the exhaustive-tail "
+                         "padded-slot trim, bit-identical semantics")
     args = ap.parse_args(argv)
 
     import jax
@@ -88,6 +91,13 @@ def main(argv=None) -> int:
 
             def sweep(state):
                 return run(state, jnp.int32(len(graph)))
+        elif probe.startswith("narrow-"):
+            width = int(probe.split("-", 1)[1])
+
+            def sweep(state, w=width):
+                return dev.fused_run(state, dg, packed, pops, target,
+                                     t_pop, jnp.int32(len(graph)),
+                                     batch=args.batch, narrow_width=w)
         else:
             def sweep(state):
                 return dev.fused_run(state, dg, packed, pops, target,
