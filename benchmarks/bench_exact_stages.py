@@ -57,6 +57,9 @@ def main(argv=None) -> int:
     ap.add_argument("--connectivity", type=int, default=16)
     ap.add_argument("--stages", nargs="+",
                     default=["allpairs", "select", "symm", "build"])
+    ap.add_argument("--bucket", type=int, default=64,
+                    help="bucket size for the 'bucket' stage (fused "
+                         "in-kernel reduction)")
     ap.add_argument("--exact-topk", action="store_true",
                     help="also time the approx_recall=None reduction")
     ap.add_argument("--profile", metavar="DIR",
@@ -102,6 +105,13 @@ def main(argv=None) -> int:
     results = {}
     cand_d = cand_id = sel = sel_d = None
 
+    if "bucket" in args.stages:
+        dt, (cand_d, cand_id) = timeit(
+            lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                                      True, 0.99, bucket=args.bucket))
+        results[f"allpairs_bucket{args.bucket}"] = dt
+        log(f"allpairs (bucket={args.bucket} fused): {dt:.2f}s")
+
     if "allpairs" in args.stages:
         dt, (cand_d, cand_id) = timeit(
             lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
@@ -134,6 +144,14 @@ def main(argv=None) -> int:
         results["select"] = dt
         log(f"select: {dt:.2f}s")
 
+    if "select-mxu" in args.stages and cand_d is not None:
+        dt, (sel, sel_d) = timeit(
+            lambda: ex._select_layer(packed_l, pops_l, cand_d, cand_id,
+                                     n_l, m, heuristic_k, 2048,
+                                     mxu_pairs=True))
+        results["select_mxu"] = dt
+        log(f"select (mxu pairs): {dt:.2f}s")
+
     if "symm" in args.stages and sel is not None:
         dt, _ = timeit(lambda: ex._symmetrize(sel, sel_d, n_l, m0))
         results["symm"] = dt
@@ -141,13 +159,22 @@ def main(argv=None) -> int:
 
     if "build" in args.stages:
         from rad_tpu.build.exact import build_hnsw_exact
+
+        def barrier(g):
+            # neighbors stay DEVICE-resident (the traversal consumes them
+            # there); force completion with one-row readbacks, not a full
+            # adjacency download
+            for t in g.neighbors:
+                if t.shape[0]:
+                    np.asarray(t[-1:])
+
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0)
-        _ = [np.asarray(t).sum() for t in g.neighbors]
+        barrier(g)
         dt0 = time.perf_counter() - t0
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0)
-        _ = [np.asarray(t).sum() for t in g.neighbors]
+        barrier(g)
         dt = time.perf_counter() - t0
         results["build_total"] = min(dt0, dt)
         log(f"full build: {min(dt0, dt):.2f}s "

@@ -166,11 +166,16 @@ def _beam_search_batch(packed, pops, adj_l, q_ids, ep_ids, ep_ds,
 
 
 def _select_neighbors(packed, pops, q_ids, cand_d, cand_id, m: int,
-                      heuristic_k: int, active):
+                      heuristic_k: int, active, mxu_pairs: bool = False):
     """Vectorized HNSW neighbor-selection heuristic with backfill.
 
     cand_d/cand_id: [B, K] ascending. Returns sel_ids [B, m] (-1 padded),
     in candidate order (matches the sequential heuristic's output order).
+
+    ``mxu_pairs``: compute the [B, kh, kh] pairwise-intersection block as
+    a batched int8 matmul over bit-unpacked candidate rows (exact — 0/1
+    dots) instead of the SWAR popcount broadcast; same values, rides the
+    MXU. Used by the exact builder's selection stage.
     """
     b, k = cand_d.shape
     kh = min(heuristic_k, k)
@@ -181,8 +186,16 @@ def _select_neighbors(packed, pops, q_ids, cand_d, cand_id, m: int,
     # pairwise distances among the top-kh candidates
     safe = jnp.maximum(top_i, 0)
     rows = packed[safe]                               # [B, kh, W]
-    inter = jnp.sum(popcount(rows[:, :, None, :] & rows[:, None, :, :]),
-                    axis=-1)
+    if mxu_pairs:
+        from rad_tpu.fp.kernels import unpack_bitmajor
+        bits = unpack_bitmajor(rows, jnp.int8)        # [B, kh, d]
+        inter = jax.lax.dot_general(
+            bits, bits,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)         # [B, kh, kh]
+    else:
+        inter = jnp.sum(popcount(rows[:, :, None, :] & rows[:, None, :, :]),
+                        axis=-1)
     p = pops[safe]
     union = p[:, :, None] + p[:, None, :] - inter
     sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)

@@ -56,18 +56,21 @@ __all__ = ["build_hnsw_exact"]
 INF = jnp.inf
 
 
-def _dist_block(q_packed, db_packed, use_pallas: bool):
+def _dist_block(q_packed, db_packed, use_pallas: bool,
+                interpret: bool = False):
     if use_pallas:
         from rad_tpu.fp.kernels import tanimoto_matrix_pallas
-        return tanimoto_matrix_pallas(q_packed, db_packed)
+        return tanimoto_matrix_pallas(q_packed, db_packed,
+                                      interpret=interpret)
     return tanimoto_matrix(q_packed, db_packed)
 
 
 @partial(jax.jit,
          static_argnames=("k", "q_block", "col_block", "use_pallas",
-                          "approx_recall"))
+                          "approx_recall", "bucket", "interpret"))
 def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
-                   use_pallas: bool, approx_recall: float | None):
+                   use_pallas: bool, approx_recall: float | None,
+                   bucket: int | None = None, interpret: bool = False):
     """Top-k neighbor ids+dists for every row of ``packed`` against all
     rows (self excluded), blocked in both dimensions.
 
@@ -82,6 +85,17 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
     top-k is the builder's wall, not the distances. The cross-block merge
     of per-block winners stays EXACT (a [*, 2k] top_k). ``None`` restores
     the fully exact reduction.
+
+    ``bucket`` (TPU default at large layers) switches the per-block
+    reduction to :func:`rad_tpu.fp.kernels.tanimoto_bucketmin_pallas` —
+    the PartialReduce fused INTO the distance kernel, so the [q_block,
+    col_block] f32 distance block never reaches HBM (the r3 stage
+    ablation measured that round-trip + XLA reduction fusion at 6.6 s of
+    the 9.7 s layer-0 allpairs; the MXU distances were 83 ms). One winner
+    per ``bucket`` columns; a query's self-bucket winner is the query
+    itself (dist 0), so that bucket's runner-up is lost — the same class
+    of approximation as ``approx_max_k``, and the cross-block merge of
+    winners is still exact.
     """
     n_pad, w = packed.shape
     nq = n_pad // q_block
@@ -95,7 +109,23 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
             best_d, best_i = carry
             db = jax.lax.dynamic_slice(packed, (ci * col_block, 0),
                                        (col_block, w))
-            d = _dist_block(q, db, use_pallas)
+            if bucket is not None:
+                from rad_tpu.fp.kernels import (decode_bucket_keys,
+                                                tanimoto_bucketmin_pallas)
+                keys = tanimoto_bucketmin_pallas(
+                    q, db, bucket=bucket, q_tile=min(512, q_block),
+                    n_tile=min(1024, col_block), interpret=interpret)
+                blk_d, local = decode_bucket_keys(keys, bucket)
+                blk_i = ci * col_block + local
+                bad = (blk_i >= n_real) | (blk_i == q_ids[:, None])
+                blk_d = jnp.where(bad, INF, blk_d)
+                blk_i = jnp.where(bad, -1, blk_i)
+                cat_d = jnp.concatenate([best_d, blk_d], axis=1)
+                cat_i = jnp.concatenate([best_i, blk_i], axis=1)
+                neg, sel = jax.lax.top_k(-cat_d, k)
+                return ((-neg, jnp.take_along_axis(cat_i, sel, axis=1)),
+                        None)
+            d = _dist_block(q, db, use_pallas, interpret)
             ids = ci * col_block + jnp.arange(col_block,
                                              dtype=jnp.int32)[None, :]
             bad = (ids >= n_real) | (ids == q_ids[:, None])  # pad + self
@@ -128,15 +158,18 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
     return dists.reshape(n_pad, k), ids.reshape(n_pad, k)
 
 
-@partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block"))
+@partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block",
+                                   "mxu_pairs"))
 def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
-                  heuristic_k: int, sel_block: int):
+                  heuristic_k: int, sel_block: int, mxu_pairs: bool = False):
     """Vectorized diversity selection + per-selection distances.
 
     cand_d/cand_id: [N_pad, K] ascending exact candidates. Returns
     (sel_ids [N_pad, m], sel_d [N_pad, m]); padded rows select nothing.
     Chunked over ``sel_block`` rows — the heuristic's pairwise candidate
     block is [B, kh, kh], which must stay VMEM/HBM-friendly.
+    ``mxu_pairs`` routes that block through a batched int8 matmul (exact
+    same values, MXU instead of VPU SWAR popcount).
     """
     from rad_tpu.build.device import _dist_rows, _select_neighbors
 
@@ -148,7 +181,7 @@ def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
         active = qi < n_real
         safe_q = jnp.minimum(qi, n_real - 1)
         sel = _select_neighbors(packed, pops, safe_q, cd, ci, m,
-                                heuristic_k, active)
+                                heuristic_k, active, mxu_pairs=mxu_pairs)
         sel_d = _dist_rows(packed, pops, safe_q, sel,
                            (sel >= 0) & active[:, None])
         return sel, sel_d
@@ -222,6 +255,8 @@ def build_hnsw_exact(
     sel_block: int = 2048,
     use_pallas: bool | None = None,
     approx_recall: float | None = 0.99,
+    block_bucket: int | None = 64,
+    interpret: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
 
@@ -233,6 +268,15 @@ def build_hnsw_exact(
     reduction (TPU ``approx_max_k``; measured graph quality at 0.99
     matches the exact reduction — tests/test_build_exact.py); pass
     ``None`` for the fully exact (sort-based, ~8x slower) reduction.
+
+    ``block_bucket`` (Pallas path, layers >= the block size): fuse the
+    per-block reduction into the distance kernel — one winner per
+    ``block_bucket`` db columns via a packed-key integer max in VMEM (see
+    ``_allpairs_topk``), so the dominant layer-0 reduction never
+    materializes distance blocks in HBM. Smaller layers (and
+    ``use_pallas=False``) keep the ``approx_recall`` reduction; ``None``
+    disables. ``interpret`` runs the Pallas kernels in interpreter mode
+    (CPU testing).
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -262,43 +306,57 @@ def build_hnsw_exact(
         use_pallas = jax.default_backend() == "tpu"
 
     pops_np = popcount_rows_np(packed)
+
+    def _pad_for(n_l: int):
+        """Padded size + block sizes for an n_l-node layer."""
+        big = max(q_block, col_block, sel_block)
+        if n_l >= big:
+            return _round_up(n_l, big), q_block, col_block, sel_block
+        n_pad = 1 << max(n_l - 1, 1).bit_length()
+        if use_pallas:
+            n_pad = max(n_pad, 1024)
+        return n_pad, n_pad, n_pad, min(sel_block, n_pad)
+
+    # ONE host->device upload, zero-padded to the largest (layer-0) padded
+    # size; every layer slices a prefix on-device. Upper-layer prefixes
+    # carry real rows of non-members past n_l instead of zeros — harmless,
+    # all reductions mask by id >= n_real (the bucket path can lose at most
+    # the one boundary bucket's winner per layer to such a row).
+    big = max(q_block, col_block, sel_block)
+    n_pad0 = _pad_for(n)[0] if n > 1 else 1
+    dev_packed = jnp.asarray(np.concatenate(
+        [packed, np.zeros((n_pad0 - n, w), np.uint32)]))
+    dev_pops = jnp.asarray(np.concatenate(
+        [pops_np, np.zeros(n_pad0 - n, pops_np.dtype)]))
+
     neighbors = []
     for l in range(max_level + 1):
         n_l = layer_sizes[l]
         cap = m0 if l == 0 else m
         if n_l <= 1:
-            neighbors.append(np.full((n_l, cap), -1, np.int32))
+            neighbors.append(jnp.full((n_l, cap), -1, jnp.int32))
             continue
         k = min(candidates, n_l - 1)
-        # power-of-two padding so every block size divides n_pad exactly
-        # (q_block/col_block/sel_block are asserted powers of two); small
-        # layers shrink the blocks to one power-of-two pad
-        big = max(q_block, col_block, sel_block)
-        if n_l >= big:
-            n_pad = _round_up(n_l, big)
-            qb, cb, sb = q_block, col_block, sel_block
-        else:
-            n_pad = 1 << max(n_l - 1, 1).bit_length()
-            if use_pallas:
-                n_pad = max(n_pad, 1024)
-            qb = cb = n_pad
-            sb = min(sel_block, n_pad)
-        pad = np.zeros((n_pad - n_l, w), np.uint32)
-        packed_l = jnp.asarray(np.concatenate([packed[:n_l], pad]))
-        pops_l = jnp.asarray(np.concatenate(
-            [pops_np[:n_l], np.zeros(n_pad - n_l, pops_np.dtype)]))
+        n_pad, qb, cb, sb = _pad_for(n_l)
+        packed_l = dev_packed[:n_pad]
+        pops_l = dev_pops[:n_pad]
 
+        # the fused bucket reduction needs full-size blocks (and only the
+        # big layers have a reduction wall to trim)
+        bkt = (block_bucket if use_pallas and block_bucket and n_l >= big
+               else None)
         cand_d, cand_id = _allpairs_topk(packed_l, n_l, k, qb, cb,
-                                         use_pallas, approx_recall)
+                                         use_pallas, approx_recall,
+                                         bucket=bkt, interpret=interpret)
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
-                                   n_l, min(m, cap), heuristic_k, sb)
+                                   n_l, min(m, cap), heuristic_k, sb,
+                                   mxu_pairs=use_pallas)
         rows = _symmetrize(sel, sel_d, n_l, cap)
-        neighbors.append(np.asarray(jax.device_get(rows))[:n_l])
+        neighbors.append(rows[:n_l])
 
-    packed_d = jnp.asarray(packed)
     return HNSWGraph(
-        packed=packed_d,
-        popcounts=jnp.asarray(pops_np),
+        packed=dev_packed[:n],
+        popcounts=dev_pops[:n],
         keys=jnp.asarray(keys),
         levels=jnp.asarray(levels),
         neighbors=tuple(neighbors),

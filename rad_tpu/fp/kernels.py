@@ -42,7 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rad_tpu.fp.pack import popcount_rows
 
-__all__ = ["tanimoto_matrix_pallas", "tanimoto_nn_pallas", "unpack_bitmajor"]
+__all__ = ["tanimoto_matrix_pallas", "tanimoto_nn_pallas",
+           "tanimoto_bucketmin_pallas", "decode_bucket_keys",
+           "unpack_bitmajor"]
 
 
 def unpack_bitmajor(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -139,6 +141,128 @@ def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
         scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
         interpret=interpret,
     )(q_bits, q_pops, db_bytes, db_pops)
+
+
+def _bucketmin_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
+                      out_ref, scratch, *, nbytes: int, n_tile: int,
+                      bucket: int, q_tile: int):
+    """One packed winner per ``bucket`` db rows — in-VMEM PartialReduce.
+
+    The r3 builder profile (ROUND3.md item 1): the Pallas distances cost
+    83 ms but the XLA ``approx_max_k``/``top_k`` over the materialized
+    [4096, 8192] f32 blocks costs 6.6+ s — the HBM round-trip of the
+    distance matrix plus a slow reduction fusion IS the build wall. This
+    kernel applies :func:`_nn_kernel_fast`'s packed-key trick per db
+    bucket instead of per query row: similarity f32 is bitcast to int32
+    (order-preserving, sim >= 0) with the low ``log2(bucket)`` mantissa
+    bits replaced by the index-in-bucket, and one integer max per bucket
+    selects winner sim AND position. The distances never leave VMEM; HBM
+    sees only int32 keys (``4*bucket``x smaller than the f32 matrix,
+    with no re-read).
+
+    Layout: everything runs TRANSPOSED — dist_T [NT, Q] puts the db axis
+    on sublanes, so the bucket reduction is a free major-dim reshape
+    [NT/bucket, bucket, QT] + max over axis 1, and the output block
+    [NT/bucket, Q] satisfies Mosaic's (8, 128) block-divisibility rule
+    (a [Q_tile, NT/bucket] orientation does not). Grid is 1-D over db
+    tiles: each tile's bytes are unpacked once and reused for every
+    query chunk (static inner loop).
+
+    Cost: ~2^-16 relative sim resolution (bucket=64) and within-bucket
+    ties resolve to the larger index."""
+    _unpack_block_bytes(db_ref, scratch, nbytes)
+    db_pops = db_pops_ref[:, :]                                # [NT, 1]
+    acc = jnp.int32 if scratch.dtype == jnp.int8 else jnp.float32
+    q_total = q_bits_ref.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n_tile, q_tile), 0)
+    local = (sub % bucket).astype(jnp.int32)
+    for j in range(q_total // q_tile):
+        q_bits = q_bits_ref[j * q_tile:(j + 1) * q_tile, :]
+        q_pops = q_pops_ref[:, j * q_tile:(j + 1) * q_tile]    # [1, QT]
+        inter = jax.lax.dot_general(
+            scratch[:, :], q_bits,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc).astype(jnp.float32)    # [NT, QT]
+        union = db_pops + q_pops - inter
+        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
+        bits = jax.lax.bitcast_convert_type(sim, jnp.int32)
+        keys = (bits & ~jnp.int32(bucket - 1)) | local
+        win = jnp.max(keys.reshape(n_tile // bucket, bucket, q_tile),
+                      axis=1)                                  # [NB, QT]
+        out_ref[:, j * q_tile:(j + 1) * q_tile] = win
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bucket", "q_tile", "n_tile",
+                                    "interpret", "compute_dtype"))
+def tanimoto_bucketmin_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
+                              bucket: int = 64, q_tile: int = 512,
+                              n_tile: int = 1024, interpret: bool = False,
+                              compute_dtype=jnp.int8) -> jnp.ndarray:
+    """Distance-min winner per ``bucket`` db rows, as packed int32 keys.
+
+    Returns ``keys [Q, N/bucket]``; decode with :func:`decode_bucket_keys`.
+    Winner = max similarity within the bucket (ties -> larger index); the
+    full distance matrix is never materialized in HBM. Q % q_tile == 0,
+    N % n_tile == 0, n_tile % bucket == 0, bucket a power of two, and
+    (n_tile/bucket) % 8 == 0 unless N == n_tile (Mosaic block rule).
+
+    This is ``lax.approx_max_k``'s PartialReduce algorithm fused into the
+    distance kernel: expected candidate recall for a top-k query against N
+    columns is ~1 - k/(2*N/bucket) (birthday collisions among winners).
+    """
+    q, w = q_packed.shape
+    n, _ = db_packed.shape
+    assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
+    assert n_tile % bucket == 0 and bucket & (bucket - 1) == 0, \
+        (n_tile, bucket)
+    # Mosaic's (8, 128) out-block divisibility rule; interpret mode is free
+    assert interpret or (n_tile // bucket) % 8 == 0 or n == n_tile, \
+        (n_tile, bucket)
+    nbytes = w * 4
+    d = w * 32
+    q_bits = unpack_bitmajor(q_packed, compute_dtype)
+    q_pops_t = popcount_rows(q_packed).astype(jnp.float32)[None, :]
+    db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
+    db_bytes = jax.lax.bitcast_convert_type(
+        db_packed, jnp.uint8).reshape(n, nbytes)
+
+    grid = (n // n_tile,)
+    kernel = functools.partial(_bucketmin_kernel, nbytes=nbytes,
+                               n_tile=n_tile, bucket=bucket, q_tile=q_tile)
+    keys_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tile, nbytes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_tile // bucket, q), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // bucket, q), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
+        interpret=interpret,
+    )(q_bits, q_pops_t, db_bytes, db_pops)
+    return keys_t.T
+
+
+def decode_bucket_keys(keys: jnp.ndarray, bucket: int):
+    """Unpack :func:`tanimoto_bucketmin_pallas` keys -> (dist, global_id).
+
+    dist carries the kernel's truncated similarity (low log2(bucket)
+    mantissa bits zeroed — a <=2^-16 relative overestimate of distance at
+    bucket=64); ids are exact."""
+    local = keys & jnp.int32(bucket - 1)
+    sim = jax.lax.bitcast_convert_type(keys & ~jnp.int32(bucket - 1),
+                                       jnp.float32)
+    col = jnp.arange(keys.shape[-1], dtype=jnp.int32) * bucket
+    return 1.0 - sim, col + local
 
 
 def _nn_kernel_fast(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,

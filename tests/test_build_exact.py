@@ -109,3 +109,48 @@ def test_index_backend(fps):
     assert keys.shape == (4, 5)
     # a node's own fingerprint must come back first (distance 0)
     assert np.allclose(np.asarray(d)[:, 0], 0.0)
+
+
+def test_bucket_reduction_recall_parity(fps):
+    """Fused bucket reduction (Pallas interpret): recall within noise of
+    the approx_max_k path at the same parameters."""
+    base = build_hnsw_exact(fps, connectivity=8, seed=3,
+                            q_block=512, col_block=512, sel_block=512,
+                            use_pallas=False, block_bucket=None)
+    fused = build_hnsw_exact(fps, connectivity=8, seed=3,
+                             q_block=512, col_block=512, sel_block=512,
+                             use_pallas=True, interpret=True,
+                             block_bucket=16)
+    rng = np.random.default_rng(5)
+    q = fps[rng.choice(2000, 96, replace=False)]
+    _, true_ids = bruteforce_topk(jnp.asarray(q), jnp.asarray(fps), 10)
+    ts = [set(np.asarray(true_ids)[i].tolist()) for i in range(96)]
+
+    def recall(g):
+        ids = np.asarray(search_device(g, q, k=10, expansion_search=64)[1])
+        keys = np.asarray(g.keys)
+        ids = np.where(ids >= 0, keys[np.maximum(ids, 0)], -1)
+        return float(np.mean([
+            len(set(ids[i].tolist()) & ts[i]) / 10 for i in range(96)]))
+
+    r_base, r_fused = recall(base), recall(fused)
+    assert r_fused >= r_base - 0.03, (r_fused, r_base)
+    # same level structure regardless of reduction
+    assert fused.layer_sizes == base.layer_sizes
+
+
+def test_mxu_pairs_selection_identical(fps):
+    """int8-matmul pairwise block = SWAR popcount block, bit-identically
+    (0/1 dots are exact in int32) -> identical selections."""
+    import jax.numpy as jnp
+    from rad_tpu.build.exact import _allpairs_topk, _select_layer
+    from rad_tpu.fp.pack import popcount_rows_np
+    packed = jnp.asarray(fps[:1024])
+    pops = jnp.asarray(popcount_rows_np(fps[:1024]))
+    cd, ci = _allpairs_topk(packed, 1024, 32, 512, 512, False, None)
+    a = _select_layer(packed, pops, cd, ci, 1024, 8, 32, 512,
+                      mxu_pairs=False)
+    b = _select_layer(packed, pops, cd, ci, 1024, 8, 32, 512,
+                      mxu_pairs=True)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))

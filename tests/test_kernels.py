@@ -59,3 +59,61 @@ def test_nn_kernel_approx_epilogue(data):
     # the chosen neighbor's true distance equals the true min (modulo ties)
     chosen = ref[np.arange(ref.shape[0]), ids]
     np.testing.assert_allclose(chosen, ref_min, atol=2e-3)
+
+
+def _ref_bucket_keys(q, db, bucket):
+    """Numpy model of the packed-key bucket reduction.
+
+    Similarity is computed DIRECTLY (inter/union in f32) as the kernel
+    does — deriving it as 1-(1-s) from the distance matrix double-rounds
+    and differs by 1 ULP on some entries."""
+    qb = np.unpackbits(np.asarray(q).view(np.uint8), axis=1)
+    dbb = np.unpackbits(np.asarray(db).view(np.uint8), axis=1)
+    inter = (qb @ dbb.T).astype(np.float32)
+    union = qb.sum(1, dtype=np.float32)[:, None] + \
+        dbb.sum(1, dtype=np.float32)[None, :] - inter
+    sim = np.where(union > 0, inter / np.maximum(union, 1.0),
+                   np.float32(1.0)).astype(np.float32)
+    bits = sim.view(np.int32)
+    local = np.arange(sim.shape[1], dtype=np.int32) % bucket
+    keys = (bits & ~np.int32(bucket - 1)) | local
+    return keys.reshape(sim.shape[0], -1, bucket).max(axis=2)
+
+
+def test_bucketmin_kernel_matches_model(data):
+    from rad_tpu.fp.kernels import (decode_bucket_keys,
+                                    tanimoto_bucketmin_pallas)
+    q, db = data
+    ref = np.asarray(tanimoto_matrix(q, db))
+    for bucket in (32, 64):
+        keys = np.asarray(tanimoto_bucketmin_pallas(
+            q, db, bucket=bucket, q_tile=128, n_tile=256, interpret=True))
+        np.testing.assert_array_equal(keys, _ref_bucket_keys(q, db, bucket))
+        d, gid = decode_bucket_keys(jnp.asarray(keys), bucket)
+        d, gid = np.asarray(d), np.asarray(gid)
+        # ids exact; decoded distance = truncated-sim (<= 2^-log2(bucket)
+        # mantissa loss), never below the true winner distance
+        col = np.arange(keys.shape[1]) * bucket
+        win = ref.reshape(ref.shape[0], -1, bucket).argmin(axis=2)
+        # ties: the kernel takes the LARGER index of equal-sim entries
+        bucket_d = ref.reshape(ref.shape[0], -1, bucket).min(axis=2)
+        chosen_d = ref[np.arange(ref.shape[0])[:, None], gid]
+        np.testing.assert_allclose(chosen_d, bucket_d, atol=1e-6)
+        assert (d >= chosen_d - 1e-6).all()
+        assert (d <= chosen_d + 2.0 ** -14).all()
+        del win, col
+
+
+def test_bucketmin_self_query(data):
+    """Self rows win their own bucket at distance ~0 with exact identity."""
+    from rad_tpu.fp.kernels import (decode_bucket_keys,
+                                    tanimoto_bucketmin_pallas)
+    _, db = data
+    keys = tanimoto_bucketmin_pallas(db[:128], db, bucket=64, q_tile=128,
+                                     n_tile=256, interpret=True)
+    d, gid = decode_bucket_keys(keys, 64)
+    d, gid = np.asarray(d), np.asarray(gid)
+    rows = np.arange(128)
+    own = rows // 64  # bucket containing the self column
+    assert (gid[rows, own] == rows).all()
+    np.testing.assert_allclose(d[rows, own], 0.0, atol=1e-6)
