@@ -71,6 +71,9 @@ def main(argv=None) -> int:
                          "(< --frontier); merges then sort head+buffer "
                          "instead of the whole capacity")
     ap.add_argument("--n-to-score", type=int, default=None)
+    ap.add_argument("--narrow-width", type=int, default=None,
+                    help="fused_run narrow_width (exhaustive-tail trim; "
+                         "bit-identical results)")
     ap.add_argument("--synthetic-graph", action="store_true",
                     help="skip HNSW construction; use a random layered "
                          "graph of the same shape (engine-throughput-only "
@@ -144,7 +147,8 @@ def main(argv=None) -> int:
     state = fresh_state()
     t0 = time.perf_counter()
     state = dev.fused_run(state, dg, packed, pops, target, t_pop,
-                          jnp.int32(n_to_score), batch=args.batch)
+                          jnp.int32(n_to_score), batch=args.batch,
+                          narrow_width=args.narrow_width)
     scored_first = int(state.n_scored)
     log(f"first run: {time.perf_counter() - t0:.1f}s, scored "
         f"{scored_first}, dropped {int(state.n_dropped)}")
@@ -154,7 +158,8 @@ def main(argv=None) -> int:
         state = fresh_state()
         t0 = time.perf_counter()
         state = dev.fused_run(state, dg, packed, pops, target, t_pop,
-                              jnp.int32(n_to_score), batch=args.batch)
+                              jnp.int32(n_to_score), batch=args.batch,
+                              narrow_width=args.narrow_width)
         scored = int(state.n_scored)  # forces completion
         dt = time.perf_counter() - t0
         log(f"run {i}: {dt*1e3:.0f} ms, {scored} scored, "

@@ -60,6 +60,9 @@ def _resolve_builder(builder) -> Callable[..., HNSWGraph]:
     if builder == "device":
         from rad_tpu.build.device import build_hnsw_device
         return build_hnsw_device
+    if builder == "exact":
+        from rad_tpu.build.exact import build_hnsw_exact
+        return build_hnsw_exact
     if builder == "auto":
         try:
             from rad_tpu.native import build_hnsw_native as b
@@ -207,9 +210,11 @@ def build_hnsw_partitioned(
 
     n_shards:   number of partitions (round-robin over input rows).
     builder:    'auto' (native C++ if available, else host), 'host',
-                'native', 'device', or a callable with build_hnsw's kwargs —
-                runs once per shard. On a pod, map shards onto chips with
-                builder='device' per-process.
+                'native', 'device', 'exact' (the MXU all-pairs builder —
+                the fastest per-shard choice on a TPU; its O(shard²)
+                distances are exactly the regime sharding creates), or a
+                callable with build_hnsw's kwargs — runs once per shard.
+                On a pod, map shards onto chips per-process.
     stitch_k:   cross-shard nearest neighbors requested per (node, shard)
                 pair for the layer-0 stitch (default: ``connectivity``).
     stitch_ef:  search beam width for the stitch queries

@@ -857,6 +857,13 @@ def fused_run(
     -1 padding whose scatters drop anyway; tests/test_traverse.py pins
     equality). Steps that discover more than ``narrow_width`` take the
     full-width branch.
+
+    MEASURED (r3, 1M graph, batch=256, TPU v5e): exhaustive sweep 1.685
+    -> 1.085 ms/step at narrow_width=1024 (+55% throughput, 221k
+    nodes/s; 2048 gives 1.176), but a 10%-budget screening run pays
+    ~5-10% for the extra cond (141 -> 156 ms best-of-3) — steps almost
+    always exceed the narrow width there, so the branch only adds
+    overhead. Default None; enable for exhaustive/high-coverage sweeps.
     """
     from rad_tpu.fp.pack import popcount
 

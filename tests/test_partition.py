@@ -142,3 +142,14 @@ def test_partitioned_custom_keys(fps):
     ids = g.get_node_ids_from_keys([keys[0], keys[137]])
     got = np.asarray(g.keys)[ids]
     np.testing.assert_array_equal(got, [keys[0], keys[137]])
+
+
+def test_partitioned_exact_builder(fps):
+    """builder='exact' (the MXU all-pairs shard builder): valid stitched
+    graph at recall parity with the host-built partition."""
+    g = build_hnsw_partitioned(fps, n_shards=N_SHARDS, connectivity=8,
+                               expansion_add=48, seed=3, builder="exact")
+    assert len(g) == 600
+    queries = random_fingerprints(24, n_bits=256, density=0.2, seed=71)
+    r = _recall(g, queries)
+    assert r >= 0.9, r
