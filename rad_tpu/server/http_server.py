@@ -226,6 +226,7 @@ drop-in for the local service in any <code>RADTraverser</code>.</p>
                     _ = len(self.graph)
                     return 200, {"status": "healthy",
                                  "index_size": len(self.graph),
+                                 "pid": os.getpid(),
                                  "has_smiles_db":
                                      self.smiles_store is not None}
                 except Exception as e:
@@ -413,21 +414,40 @@ def _make_handler(app: HNSWServerApp):
     return Handler
 
 
+class _ReusePortHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer binding with SO_REUSEPORT: N server processes
+    share one port and the kernel load-balances accept() across them —
+    the stdlib-server analogue of the reference CLI's uvicorn
+    ``--workers`` flag (/root/reference/scripts/start_hnsw_server.py).
+    Each process mmaps the same graph file, so the page cache is shared."""
+
+    def server_bind(self):
+        import socket
+        if hasattr(socket, "SO_REUSEPORT"):  # pragma: no branch - linux
+            self.socket.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+        super().server_bind()
+
+
 def create_hnsw_server(graph: HNSWGraph, host: str = "127.0.0.1",
-                       port: int = 8000, **kwargs):
+                       port: int = 8000, reuse_port: bool = False, **kwargs):
     """Build a ThreadingHTTPServer serving ``graph``
     (parity with rad/hnsw_server.py:638). Returns (server, app).
-    Port 0 binds an ephemeral port (server.server_address[1])."""
+    Port 0 binds an ephemeral port (server.server_address[1]).
+    ``reuse_port`` binds with SO_REUSEPORT so multiple worker processes
+    can share the port (see :class:`_ReusePortHTTPServer`)."""
     app = HNSWServerApp(graph, **kwargs)
-    server = ThreadingHTTPServer((host, port), _make_handler(app))
+    cls = _ReusePortHTTPServer if reuse_port else ThreadingHTTPServer
+    server = cls((host, port), _make_handler(app))
     server.daemon_threads = True
     return server, app
 
 
 def run_hnsw_server(graph: HNSWGraph, host: str = "0.0.0.0",
-                    port: int = 8000, **kwargs) -> None:
+                    port: int = 8000, reuse_port: bool = False,
+                    **kwargs) -> None:
     """Blocking serve loop (parity with rad/hnsw_server.py:652)."""
-    server, _ = create_hnsw_server(graph, host, port, **kwargs)
+    server, _ = create_hnsw_server(graph, host, port,
+                                   reuse_port=reuse_port, **kwargs)
     logger.info("serving HNSW index (%d nodes) on %s:%d", len(graph), host,
                 server.server_address[1])
     try:

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
+
+# repo-checkout convenience: make `rad_tpu` importable when the script is
+# run directly (no-op once the package is installed)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None) -> int:
@@ -28,6 +33,14 @@ def main(argv=None) -> int:
                     help="fingerprint bits for --test-data")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="server processes sharing the port via "
+                         "SO_REUSEPORT (kernel accept() load balancing; "
+                         "parity with the reference CLI's uvicorn "
+                         "--workers). Each worker mmaps the same index, "
+                         "sharing the OS page cache. Requires port != 0 "
+                         "and is incompatible with --enable-coordination "
+                         "(per-process state).")
     ap.add_argument("--database-path", help="SMILES SQLite (nodes table)")
     ap.add_argument("--api-key", default=None)
     ap.add_argument("--enable-cors", action="store_true")
@@ -70,6 +83,17 @@ def main(argv=None) -> int:
                                   seed=0)
         graph = build_hnsw(fps, connectivity=8, expansion_add=40)
 
+    if args.workers < 1:
+        ap.error("--workers must be >= 1")
+    if args.workers > 1:
+        if args.enable_coordination:
+            ap.error("--workers > 1 is incompatible with "
+                     "--enable-coordination (coordination state is "
+                     "per-process; run one coordination server)")
+        if args.port == 0:
+            ap.error("--workers > 1 needs a fixed --port (each worker "
+                     "binds the same port via SO_REUSEPORT)")
+
     store = None
     if args.database_path:
         store = SQLiteSmilesStore(args.database_path)
@@ -84,10 +108,43 @@ def main(argv=None) -> int:
         log.info("coordination endpoints enabled (/coordination/*)")
 
     log.info("index: %d nodes, max_level=%d", len(graph), graph.max_level)
-    run_hnsw_server(graph, host=args.host, port=args.port,
-                    smiles_store=store, api_key=args.api_key,
-                    enable_cors=args.enable_cors, cache_dir=args.cache_dir,
-                    static_dir=args.static_dir, coordination=coordination)
+
+    def serve(worker_store, reuse_port):
+        run_hnsw_server(graph, host=args.host, port=args.port,
+                        smiles_store=worker_store, api_key=args.api_key,
+                        enable_cors=args.enable_cors,
+                        cache_dir=args.cache_dir,
+                        static_dir=args.static_dir,
+                        coordination=coordination, reuse_port=reuse_port)
+
+    if args.workers == 1:
+        serve(store, reuse_port=False)
+        return 0
+
+    # fork children BEFORE serving: the mmap'd graph is inherited
+    # copy-on-write (one page-cache copy for all workers); each child
+    # opens its OWN SQLite connection (sqlite handles don't survive fork)
+    import multiprocessing as mp
+
+    def child():
+        child_store = (SQLiteSmilesStore(args.database_path)
+                       if args.database_path else None)
+        serve(child_store, reuse_port=True)
+
+    ctx = mp.get_context("fork")
+    if store is not None:
+        store.close()  # parent re-opens below, after the forks
+    procs = [ctx.Process(target=child, daemon=True)
+             for _ in range(args.workers - 1)]
+    for p in procs:
+        p.start()
+    log.info("%d worker processes sharing port %d (SO_REUSEPORT)",
+             args.workers, args.port)
+    try:
+        child()
+    finally:
+        for p in procs:
+            p.terminate()
     return 0
 
 

