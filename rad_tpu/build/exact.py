@@ -60,8 +60,11 @@ def _dist_block(q_packed, db_packed, use_pallas: bool,
                 interpret: bool = False):
     if use_pallas:
         from rad_tpu.fp.kernels import tanimoto_matrix_pallas
-        return tanimoto_matrix_pallas(q_packed, db_packed,
-                                      interpret=interpret)
+        return tanimoto_matrix_pallas(
+            q_packed, db_packed,
+            q_tile=min(512, q_packed.shape[0]),
+            n_tile=min(1024, db_packed.shape[0]),
+            interpret=interpret)
     return tanimoto_matrix(q_packed, db_packed)
 
 
@@ -307,14 +310,29 @@ def build_hnsw_exact(
 
     pops_np = popcount_rows_np(packed)
 
+    big = max(q_block, col_block, sel_block)
+    if n >= big:
+        n_pad0 = _round_up(n, big)
+    elif n > 1:
+        n_pad0 = 1 << max(n - 1, 1).bit_length()
+        if use_pallas:
+            n_pad0 = max(n_pad0, 1024)
+    else:
+        n_pad0 = 1
+
     def _pad_for(n_l: int):
-        """Padded size + block sizes for an n_l-node layer."""
-        big = max(q_block, col_block, sel_block)
+        """Padded size + block sizes for an n_l-node layer.
+
+        Every small layer (n_l < the largest block) gets the SAME padded
+        shape — one block of the big-layer blocking, capped at the whole
+        buffer — so all upper layers of every build share a single
+        compile unit. That matters twice: remote-compile services charge
+        minutes per new shape (the r3 1M build spent >1 h compiling its
+        per-layer shapes), and the wasted distance block (<= big² evals,
+        ~2 ms of MXU) is far cheaper than a compile."""
         if n_l >= big:
             return _round_up(n_l, big), q_block, col_block, sel_block
-        n_pad = 1 << max(n_l - 1, 1).bit_length()
-        if use_pallas:
-            n_pad = max(n_pad, 1024)
+        n_pad = min(big, n_pad0)
         return n_pad, n_pad, n_pad, min(sel_block, n_pad)
 
     # ONE host->device upload, zero-padded to the largest (layer-0) padded
@@ -322,8 +340,6 @@ def build_hnsw_exact(
     # carry real rows of non-members past n_l instead of zeros — harmless,
     # all reductions mask by id >= n_real (the bucket path can lose at most
     # the one boundary bucket's winner per layer to such a row).
-    big = max(q_block, col_block, sel_block)
-    n_pad0 = _pad_for(n)[0] if n > 1 else 1
     dev_packed = jnp.asarray(np.concatenate(
         [packed, np.zeros((n_pad0 - n, w), np.uint32)]))
     dev_pops = jnp.asarray(np.concatenate(
@@ -336,7 +352,10 @@ def build_hnsw_exact(
         if n_l <= 1:
             neighbors.append(jnp.full((n_l, cap), -1, jnp.int32))
             continue
-        k = min(candidates, n_l - 1)
+        # k stays CONSTANT across layers (shape stability = compile
+        # reuse); layers with fewer than k real neighbors just carry
+        # INF/-1 tails, which selection and symmetrization already mask
+        k = candidates
         n_pad, qb, cb, sb = _pad_for(n_l)
         packed_l = dev_packed[:n_pad]
         pops_l = dev_pops[:n_pad]

@@ -33,12 +33,15 @@ __all__ = [
     "bruteforce_topk",
     "tanimoto_matrix_pallas",
     "tanimoto_nn_pallas",
+    "tanimoto_bucketmin_pallas",
+    "decode_bucket_keys",
 ]
 
 
 def __getattr__(name):
     # pallas kernels import lazily (they pull in pallas machinery)
-    if name in ("tanimoto_matrix_pallas", "tanimoto_nn_pallas"):
+    if name in ("tanimoto_matrix_pallas", "tanimoto_nn_pallas",
+                "tanimoto_bucketmin_pallas", "decode_bucket_keys"):
         from rad_tpu.fp import kernels
 
         return getattr(kernels, name)
