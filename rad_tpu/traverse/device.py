@@ -905,7 +905,8 @@ def fused_run(
 
 
 def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
-                    scorer, batch: int, max_steps: int = 1 << 20):
+                    scorer, batch: int, max_steps: int = 1 << 20,
+                    narrow_width: int | None = None):
     """Compile a full traversal loop around an arbitrary jittable scorer.
 
     ``scorer(fp_rows [K, W] uint32, pop_rows [K] int32) -> [K] float32`` —
@@ -914,6 +915,13 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
     generalization of :func:`fused_run` (whose scorer is fixed to
     Tanimoto-to-target); the reference's analogous capability is Chemprop
     scoring workers (reference README.md:206).
+
+    ``narrow_width``: same exhaustive-tail trim as :func:`fused_run` —
+    when a step discovers <= this many unscored ids, the scorer + score
+    integration run at this width instead of the padded [B*M0]
+    (bit-identical results; +55% measured there on exhaustive sweeps,
+    and for an MLP surrogate the scorer itself also shrinks 8x). Opt-in;
+    costs ~5-10% in the screening regime.
 
     Returns ``run(state, n_to_score) -> state``.
     """
@@ -930,18 +938,30 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
                     & (steps < max_steps)
                     & (frontier_live(st) > 0))
 
-        def body(carry):
-            st, steps = carry
-            st, out = expand_impl(st, dg_a, batch)
-            ts = out["to_score"]
+        def score_integrate(st, out, ts):
             ok = ts >= 0
             safe = jnp.where(ok, ts, 0)
             raw = scorer(packed_a[safe], pops_a[safe])
             scores = jnp.where(ok, raw.astype(jnp.float32), INF)
-            st = integrate_impl(st, dg_a, out["exp_node"],
-                                out["exp_level"], out["exp_score"],
-                                out["exp_valid"], out["cand"],
-                                out["to_score"], scores)
+            return integrate_impl(st, dg_a, out["exp_node"],
+                                  out["exp_level"], out["exp_score"],
+                                  out["exp_valid"], out["cand"], ts,
+                                  scores)
+
+        def body(carry):
+            st, steps = carry
+            st, out = expand_impl(st, dg_a, batch)
+            ts = out["to_score"]
+            if narrow_width is None or narrow_width >= ts.shape[0]:
+                st = score_integrate(st, out, ts)
+            else:
+                n_new = jnp.sum(ts >= 0)
+                st = jax.lax.cond(
+                    n_new <= narrow_width,
+                    lambda s, o: score_integrate(s, o, o["to_score"]
+                                                 [:narrow_width]),
+                    lambda s, o: score_integrate(s, o, o["to_score"]),
+                    st, out)
             return st, steps + 1
 
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
