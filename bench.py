@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--block", type=int, default=1 << 14)
     ap.add_argument("--cpu-n", type=int, default=1 << 15,
                     help="library size for the CPU baseline measurement")
+    ap.add_argument("--chain", type=int, default=8,
+                    help="sweeps chained inside one jitted scan per timing "
+                         "rep (amortizes the tunnel dispatch+readback that "
+                         "otherwise sits inside every ~48 ms measurement)")
+    ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
     import jax
@@ -146,6 +151,40 @@ def main():
         log(f"run {i}: {dt*1e3:.1f} ms")
         best = min(best, dt)
     tpu_rate = q * n / best
+    log(f"single-sweep rate: {tpu_rate:.3e} dist-evals/s "
+        f"(incl. one dispatch+readback per sweep)")
+
+    # Chained timing: k sweeps (distinct query blocks, so nothing is
+    # loop-invariant) inside ONE jitted scan -> one dispatch + one
+    # readback per k sweeps. This amortizes the tunnel RTT that the
+    # single-sweep loop pays inside every measurement and is the headline
+    # number; the single-sweep rate above is logged for comparison.
+    k_chain = max(1, min(args.chain, n // q))
+    if k_chain > 1:
+        try:
+            qk_j = jnp.asarray(db[: k_chain * q].reshape(k_chain, q, -1))
+
+            @jax.jit
+            def chain(dbp, qk):
+                def body(c, qp):
+                    return c + min_dist(dbp, qp).sum(), None
+                return jax.lax.scan(body, jnp.float32(0.0), qk)[0]
+
+            t0 = time.perf_counter()
+            np.asarray(chain(db_j, qk_j))
+            log(f"chain first run (incl. compile): "
+                f"{time.perf_counter() - t0:.1f}s")
+            best_c = np.inf
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(chain(db_j, qk_j))
+                dt = time.perf_counter() - t0
+                log(f"chain run {i}: {dt*1e3:.1f} ms "
+                    f"({dt/k_chain*1e3:.1f} ms/sweep)")
+                best_c = min(best_c, dt)
+            tpu_rate = max(tpu_rate, k_chain * q * n / best_c)
+        except Exception as e:
+            log(f"chained timing failed ({e}); keeping single-sweep rate")
     log(f"device rate: {tpu_rate:.3e} dist-evals/s")
 
     log("measuring CPU baseline ...")

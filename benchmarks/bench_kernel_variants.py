@@ -122,18 +122,34 @@ def make_floor_kernel(q_tile: int, n_tile: int, compute_dtype,
     return run
 
 
-def time_variant(name, fn, db_j, q_j, reps=4):
+def time_variant(name, fn, db_j, qk_j, reps=6):
+    """Best seconds per sweep, timed as chained sweeps inside one jitted
+    scan over distinct query blocks — one dispatch + one readback per
+    ``k`` sweeps. The r3 correction: the old per-sweep timing carried
+    ~26 ms of tunnel dispatch+readback INSIDE every ~23 ms measurement,
+    inflating all kernel numbers ~2x (bench.py chain vs single-sweep)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = qk_j.shape[0]
+
+    @jax.jit
+    def chain(dbp, qk):
+        def body(c, qp):
+            return c + fn(dbp, qp).sum().astype(jnp.float32), None
+        return jax.lax.scan(body, jnp.float32(0.0), qk)[0]
+
     t0 = time.perf_counter()
-    np.asarray(fn(db_j, q_j))
+    np.asarray(chain(db_j, qk_j))
     log(f"{name}: first run (incl. compile) {time.perf_counter()-t0:.1f}s")
     best = np.inf
     for i in range(reps):
         t0 = time.perf_counter()
-        np.asarray(fn(db_j, q_j))
+        np.asarray(chain(db_j, qk_j))
         dt = time.perf_counter() - t0
-        log(f"  {name} run {i}: {dt*1e3:.1f} ms")
+        log(f"  {name} run {i}: {dt*1e3:.1f} ms ({dt/k*1e3:.1f} ms/sweep)")
         best = min(best, dt)
-    return best
+    return best / k
 
 
 def main(argv=None):
@@ -144,6 +160,8 @@ def main(argv=None):
     ap.add_argument("--n-tile", type=int, default=1024)
     ap.add_argument("--variants", nargs="+",
                     default=["exact", "approx", "floor"])
+    ap.add_argument("--chain", type=int, default=8,
+                    help="sweeps per timed dispatch (distinct query blocks)")
     args = ap.parse_args(argv)
 
     import jax
@@ -155,7 +173,8 @@ def main(argv=None):
     n = (args.n // args.n_tile) * args.n_tile
     db = random_fingerprints(n, n_bits=1024, density=0.1, seed=0)
     db_j = jnp.asarray(db)
-    q_j = jnp.asarray(db[: args.q].copy())
+    k_chain = max(1, min(args.chain, n // args.q))
+    qk_j = jnp.asarray(db[: k_chain * args.q].reshape(k_chain, args.q, -1))
 
     results = {}
     for v in args.variants:
@@ -172,14 +191,15 @@ def main(argv=None):
                 q_tile=args.q_tile, n_tile=args.n_tile,
                 approx=(v == "approx"))
             fn = functools.partial(fn)
-        best = time_variant(v, fn, db_j, q_j)
+        best = time_variant(v, fn, db_j, qk_j)
         results[v] = {"ms": best * 1e3,
                       "rate": args.q * n / best}
-        log(f"{v}: {best*1e3:.1f} ms = {results[v]['rate']:.3e} evals/s")
+        log(f"{v}: {best*1e3:.1f} ms/sweep = {results[v]['rate']:.3e} "
+            f"evals/s")
 
     print(json.dumps({"metric": "nn_kernel_variants", "n": n, "q": args.q,
                       "q_tile": args.q_tile, "n_tile": args.n_tile,
-                      "results": results}))
+                      "chain": k_chain, "results": results}))
     return 0
 
 

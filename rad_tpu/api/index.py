@@ -26,7 +26,6 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from rad_tpu.fp.pack import packed_words
 from rad_tpu.graph.storage import HNSWGraph, LayerStats
 
 logger = logging.getLogger(__name__)
@@ -67,8 +66,11 @@ class HNSWIndex:
     def add(self, keys, vectors, log: bool | str = False) -> None:
         """Queue packed fingerprints for graph construction.
 
-        ``vectors``: ``[N, ndim/32] uint32`` packed rows, or ``[N, ndim]``
-        0/1 bits (auto-packed). ``keys``: int64 user keys (scalar or array).
+        ``vectors``: ``[N, ndim/32] uint32`` packed rows, ``[N, ndim]``
+        0/1 bits (auto-packed), or ``[N, ndim/8] uint8`` ``np.packbits``
+        rows — the layout reference/usearch pipelines already hold
+        (reference README.md:58-63). ``keys``: int64 user keys (scalar or
+        array).
 
         Adding after a graph exists (usearch ``Index.add`` semantics,
         reference README.md:58) is supported by *rebuild*: the existing
@@ -83,22 +85,13 @@ class HNSWIndex:
             self._pending_fps.append(
                 np.ascontiguousarray(np.asarray(self._graph.packed)))
             self._pending_keys.append(np.asarray(self._graph.keys))
-        vectors = np.asarray(vectors)
-        if vectors.ndim == 1:
-            vectors = vectors[None, :]
-        w = packed_words(self.ndim)
-        if vectors.shape[1] == self.ndim and vectors.dtype != np.uint32:
-            from rad_tpu.fp.pack import pack_fingerprints
-            vectors = pack_fingerprints(vectors)
-        if vectors.shape[1] != w:
-            raise ValueError(
-                f"expected packed [N, {w}] uint32 or [N, {self.ndim}] bits, "
-                f"got {vectors.shape}")
+        from rad_tpu.fp.pack import coerce_packed
+        vectors = coerce_packed(vectors, self.ndim)
         keys = np.atleast_1d(np.asarray(keys, dtype=np.int64))
         if keys.shape[0] != vectors.shape[0]:
             raise ValueError("keys and vectors length mismatch")
         self._pending_keys.append(keys)
-        self._pending_fps.append(vectors.astype(np.uint32))
+        self._pending_fps.append(vectors)
         self._graph = None  # graph is stale until rebuilt
         if log:
             logger.info("queued %d vectors (total pending %d)",
@@ -115,13 +108,9 @@ class HNSWIndex:
         examples/DUDEZ_example.ipynb:405-409).
         """
         from rad_tpu.build.incremental import insert_into_graph
+        from rad_tpu.fp.pack import coerce_packed
 
-        vectors = np.asarray(vectors)
-        if vectors.ndim == 1:
-            vectors = vectors[None, :]
-        if vectors.shape[1] == self.ndim and vectors.dtype != np.uint32:
-            from rad_tpu.fp.pack import pack_fingerprints
-            vectors = pack_fingerprints(vectors)
+        vectors = coerce_packed(vectors, self.ndim)
         keys = np.atleast_1d(np.asarray(keys, dtype=np.int64))
         g = self.graph  # builds pending rows if necessary
         self._graph = insert_into_graph(
@@ -197,9 +186,12 @@ class HNSWIndex:
         ``exact=True`` runs brute force (ground truth); otherwise the jitted
         device beam search, or the multithreaded C++ host search with
         ``backend="native"`` (usearch ``Index.search`` CPU parity — for
-        hosts serving a graph without an accelerator).
+        hosts serving a graph without an accelerator). ``queries`` accepts
+        the same three layouts as :meth:`add` (uint32-packed, 0/1 bits,
+        ``np.packbits`` uint8 rows).
         """
-        queries = np.atleast_2d(np.asarray(queries, dtype=np.uint32))
+        from rad_tpu.fp.pack import coerce_packed
+        queries = coerce_packed(queries, self.ndim)
         g = self.graph
         ef = expansion_search or self.expansion_search
         if exact:

@@ -64,6 +64,45 @@ def pack_fingerprints(bits: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(words)
 
 
+def coerce_packed(vectors: np.ndarray, n_bits: int) -> np.ndarray:
+    """Normalize any supported fingerprint layout to ``[N, W] uint32``.
+
+    Accepts the three layouts users actually hold (reference usage,
+    README.md:58-63 — usearch ``b1`` indices are fed ``np.packbits``
+    output):
+
+    - ``[N, n_bits/32] uint32`` — this package's packed layout (passthrough);
+    - ``[N, n_bits]`` 0/1 bits (any integer/bool dtype) — auto-packed;
+    - ``[N, n_bits/8] uint8`` — ``np.packbits(bitorder='big')`` rows, the
+      layout every reference/usearch pipeline already has on disk.
+
+    1-D inputs are treated as a single fingerprint. Raises ``ValueError``
+    for anything else.
+    """
+    vectors = np.asarray(vectors)
+    if vectors.ndim == 1:
+        return coerce_packed(vectors[None, :], n_bits)
+    if vectors.ndim != 2:
+        raise ValueError(f"expected a 2-D fingerprint array, got shape "
+                         f"{vectors.shape}")
+    w = packed_words(n_bits)
+    cols = vectors.shape[1]
+    if cols == w and vectors.dtype in (np.dtype(np.uint32),
+                                       np.dtype(np.int32),
+                                       np.dtype(np.uint64),
+                                       np.dtype(np.int64)):
+        return np.ascontiguousarray(vectors.astype(np.uint32, copy=False))
+    if cols == n_bits:
+        return pack_fingerprints(vectors)
+    if cols == (n_bits + 7) // 8 and vectors.dtype == np.uint8:
+        bits = np.unpackbits(vectors, axis=1, bitorder="big")[:, :n_bits]
+        return pack_fingerprints(bits)
+    raise ValueError(
+        f"expected packed [N, {w}] uint32, [N, {n_bits}] bits, or "
+        f"np.packbits [N, {(n_bits + 7) // 8}] uint8 rows; got shape "
+        f"{vectors.shape} dtype {vectors.dtype}")
+
+
 def unpack_fingerprints(packed: np.ndarray, n_bits: int | None = None) -> np.ndarray:
     """Unpack ``[N, W] uint32`` back to a ``[N, n_bits]`` uint8 0/1 matrix."""
     packed = np.asarray(packed, dtype=np.uint32)

@@ -74,9 +74,23 @@ def create_local_hnsw_service(
     smiles_store=None,
     service_name: str = "local",
     register: bool = True,
+    database_path: str | None = None,
 ) -> LocalHNSWService:
     """Create (and by default register) a local service
-    (parity with rad/hnsw_service.py:815-829)."""
+    (parity with rad/hnsw_service.py:815-829).
+
+    ``graph`` may be an ``HNSWGraph`` or an ``HNSWIndex`` facade (the
+    reference factory takes the usearch ``Index`` object directly).
+    ``database_path`` opens a SQLite SMILES store, matching the reference
+    signature ``create_local_hnsw_service(hnsw, database_path=...)``.
+    """
+    from rad_tpu.api.index import HNSWIndex
+
+    if isinstance(graph, HNSWIndex):
+        graph = graph.graph
+    if smiles_store is None and database_path is not None:
+        from rad_tpu.store.smiles_store import SQLiteSmilesStore
+        smiles_store = SQLiteSmilesStore(database_path)
     service = LocalHNSWService(graph, smiles_store, service_name=service_name)
     if register:
         _default_registry.register_service(service_name, service)

@@ -267,3 +267,34 @@ def test_add_after_load_keeps_loaded_rows(tmp_path):
     d, keys = idx2.search(fps[:3], k=1)
     assert (np.asarray(d)[:, 0] == 0).all()
     assert set(np.asarray(keys)[:, 0]) <= set(range(60))
+
+
+def test_index_accepts_packbits_rows():
+    """Migration path: np.packbits [N, ndim/8] uint8 fingerprints — the
+    layout reference/usearch pipelines hold (reference README.md:58-63) —
+    build the identical graph and serve queries in the same layout."""
+    rng = np.random.default_rng(11)
+    bits = (rng.random((96, 64)) < 0.3).astype(np.uint8)
+    keys = np.arange(96)
+
+    idx_u32 = HNSWIndex(ndim=64, connectivity=4, expansion_add=20,
+                        backend="host", seed=0)
+    from rad_tpu.fp.pack import pack_fingerprints
+    idx_u32.add(keys, pack_fingerprints(bits))
+    idx_u32.build()
+
+    idx_pb = HNSWIndex(ndim=64, connectivity=4, expansion_add=20,
+                       backend="host", seed=0)
+    idx_pb.add(keys, np.packbits(bits, axis=1))
+    idx_pb.build()
+
+    np.testing.assert_array_equal(np.asarray(idx_u32.graph.packed),
+                                  np.asarray(idx_pb.graph.packed))
+    for l, (a, b) in enumerate(zip(idx_u32.graph.neighbors,
+                                   idx_pb.graph.neighbors)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    d1, k1 = idx_u32.search(pack_fingerprints(bits[:5]), k=3, exact=True)
+    d2, k2 = idx_pb.search(np.packbits(bits[:5], axis=1), k=3, exact=True)
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_allclose(d1, d2)

@@ -127,3 +127,36 @@ def test_smiles_fingerprints_deterministic_and_similar():
     # similar molecules are closer than dissimilar ones
     d = np.asarray(tanimoto_matrix(jnp.asarray(batch), jnp.asarray(batch)))
     assert d[0, 1] < d[0, 2]
+
+
+def test_coerce_packed_three_layouts():
+    """uint32-packed, 0/1 bits, and np.packbits uint8 rows all normalize
+    to the identical packed array (the reference's ingestion layouts,
+    reference README.md:58-63)."""
+    from rad_tpu.fp.pack import coerce_packed
+
+    rng = np.random.default_rng(0)
+    bits = (rng.random((5, 256)) < 0.3).astype(np.uint8)
+    packed = pack_fingerprints(bits)
+    packbits_rows = np.packbits(bits, axis=1)  # bitorder='big' default
+
+    np.testing.assert_array_equal(coerce_packed(packed, 256), packed)
+    np.testing.assert_array_equal(coerce_packed(bits, 256), packed)
+    np.testing.assert_array_equal(coerce_packed(packbits_rows, 256), packed)
+    # 1-D single fingerprint
+    np.testing.assert_array_equal(coerce_packed(packbits_rows[0], 256),
+                                  packed[:1])
+    # int64 packed words pass through (legacy accepted layout)
+    np.testing.assert_array_equal(
+        coerce_packed(packed.astype(np.int64), 256), packed)
+
+
+def test_coerce_packed_rejects_garbage():
+    from rad_tpu.fp.pack import coerce_packed
+
+    with pytest.raises(ValueError):
+        coerce_packed(np.zeros((3, 7), np.uint32), 256)  # wrong width
+    with pytest.raises(ValueError):
+        coerce_packed(np.zeros((3, 8), np.float32), 256)  # float "packed"
+    with pytest.raises(ValueError):
+        coerce_packed(np.zeros((2, 2, 8), np.uint32), 256)  # 3-D

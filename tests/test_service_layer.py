@@ -166,3 +166,22 @@ def test_traverser_over_mock_service():
     assert best[1] == 0.5 and best[2] == "S1"
     t.shutdown()
     assert any(c[0] == "neighbors" for c in mock.calls)
+
+
+def test_factory_reference_signature(graph, tmp_path):
+    """The reference calls create_local_hnsw_service(hnsw_index,
+    database_path=...) (reference README.md:104-110) — both the index
+    facade and the database_path kwarg must work."""
+    from rad_tpu.api.index import HNSWIndex
+    from rad_tpu.store.smiles_store import create_smiles_db
+
+    keys = np.asarray(graph.keys)
+    db = str(tmp_path / "mols.db")
+    create_smiles_db(db, [(int(k), f"SMI_{int(k)}") for k in keys])
+
+    idx = HNSWIndex.from_graph(graph)
+    svc = create_local_hnsw_service(idx, database_path=db, register=False)
+    pairs = svc.get_top_level_nodes()
+    assert len(pairs) >= 2 and len(pairs) % 2 == 0
+    assert pairs[1].startswith("SMI_")
+    svc.shutdown()
