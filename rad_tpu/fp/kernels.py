@@ -332,7 +332,7 @@ def _nn_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
                    static_argnames=("q_tile", "n_tile", "interpret",
                                     "compute_dtype", "approx"))
 def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
-                       q_tile: int | None = None, n_tile: int = 1024,
+                       q_tile: int | None = None, n_tile: int | None = None,
                        interpret: bool = False, compute_dtype=jnp.int8,
                        approx: bool = False):
     """1-NN by Tanimoto: returns (min_dist [Q], argmin_id [Q]).
@@ -342,15 +342,21 @@ def tanimoto_nn_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
     distances carry ~1e-3 absolute error and distance ties resolve to the
     larger id. The neighbor identity is unaffected outside ties.
 
-    ``q_tile=None`` picks the largest power-of-two divisor of Q up to 1024
-    (measured fastest on v5e: 47.6 ms vs 49.3 at 512 for the 2048×1M
-    sweep, BENCHMARKS.md)."""
+    ``q_tile=None`` picks the largest power-of-two divisor of Q up to
+    1024; ``n_tile=None`` the largest divisor of N up to 2048 (chained
+    tile sweep on v5e, BENCHMARKS.md: q1024×n2048 22.7 ms vs q1024×n1024
+    23.5 for the 2048×1M sweep — n_tile=2048 halves the grid's scratch
+    refills per output block)."""
     q, w = q_packed.shape
     n, _ = db_packed.shape
     if q_tile is None:
         q_tile = 8
         while q_tile < 1024 and q % (q_tile * 2) == 0:
             q_tile *= 2
+    if n_tile is None:
+        n_tile = 128
+        while n_tile < 2048 and n % (n_tile * 2) == 0:
+            n_tile *= 2
     assert q % q_tile == 0 and n % n_tile == 0, (q, n, q_tile, n_tile)
     assert n_tile & (n_tile - 1) == 0, "n_tile must be a power of two"
     nbytes = w * 4
