@@ -61,13 +61,19 @@ def hnsw_layer_sizes(n: int, m: int) -> list[int]:
     return sizes
 
 
-def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64):
+def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64,
+                      packed_bits: int | None = None):
     """HNSW-shaped random layered graph, adjacency generated on device.
 
     Layer 0 has cap 2m (usearch convention, rad_tpu.build.reference), upper
     layers cap m; the flat table is [R_pad, 2m] with -1 padding. The extra
     R_pad - R rows (chunk round-up) are never referenced: row ids are
     always offsets[level] + node < R.
+
+    ``packed_bits``: emit a bit-packed adjacency (rad_tpu.graph.adjpack)
+    instead of int32 — each chunk is packed on device before it lands, so
+    the int32 table is never resident and peak HBM is the packed table
+    plus one chunk (the 200M+ configuration).
     """
     import jax
     import jax.numpy as jnp
@@ -83,6 +89,9 @@ def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64):
         np.concatenate([offsets, [r]]).astype(np.int32))
     sizes_dev = jnp.asarray(np.asarray(sizes + [1], np.int32))
     max_level = len(sizes) - 1
+    if packed_bits:
+        from rad_tpu.graph.adjpack import (pack_adjacency_rows,
+                                           packed_adj_words)
 
     @partial(jax.jit, static_argnames=("nch",), donate_argnums=(1,))
     def gen(key, adj, offs, szs, nch):
@@ -104,15 +113,22 @@ def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64):
             col_ok = jnp.arange(m0, dtype=jnp.int32)[None, :] < cap_row[:, None]
             ids = jnp.where(col_ok & (nl[:, None] > 1) & (rows[:, None] < r),
                             ids, -1)
+            if packed_bits:
+                ids = pack_adjacency_rows(ids, packed_bits)
             return jax.lax.dynamic_update_slice(adj, ids, (lo, 0))
 
         return jax.lax.fori_loop(0, nch, body, adj)
 
     key = jax.random.PRNGKey(seed)
-    adj = jnp.full((r_pad, m0), -1, jnp.int32)
+    if packed_bits:
+        adj = jnp.zeros((r_pad, packed_adj_words(m0, packed_bits)),
+                        jnp.uint32)
+    else:
+        adj = jnp.full((r_pad, m0), -1, jnp.int32)
     adj = gen(key, adj, offsets_dev, sizes_dev, n_chunks)
     dg = DeviceGraph(adj=adj, offsets=offsets_dev, n_nodes=n, n_rows=r,
-                     m0=m0, max_level=max_level)
+                     m0=m0, max_level=max_level,
+                     adj_bits=packed_bits or 32)
     return dg, sizes
 
 
@@ -138,6 +154,10 @@ def main(argv=None) -> int:
                     help="id mode only: drop the [N] f32 score table and "
                          "recompute candidate scores from ids in-step "
                          "(saves 4 bytes/node — the 200M config)")
+    ap.add_argument("--packed-adj", action="store_true",
+                    help="bit-packed adjacency (ceil(log2(n+1))-bit "
+                         "fields, rad_tpu.graph.adjpack) — 12.5%% less "
+                         "adjacency HBM at 200M; the past-180M config")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap one timed run in jax.profiler.trace and "
@@ -151,12 +171,18 @@ def main(argv=None) -> int:
     from rad_tpu.traverse import device as dev
 
     log(f"device: {jax.devices()[0]}")
+    bits = None
+    if args.packed_adj:
+        from rad_tpu.graph.adjpack import adj_bits_for
+        bits = adj_bits_for(args.n)
     t0 = time.perf_counter()
-    dg, sizes = make_device_graph(args.n, args.m, seed=0)
+    dg, sizes = make_device_graph(args.n, args.m, seed=0, packed_bits=bits)
     jax.block_until_ready(dg.adj)
     log(f"graph generated on device: {time.perf_counter() - t0:.1f}s, "
         f"R={dg.n_rows}, levels={len(sizes)}, adj "
-        f"{dg.adj.shape} ({dg.adj.nbytes / 1e9:.2f} GB)")
+        f"{dg.adj.shape} {dg.adj.dtype}"
+        f"{f' ({bits}-bit fields)' if bits else ''} "
+        f"({dg.adj.nbytes / 1e9:.2f} GB)")
 
     key = jax.random.PRNGKey(1)
     if args.mode == "id":
@@ -312,6 +338,7 @@ def main(argv=None) -> int:
         "budget": args.budget,
         "batch": args.batch,
         "m": args.m,
+        "packed_adj_bits": bits,
     }))
     return 0
 

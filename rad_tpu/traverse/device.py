@@ -58,7 +58,13 @@ class DeviceGraph:
     """Traversal view of an HNSWGraph: one flat padded adjacency table.
 
     adj:        [R, M0] int32 — neighbor node ids, -1 padded; row r encodes
-                (node, level) per the row trick above.
+                (node, level) per the row trick above. When ``adj_bits <
+                32`` the table is instead ``[R, ceil(M0*adj_bits/32)]
+                uint32`` bit-packed rows (rad_tpu.graph.adjpack) and the
+                expansion gather decodes each popped batch on the fly —
+                the single-chip scale lever past ~180M nodes, where the
+                int32 table alone exceeds HBM (BENCHMARKS.md scale
+                ceiling).
     offsets:    [L+2] int32 — layer_offset[l] = Σ_{l' < l} N_{l'};
                 offsets[L+1] = R sentinel.
     """
@@ -69,15 +75,45 @@ class DeviceGraph:
     n_rows: int
     m0: int
     max_level: int
+    adj_bits: int = 32
 
     def tree_flatten(self):
         return (self.adj, self.offsets), (self.n_nodes, self.n_rows, self.m0,
-                                          self.max_level)
+                                          self.max_level, self.adj_bits)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         adj, offsets = leaves
         return cls(adj, offsets, *aux)
+
+
+def pack_device_graph(dg: "DeviceGraph", bits: int | None = None,
+                      chunk: int = 1 << 22) -> "DeviceGraph":
+    """Re-encode a DeviceGraph's adjacency as ``bits``-wide packed fields.
+
+    ``bits=None`` picks :func:`rad_tpu.graph.adjpack.adj_bits_for`
+    (n_nodes). Packs in chunks on device so peak extra HBM is one chunk's
+    int32 rows; the int32 source must still be resident, so for graphs
+    near the HBM ceiling generate packed directly instead
+    (benchmarks/bench_scale.py --packed-adj).
+    """
+    from rad_tpu.graph.adjpack import (adj_bits_for, pack_adjacency_rows,
+                                       packed_adj_words)
+
+    if dg.adj_bits < 32:
+        return dg
+    if bits is None:
+        bits = adj_bits_for(dg.n_nodes)
+    if bits >= 32:
+        return dg
+    r = dg.adj.shape[0]
+    w = packed_adj_words(dg.m0, bits)
+    pack = jax.jit(partial(pack_adjacency_rows, bits=bits))
+    out = jnp.zeros((r, w), jnp.uint32)
+    for lo in range(0, r, chunk):
+        rows = pack(dg.adj[lo:lo + chunk])
+        out = jax.lax.dynamic_update_slice(out, rows, (lo, 0))
+    return dataclasses.replace(dg, adj=out, adj_bits=bits)
 
 
 def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
@@ -455,6 +491,9 @@ def expand_impl(
     safe_row = jnp.where(valid, pop_row, 0)
     if gather_adj is None:
         adj_rows = dg.adj[safe_row]
+        if dg.adj_bits < 32:
+            from rad_tpu.graph.adjpack import unpack_adjacency_rows
+            adj_rows = unpack_adjacency_rows(adj_rows, dg.m0, dg.adj_bits)
     else:
         adj_rows = gather_adj(safe_row)
     cand = jnp.where(valid[:, None], adj_rows, -1)  # [B, M0]
