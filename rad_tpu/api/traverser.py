@@ -214,6 +214,7 @@ class RADTraverser:
                 n_score_threads=n_score_threads,
                 head_capacity=kwargs.pop("head_capacity", "auto"),
                 order_log_spill=kwargs.pop("order_log_spill", False),
+                packed_adjacency=kwargs.pop("packed_adjacency", False),
             )
         else:
             self._coord = CoordinationService(

@@ -46,8 +46,8 @@ import numpy as np
 from rad_tpu.graph.storage import HNSWGraph
 
 __all__ = ["DeviceGraph", "TraversalState", "prepare_device_graph",
-           "init_state", "auto_frontier_capacity", "expand", "integrate",
-           "prime"]
+           "pack_device_graph", "init_state", "auto_frontier_capacity",
+           "expand", "integrate", "prime"]
 
 INF = jnp.inf
 

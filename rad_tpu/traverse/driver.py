@@ -46,6 +46,7 @@ class DeviceTraverser:
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
         order_log_spill: bool | str = False,
+        packed_adjacency: bool = False,
     ) -> None:
         self.graph = graph
         self.scoring_fn = scoring_fn
@@ -55,6 +56,12 @@ class DeviceTraverser:
         self.n_score_threads = n_score_threads
 
         self.dg = dev.prepare_device_graph(graph)
+        if packed_adjacency:
+            # bit-packed neighbor table (rad_tpu.graph.adjpack): same
+            # traversal bit-for-bit, ceil(log2(N+1))/32 of the adjacency
+            # HBM — the single-chip option for graphs near the HBM
+            # ceiling (BENCHMARKS.md scale ceiling).
+            self.dg = dev.pack_device_graph(self.dg)
         self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
                                     buffer_capacity, head_capacity)
         # host-spilled order log: the device ring stays O(log_capacity)

@@ -104,6 +104,38 @@ def test_packed_engine_bit_identical():
                                   np.asarray(b.order_log))
 
 
+def test_driver_packed_adjacency_identical():
+    """DeviceTraverser(packed_adjacency=True) — the user-facing knob —
+    reproduces the unpacked engine's molecules and discovery order."""
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.store.smiles_store import InMemorySmilesStore
+    from rad_tpu.traverse.driver import DeviceTraverser
+
+    n = 150
+    fps = random_fingerprints(n, n_bits=64, density=0.3, seed=5)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=20, seed=2)
+    keys = np.asarray(graph.keys)
+    rng = np.random.default_rng(0)
+    table = {int(k): float(s) for k, s in
+             zip(keys, rng.permutation(n).astype(float))}
+    store = InMemorySmilesStore({int(k): f"SMI_{int(k)}" for k in keys})
+    scoring_fn = lambda s: table[int(s.split("_")[1])]
+
+    mols = {}
+    for packed in (False, True):
+        tr = DeviceTraverser(graph, scoring_fn, store, batch_size=4,
+                             n_score_threads=1, packed_adjacency=packed)
+        if packed:
+            assert tr.dg.adj_bits == adj_bits_for(n)
+        tr.prime()
+        tr.traverse(n_to_score=10**9, timeout=120)
+        mols[packed] = tr.get_molecules()
+        tr.shutdown()
+    assert mols[True] == mols[False]
+    assert len(mols[True]) > 100
+
+
 def test_pack_device_graph_noop_when_wide():
     import jax.numpy as jnp
 
