@@ -175,6 +175,14 @@ def main(argv=None) -> int:
     # smallest reported budget (docs/ARCHITECTURE.md batch-depth section);
     # batch 4 reproduces the reference's 1%-scored operating point
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--device-scored", action="store_true",
+                    help="run the traversal fully device-resident with the "
+                         "score table gathered on device (retrospective "
+                         "screening scores ARE a precomputed table — the "
+                         "reference's protocol too, DUDEZ_example.ipynb:"
+                         "359-408). Zero host round trips: the large-n "
+                         "configuration (1M+ on a TPU chip); the default "
+                         "host path exercises the scoring_fn bridge.")
     ap.add_argument("--plot", help="write the enrichment curve to this PNG")
     ap.add_argument("--json-out", help="write the result record here")
     args = ap.parse_args(argv)
@@ -221,17 +229,48 @@ def main(argv=None) -> int:
     print(f"HNSW built in {t_build:.1f}s "
           f"(M={args.connectivity}, efC={args.expansion_add})")
 
-    traverser = create_local_traverser(
-        index, lambda smi: score_table[smi], smiles_store=store,
-        batch_size=args.batch_size, n_score_threads=1)
-    t0 = time.perf_counter()
-    traverser.prime()
-    stats = traverser.traverse(n_to_score=int(args.max_frac * n))
-    t_traverse = time.perf_counter() - t0
-
-    mols = traverser.get_molecules()        # traversal order
     keys = np.asarray(index.graph.keys)
-    order_keys = [int(keys[m[0]]) for m in mols]
+    if args.device_scored:
+        import jax.numpy as jnp
+        from rad_tpu.traverse import device as dev
+
+        graph = index.graph
+        # node-id-indexed score table on device; the scorer is a gather
+        # (make_device_run threads it through the pops argument, the
+        # bench_scale hash-mode pattern — no [N, W] fingerprint upload)
+        table_by_node = np.asarray(true_scores,
+                                   np.float64)[keys].astype(np.float32)
+        dg = dev.prepare_device_graph(graph)
+        dummy_fps = jnp.zeros((len(keys), 1), jnp.uint8)
+        table_j = jnp.asarray(table_by_node)
+        run = dev.make_device_run(dg, dummy_fps, table_j,
+                                  lambda _rows, t: t,
+                                  batch=args.batch_size)
+        state = dev.init_state(dg)
+        n_top_nodes = graph.layer_sizes[graph.max_level]
+        state = dev.prime(state, dg,
+                          jnp.arange(n_top_nodes, dtype=jnp.int32),
+                          table_j[:n_top_nodes])
+        t0 = time.perf_counter()
+        state = run(state, jnp.int32(int(args.max_frac * n)))
+        n_scored = int(state.n_scored)
+        t_traverse = time.perf_counter() - t0
+        order_nodes = np.asarray(state.order_log)[:n_scored]
+        order_keys = keys[order_nodes].tolist()
+        mols = order_keys
+        stats = {"termination_reason": "n_to_score"
+                 if n_scored >= int(args.max_frac * n) else "queue_empty"}
+    else:
+        traverser = create_local_traverser(
+            index, lambda smi: score_table[smi], smiles_store=store,
+            batch_size=args.batch_size, n_score_threads=1)
+        t0 = time.perf_counter()
+        traverser.prime()
+        stats = traverser.traverse(n_to_score=int(args.max_frac * n))
+        t_traverse = time.perf_counter() - t0
+
+        mols = traverser.get_molecules()        # traversal order
+        order_keys = [int(keys[m[0]]) for m in mols]
     true_top = np.argsort(true_scores, kind="stable")[: args.n_top]
 
     fracs = [0.005, 0.01, 0.02, 0.05, 0.10, 0.15, 0.20, 0.25]
@@ -285,7 +324,8 @@ def main(argv=None) -> int:
         fig.savefig(args.plot, dpi=120)
         print(f"curve written to {args.plot}")
 
-    traverser.shutdown()
+    if not args.device_scored:
+        traverser.shutdown()
     return 0 if ok else 1
 
 
