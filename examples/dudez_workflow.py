@@ -169,6 +169,10 @@ def main(argv=None) -> int:
                     help="morgan mode: score noise sigma vs ~1.0 fragment "
                          "contributions")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cache", metavar="NPZ",
+                    help="morgan mode: save/load the generated library "
+                         "(smiles + scores + packed fingerprints) so "
+                         "large-n reruns skip the host fingerprinting")
     ap.add_argument("--backend", default="auto",
                     choices=["auto", "native", "host", "device"])
     # depth: enrichment needs tens of best-first rounds inside the
@@ -197,14 +201,29 @@ def main(argv=None) -> int:
         from rad_tpu.chem import morgan_fingerprints_packed
         from rad_tpu.chem.library import make_smiles_library
         t0 = time.perf_counter()
-        smiles, true_scores = make_smiles_library(args.n, seed=args.seed,
-                                                  noise=args.sar_noise)
-        packed = morgan_fingerprints_packed(smiles, radius=2,
-                                            n_bits=args.n_bits)
-        print(f"morgan library: {len(smiles)} unique drug-like SMILES, "
-              f"ECFP4/{args.n_bits}-bit in-tree fingerprints "
-              f"({time.perf_counter()-t0:.1f}s; real molecular graphs, "
-              f"additive-SAR scores)")
+        if args.cache and os.path.exists(args.cache):
+            with np.load(args.cache, allow_pickle=False) as z:
+                smiles = z["smiles"].tolist()
+                true_scores = z["scores"]
+                packed = z["packed"]
+            assert len(smiles) == args.n, \
+                f"cache holds n={len(smiles)}, asked for {args.n}"
+            print(f"morgan library: {len(smiles)} molecules loaded from "
+                  f"{args.cache} ({time.perf_counter()-t0:.1f}s)")
+        else:
+            smiles, true_scores = make_smiles_library(args.n, seed=args.seed,
+                                                      noise=args.sar_noise)
+            packed = morgan_fingerprints_packed(smiles, radius=2,
+                                                n_bits=args.n_bits)
+            print(f"morgan library: {len(smiles)} unique drug-like SMILES, "
+                  f"ECFP4/{args.n_bits}-bit in-tree fingerprints "
+                  f"({time.perf_counter()-t0:.1f}s; real molecular graphs, "
+                  f"additive-SAR scores)")
+            if args.cache:
+                np.savez_compressed(
+                    args.cache, smiles=np.asarray(smiles),
+                    scores=np.asarray(true_scores), packed=packed)
+                print(f"cached to {args.cache}")
     else:
         smiles, packed, true_scores = make_proxy_library(
             args.n, args.n_bits, noise=args.noise, seed=args.seed)
