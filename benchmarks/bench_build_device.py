@@ -31,6 +31,8 @@ def log(*a):
 
 
 def measure_recall(graph, queries, true_sets, k, ef):
+    if true_sets is None:   # --skip-truth
+        return float("nan")
     from rad_tpu.search.knn import search_device
     ids = np.asarray(search_device(graph, queries, k=k,
                                    expansion_search=ef)[1])
@@ -65,6 +67,10 @@ def main(argv=None) -> int:
                     help="measure the MXU all-pairs builder "
                          "(rad_tpu.build.exact)")
     ap.add_argument("--candidates", type=int, default=None)
+    ap.add_argument("--skip-truth", action="store_true",
+                    help="skip the brute-force ground truth + recall "
+                         "(throughput-only run — the 1M-scale lean config "
+                         "where the ground-truth compile alone is long)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -85,11 +91,14 @@ def main(argv=None) -> int:
         queries = random_fingerprints(args.q, n_bits=args.n_bits,
                                       density=0.1, seed=99)
 
-    log("exact ground truth ...")
-    _, true_ids = bruteforce_topk_blocked(
-        jnp.asarray(queries), jnp.asarray(fps), args.k, block=1 << 14)
-    true_sets = [set(np.asarray(true_ids)[i].tolist())
-                 for i in range(args.q)]
+    if args.skip_truth:
+        true_sets = None
+    else:
+        log("exact ground truth ...")
+        _, true_ids = bruteforce_topk_blocked(
+            jnp.asarray(queries), jnp.asarray(fps), args.k, block=1 << 14)
+        true_sets = [set(np.asarray(true_ids)[i].tolist())
+                     for i in range(args.q)]
 
     out = {"metric": "build_throughput", "n": args.n,
            "connectivity": args.connectivity,
