@@ -191,6 +191,19 @@ def main(argv=None) -> int:
     ap.add_argument("--json-out", help="write the result record here")
     args = ap.parse_args(argv)
 
+    if args.device_scored:
+        # Touch the device FIRST: through a remote-execution tunnel a
+        # client can lose its device-lease claim at init and park forever
+        # (observed; the axon "grant unclaimed — client lost" mode). A
+        # trivial op up front makes that failure visible immediately so a
+        # supervisor can kill+relaunch cheaply instead of after minutes
+        # of host-side library work.
+        import jax.numpy as _jnp
+        _t0 = time.perf_counter()
+        float(_jnp.zeros((8,), _jnp.float32).sum())
+        print(f"device warmup ok ({time.perf_counter() - _t0:.1f}s)",
+              flush=True)
+
     if args.smiles_file:
         if not args.scores_file:
             ap.error("--scores-file required with --smiles-file")
