@@ -84,14 +84,18 @@ def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64,
     r = int(offsets[-1])
     m0 = 2 * m
     chunk = -(-r // n_chunks)  # ceil
+    grp = 1
+    if packed_bits:
+        from rad_tpu.graph.adjpack import (adj_group_for,
+                                           pack_adjacency_rows,
+                                           packed_adj_words)
+        grp = adj_group_for(m0, packed_bits)
+        chunk = -(-chunk // grp) * grp
     r_pad = chunk * n_chunks
     offsets_dev = jnp.asarray(
         np.concatenate([offsets, [r]]).astype(np.int32))
     sizes_dev = jnp.asarray(np.asarray(sizes + [1], np.int32))
     max_level = len(sizes) - 1
-    if packed_bits:
-        from rad_tpu.graph.adjpack import (pack_adjacency_rows,
-                                           packed_adj_words)
 
     @partial(jax.jit, static_argnames=("nch",), donate_argnums=(1,))
     def gen(key, adj, offs, szs, nch):
@@ -114,22 +118,108 @@ def make_device_graph(n: int, m: int, seed: int, n_chunks: int = 64,
             ids = jnp.where(col_ok & (nl[:, None] > 1) & (rows[:, None] < r),
                             ids, -1)
             if packed_bits:
+                w = packed_adj_words(m0, packed_bits)
                 ids = pack_adjacency_rows(ids, packed_bits)
+                ids = ids.reshape(chunk // grp, grp * w)
+                return jax.lax.dynamic_update_slice(adj, ids, (lo // grp, 0))
             return jax.lax.dynamic_update_slice(adj, ids, (lo, 0))
 
         return jax.lax.fori_loop(0, nch, body, adj)
 
     key = jax.random.PRNGKey(seed)
     if packed_bits:
-        adj = jnp.zeros((r_pad, packed_adj_words(m0, packed_bits)),
-                        jnp.uint32)
+        adj = jnp.zeros(
+            (r_pad // grp, grp * packed_adj_words(m0, packed_bits)),
+            jnp.uint32)
     else:
         adj = jnp.full((r_pad, m0), -1, jnp.int32)
     adj = gen(key, adj, offsets_dev, sizes_dev, n_chunks)
     dg = DeviceGraph(adj=adj, offsets=offsets_dev, n_nodes=n, n_rows=r,
                      m0=m0, max_level=max_level,
-                     adj_bits=packed_bits or 32)
+                     adj_bits=packed_bits or 32, adj_group=grp)
     return dg, sizes
+
+
+def abstract_device_graph(n: int, m: int, n_chunks: int = 64,
+                          packed_bits: int | None = None):
+    """Same shapes as make_device_graph, but adj is a ShapeDtypeStruct —
+    for AOT memory analysis without allocating HBM."""
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.traverse.device import DeviceGraph
+
+    sizes = hnsw_layer_sizes(n, m)
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
+    r = int(offsets[-1])
+    m0 = 2 * m
+    chunk = -(-r // n_chunks)
+    grp = 1
+    if packed_bits:
+        from rad_tpu.graph.adjpack import adj_group_for, packed_adj_words
+        grp = adj_group_for(m0, packed_bits)
+        chunk = -(-chunk // grp) * grp
+    r_pad = chunk * n_chunks
+    offsets_dev = jnp.asarray(np.concatenate([offsets, [r]]).astype(np.int32))
+    if packed_bits:
+        adj = jax.ShapeDtypeStruct(
+            (r_pad // grp, grp * packed_adj_words(m0, packed_bits)),
+            jnp.uint32)
+    else:
+        adj = jax.ShapeDtypeStruct((r_pad, m0), jnp.int32)
+    dg = DeviceGraph(adj=adj, offsets=offsets_dev, n_nodes=n, n_rows=r,
+                     m0=m0, max_level=len(sizes) - 1,
+                     adj_bits=packed_bits or 32, adj_group=grp)
+    return dg, sizes
+
+
+def make_id_run(batch: int, no_score_table: bool):
+    """The id-mode run program (module-level so --mem-analysis can AOT-
+    compile exactly what the timed path executes)."""
+    import jax
+    import jax.numpy as jnp
+    from rad_tpu.traverse import device as dev
+
+    def id_score(ids):
+        x = ids.astype(jnp.float32) * 0.6180339887498949
+        return x - jnp.floor(x)
+
+    if no_score_table:
+        class _IdOps(dev.DenseStateOps):
+            @staticmethod
+            def gather_scores(arr, idx):
+                return id_score(idx)
+
+            @staticmethod
+            def scatter_scores(arr, idx, vals):
+                return arr
+
+        id_ops = _IdOps()
+    else:
+        id_ops = dev.DENSE_OPS
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _run_id(state, n_to_score, dg_a):
+        def cond(carry):
+            st, steps = carry
+            return ((st.n_scored < n_to_score)
+                    & (steps < (1 << 20))
+                    & (dev.frontier_live(st) > 0))
+
+        def body(carry):
+            st, steps = carry
+            st, out = dev.expand_impl(st, dg_a, batch)
+            ts = out["to_score"]
+            scores = jnp.where(ts >= 0, id_score(ts), jnp.inf)
+            st = dev.integrate_impl(
+                st, dg_a, out["exp_node"], out["exp_level"],
+                out["exp_score"], out["exp_valid"], out["cand"],
+                out["to_score"], scores, ops=id_ops)
+            return st, steps + 1
+
+        state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return state
+
+    return _run_id, id_score
 
 
 def main(argv=None) -> int:
@@ -159,6 +249,10 @@ def main(argv=None) -> int:
                          "fields, rad_tpu.graph.adjpack) — 12.5%% less "
                          "adjacency HBM at 200M; the past-180M config")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--mem-analysis", action="store_true",
+                    help="id mode: AOT-compile the run program with "
+                         "abstract (ShapeDtypeStruct) inputs and print "
+                         "XLA's memory analysis — no HBM allocated")
     ap.add_argument("--profile", metavar="DIR",
                     help="wrap one timed run in jax.profiler.trace and "
                          "print the top device ops (leaf events)")
@@ -170,11 +264,56 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from rad_tpu.traverse import device as dev
 
-    log(f"device: {jax.devices()[0]}")
     bits = None
     if args.packed_adj:
         from rad_tpu.graph.adjpack import adj_bits_for
         bits = adj_bits_for(args.n)
+
+    if args.mem_analysis:
+        if args.mode != "id":
+            ap.error("--mem-analysis supports --mode id only")
+        dg_a, sizes = abstract_device_graph(args.n, args.m, packed_bits=bits)
+        run_id, id_score = make_id_run(args.batch, args.no_score_table)
+        head = args.head if args.head in (None, "auto") else int(args.head)
+        if isinstance(head, str) and head.lower() == "none":
+            head = None
+        n_top = sizes[-1] if sizes[-1] > 1 else (
+            sizes[-2] if len(sizes) > 1 else 1)
+        top_ids = jnp.arange(max(n_top, 1), dtype=jnp.int32)
+
+        def fresh():
+            s = dev.init_state(dg_a, frontier_capacity=args.frontier,
+                               buffer_capacity=args.buffer,
+                               head_capacity=head,
+                               log_capacity=args.log_capacity)
+            if args.no_score_table:
+                import dataclasses as _dc
+                s = _dc.replace(s, scores=jnp.zeros((1,), jnp.float32))
+            return dev.prime(s, dg_a, top_ids, id_score(top_ids))
+
+        state_abs = jax.eval_shape(fresh)
+        log("lowering + compiling (abstract inputs) ...")
+        t0 = time.perf_counter()
+        compiled = run_id.lower(
+            state_abs, jax.ShapeDtypeStruct((), jnp.int32), dg_a).compile()
+        ma = compiled.memory_analysis()
+        log(f"compiled in {time.perf_counter() - t0:.1f}s")
+        gib = 1 / 2**30
+        print(json.dumps({
+            "metric": "scale_mem_analysis",
+            "n": args.n, "m": args.m, "packed_adj_bits": bits,
+            "argument_gib": ma.argument_size_in_bytes * gib,
+            "output_gib": ma.output_size_in_bytes * gib,
+            "temp_gib": ma.temp_size_in_bytes * gib,
+            "alias_gib": ma.alias_size_in_bytes * gib,
+            "peak_gib": (ma.argument_size_in_bytes
+                         + ma.output_size_in_bytes
+                         + ma.temp_size_in_bytes
+                         - ma.alias_size_in_bytes) * gib,
+        }, indent=1))
+        return 0
+
+    log(f"device: {jax.devices()[0]}")
     t0 = time.perf_counter()
     dg, sizes = make_device_graph(args.n, args.m, seed=0, packed_bits=bits)
     jax.block_until_ready(dg.adj)
@@ -252,44 +391,7 @@ def main(argv=None) -> int:
                                   batch=args.batch)
         run_fn = lambda st: run(st, jnp.int32(args.budget))
     elif args.mode == "id":
-        batch = args.batch
-
-        if args.no_score_table:
-            class _IdOps(dev.DenseStateOps):
-                @staticmethod
-                def gather_scores(arr, idx):
-                    return id_score(idx)
-
-                @staticmethod
-                def scatter_scores(arr, idx, vals):
-                    return arr
-
-            id_ops = _IdOps()
-        else:
-            id_ops = dev.DENSE_OPS
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def _run_id(state, n_to_score, dg_a):
-            def cond(carry):
-                st, steps = carry
-                return ((st.n_scored < n_to_score)
-                        & (steps < (1 << 20))
-                        & (dev.frontier_live(st) > 0))
-
-            def body(carry):
-                st, steps = carry
-                st, out = dev.expand_impl(st, dg_a, batch)
-                ts = out["to_score"]
-                scores = jnp.where(ts >= 0, id_score(ts), jnp.inf)
-                st = dev.integrate_impl(
-                    st, dg_a, out["exp_node"], out["exp_level"],
-                    out["exp_score"], out["exp_valid"], out["cand"],
-                    out["to_score"], scores, ops=id_ops)
-                return st, steps + 1
-
-            state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-            return state
-
+        _run_id, _ = make_id_run(args.batch, args.no_score_table)
         run_fn = lambda st: _run_id(st, jnp.int32(args.budget), dg)
     else:
         run_fn = lambda st: dev.fused_run(

@@ -28,8 +28,9 @@ import numpy as np
 
 import jax.numpy as jnp
 
-__all__ = ["adj_bits_for", "packed_adj_words", "pack_adjacency_rows",
-           "unpack_adjacency_rows", "pack_adjacency_numpy"]
+__all__ = ["adj_bits_for", "packed_adj_words", "adj_group_for",
+           "pack_adjacency_rows", "unpack_adjacency_rows",
+           "pack_adjacency_numpy"]
 
 
 def adj_bits_for(n_nodes: int) -> int:
@@ -43,6 +44,26 @@ def adj_bits_for(n_nodes: int) -> int:
 def packed_adj_words(m0: int, bits: int) -> int:
     """uint32 words per packed row."""
     return -(-(m0 * bits) // 32)
+
+
+def adj_group_for(m0: int, bits: int) -> int:
+    """Rows per storage group so the grouped table's minor dim is a
+    multiple of 8 uint32 words.
+
+    MEASURED (v5e, remote XLA): HBM arrays get their minor dim padded to a
+    multiple of 8 elements — a ``[R, 14]`` uint32 table is stored as
+    ``[R, 16]``, which for 28-bit fields at 200M nodes silently restores
+    the full int32 footprint (the exact arithmetic that OOM'd the first
+    200M attempt; arguments 14.118 GiB = padded-adj 13.624 + state 0.494).
+    Grouping G rows into one ``[R/G, G*W]`` super-row with ``G*W % 8 == 0``
+    stores the packed bits compact; the per-batch decode adds one
+    take_along_axis over the gathered super-rows.
+    """
+    w = packed_adj_words(m0, bits)
+    for g in (1, 2, 4, 8):
+        if (g * w) % 8 == 0:
+            return g
+    return 8
 
 
 def _field_layout(m0: int, bits: int):

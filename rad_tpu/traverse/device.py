@@ -64,7 +64,11 @@ class DeviceGraph:
                 expansion gather decodes each popped batch on the fly —
                 the single-chip scale lever past ~180M nodes, where the
                 int32 table alone exceeds HBM (BENCHMARKS.md scale
-                ceiling).
+                ceiling). ``adj_group = G > 1`` stores G packed rows per
+                table row (``[R/G, G*W]``) so the minor dim is a multiple
+                of 8 words — XLA pads HBM minor dims to 8-element
+                multiples, which otherwise restores the int32 footprint
+                (rad_tpu.graph.adjpack.adj_group_for).
     offsets:    [L+2] int32 — layer_offset[l] = Σ_{l' < l} N_{l'};
                 offsets[L+1] = R sentinel.
     """
@@ -76,10 +80,12 @@ class DeviceGraph:
     m0: int
     max_level: int
     adj_bits: int = 32
+    adj_group: int = 1
 
     def tree_flatten(self):
         return (self.adj, self.offsets), (self.n_nodes, self.n_rows, self.m0,
-                                          self.max_level, self.adj_bits)
+                                          self.max_level, self.adj_bits,
+                                          self.adj_group)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -96,8 +102,15 @@ def pack_device_graph(dg: "DeviceGraph", bits: int | None = None,
     int32 rows; the int32 source must still be resident, so for graphs
     near the HBM ceiling generate packed directly instead
     (benchmarks/bench_scale.py --packed-adj).
+
+    Output rows are grouped ``adj_group_for(m0, bits)`` per table row so
+    the stored minor dim is a multiple of 8 words — XLA pads HBM minor
+    dims to 8-element multiples, which would otherwise hand the saved
+    bits straight back (measured: a [R, 14] uint32 table is stored
+    [R, 16] = the full int32 footprint at 28-bit/200M).
     """
-    from rad_tpu.graph.adjpack import (adj_bits_for, pack_adjacency_rows,
+    from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
+                                       pack_adjacency_rows,
                                        packed_adj_words)
 
     if dg.adj_bits < 32:
@@ -108,12 +121,20 @@ def pack_device_graph(dg: "DeviceGraph", bits: int | None = None,
         return dg
     r = dg.adj.shape[0]
     w = packed_adj_words(dg.m0, bits)
+    g = adj_group_for(dg.m0, bits)
+    chunk = -(-chunk // g) * g
+    r_grp = -(-r // g)
     pack = jax.jit(partial(pack_adjacency_rows, bits=bits))
-    out = jnp.zeros((r, w), jnp.uint32)
+    out = jnp.zeros((r_grp, g * w), jnp.uint32)
     for lo in range(0, r, chunk):
-        rows = pack(dg.adj[lo:lo + chunk])
-        out = jax.lax.dynamic_update_slice(out, rows, (lo, 0))
-    return dataclasses.replace(dg, adj=out, adj_bits=bits)
+        src = dg.adj[lo:lo + chunk]
+        pad = -len(src) % g
+        if pad:
+            src = jnp.concatenate(
+                [src, jnp.full((pad, dg.m0), -1, src.dtype)])
+        rows = pack(src).reshape(-1, g * w)
+        out = jax.lax.dynamic_update_slice(out, rows, (lo // g, 0))
+    return dataclasses.replace(dg, adj=out, adj_bits=bits, adj_group=g)
 
 
 def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
@@ -490,10 +511,20 @@ def expand_impl(
     node = pop_row - dg.offsets[level]
     safe_row = jnp.where(valid, pop_row, 0)
     if gather_adj is None:
-        adj_rows = dg.adj[safe_row]
         if dg.adj_bits < 32:
             from rad_tpu.graph.adjpack import unpack_adjacency_rows
+            g = dg.adj_group
+            if g > 1:
+                w = dg.adj.shape[1] // g
+                sup = dg.adj[safe_row // g]  # [B, G*W]
+                cols = ((safe_row % g)[:, None] * w
+                        + jnp.arange(w, dtype=jnp.int32)[None, :])
+                adj_rows = jnp.take_along_axis(sup, cols, axis=1)
+            else:
+                adj_rows = dg.adj[safe_row]
             adj_rows = unpack_adjacency_rows(adj_rows, dg.m0, dg.adj_bits)
+        else:
+            adj_rows = dg.adj[safe_row]
     else:
         adj_rows = gather_adj(safe_row)
     cand = jnp.where(valid[:, None], adj_rows, -1)  # [B, M0]

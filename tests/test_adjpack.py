@@ -13,11 +13,23 @@ import pytest
 
 from rad_tpu.graph.adjpack import (
     adj_bits_for,
+    adj_group_for,
     pack_adjacency_numpy,
     pack_adjacency_rows,
     packed_adj_words,
     unpack_adjacency_rows,
 )
+
+
+def test_adj_group_minor_dim_multiple_of_8():
+    # the 200M config: 16 fields x 28 bits = 14 words -> G=4, 56 words
+    assert adj_group_for(16, 28) == 4
+    # already a multiple of 8 words: no grouping
+    assert adj_group_for(16, 16) == 1
+    for m0 in (1, 5, 8, 12, 16):
+        for bits in (8, 10, 17, 20, 28, 31):
+            g = adj_group_for(m0, bits)
+            assert (g * packed_adj_words(m0, bits)) % 8 == 0
 
 
 def _random_adj(r, m0, n_ids, seed, frac_pad=0.3):
@@ -80,7 +92,14 @@ def test_packed_engine_bit_identical():
     dg_packed = dev.pack_device_graph(dg, chunk=128)
     assert dg_packed.adj_bits == adj_bits_for(600) == 10
     assert dg_packed.adj.dtype == jnp.uint32
-    assert dg_packed.adj.shape[1] == packed_adj_words(dg.m0, 10)
+    # grouped storage: G rows per table row, minor dim a multiple of 8
+    # words (XLA pads HBM minor dims to 8-element multiples — an
+    # ungrouped [R, W] table would silently cost ceil8(W) words/row)
+    g = adj_group_for(dg.m0, 10)
+    w = packed_adj_words(dg.m0, 10)
+    assert dg_packed.adj_group == g
+    assert dg_packed.adj.shape == (-(-dg.adj.shape[0] // g), g * w)
+    assert (g * w) % 8 == 0
 
     packed = jnp.asarray(np.asarray(graph.packed))
     pops = jnp.asarray(np.asarray(graph.popcounts))
