@@ -249,6 +249,11 @@ def main(argv=None) -> int:
                          "fields, rad_tpu.graph.adjpack) — 12.5%% less "
                          "adjacency HBM at 200M; the past-180M config")
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--gen-chunks", type=int, default=64,
+                    help="generation chunks; raise near the HBM ceiling — "
+                         "the packer's [chunk, W] u32 temp is lane-padded "
+                         "(minor 14 -> 128, 9.1x) so gen temps scale with "
+                         "chunk size (240M needs >=512)")
     ap.add_argument("--mem-analysis", action="store_true",
                     help="id mode: AOT-compile the run program with "
                          "abstract (ShapeDtypeStruct) inputs and print "
@@ -285,10 +290,8 @@ def main(argv=None) -> int:
             s = dev.init_state(dg_a, frontier_capacity=args.frontier,
                                buffer_capacity=args.buffer,
                                head_capacity=head,
-                               log_capacity=args.log_capacity)
-            if args.no_score_table:
-                import dataclasses as _dc
-                s = _dc.replace(s, scores=jnp.zeros((1,), jnp.float32))
+                               log_capacity=args.log_capacity,
+                               score_table=not args.no_score_table)
             return dev.prime(s, dg_a, top_ids, id_score(top_ids))
 
         state_abs = jax.eval_shape(fresh)
@@ -315,7 +318,8 @@ def main(argv=None) -> int:
 
     log(f"device: {jax.devices()[0]}")
     t0 = time.perf_counter()
-    dg, sizes = make_device_graph(args.n, args.m, seed=0, packed_bits=bits)
+    dg, sizes = make_device_graph(args.n, args.m, seed=0, packed_bits=bits,
+                                  n_chunks=args.gen_chunks)
     jax.block_until_ready(dg.adj)
     log(f"graph generated on device: {time.perf_counter() - t0:.1f}s, "
         f"R={dg.n_rows}, levels={len(sizes)}, adj "
@@ -364,18 +368,22 @@ def main(argv=None) -> int:
         x = ids.astype(jnp.float32) * 0.6180339887498949
         return x - jnp.floor(x)
 
+    # jitted + state-donating prime: eager prime dispatches each .at[].set
+    # as its own computation with non-donated operands, transiently holding
+    # TWO copies of the [R]/[N] state arrays (~1.2 GiB at 240M — the
+    # difference between fitting and ResourceExhausted at the ceiling)
+    prime_j = jax.jit(dev.prime, donate_argnums=(0,))
+
     def fresh_state():
+        # id mode recomputes candidate scores from node ids inside the
+        # step (ops override below) — the [N] f32 score table is pure
+        # ballast at the largest node counts (0.9 GiB at 240M), and even
+        # a transient allocation of it breaks the 240M config
         s = dev.init_state(dg, frontier_capacity=args.frontier,
                            buffer_capacity=args.buffer,
                            head_capacity=head,
-                           log_capacity=args.log_capacity)
-        if args.no_score_table:
-            # id mode recomputes candidate scores from node ids inside the
-            # step (ops override below) — the [N] f32 score table is pure
-            # ballast at the largest node counts (800 MB at 200M). Replace
-            # it with a 1-slot dummy; prime()'s scatter drops OOB indices.
-            import dataclasses as _dc
-            s = _dc.replace(s, scores=jnp.zeros((1,), jnp.float32))
+                           log_capacity=args.log_capacity,
+                           score_table=not args.no_score_table)
         if args.mode == "hash":
             seed_scores = pops[: top_ids.shape[0]]
         elif args.mode == "id":
@@ -384,7 +392,7 @@ def main(argv=None) -> int:
             from rad_tpu.fp.tanimoto import tanimoto_matrix
             seed_scores = tanimoto_matrix(
                 target[None, :], packed[: top_ids.shape[0]])[0]
-        return dev.prime(s, dg, top_ids, seed_scores)
+        return prime_j(s, dg, top_ids, seed_scores)
 
     if args.mode == "hash":
         run = dev.make_device_run(dg, packed, pops, scorer,
@@ -407,6 +415,7 @@ def main(argv=None) -> int:
 
     best = math.inf
     for i in range(args.runs):
+        state = None  # release the previous final state before reallocating
         state = fresh_state()
         jax.block_until_ready(state.f_score)
         t0 = time.perf_counter()

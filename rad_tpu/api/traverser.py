@@ -200,6 +200,7 @@ class RADTraverser:
                 shard_state=kwargs.pop("shard_state", False),
                 head_capacity=kwargs.pop("head_capacity", "auto"),
                 order_log_spill=kwargs.pop("order_log_spill", False),
+                packed_adjacency=kwargs.pop("packed_adjacency", False),
             )
         elif engine == "device":
             from rad_tpu.traverse.driver import DeviceTraverser

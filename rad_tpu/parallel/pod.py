@@ -48,7 +48,8 @@ def _padded_device_graph(sg: ShardedGraph):
 
     return DeviceGraph(adj=sg.adj, offsets=sg.offsets,
                        n_nodes=sg.n_pad_nodes, n_rows=sg.n_pad_rows,
-                       m0=sg.m0, max_level=sg.max_level)
+                       m0=sg.m0, max_level=sg.max_level,
+                       adj_bits=sg.adj_bits, adj_group=sg.adj_group)
 
 
 # back-compat alias (pre-round-2 name)
@@ -85,6 +86,7 @@ class PodTraverser:
         n_score_threads: int = 8,
         failed_score: float = float("inf"),
         order_log_spill: bool | str = False,
+        packed_adjacency: bool | int = False,
     ) -> None:
         if (target_packed is None) == (scoring_fn is None):
             raise ValueError(
@@ -94,7 +96,8 @@ class PodTraverser:
         self.graph = graph
         self.mesh = mesh if mesh is not None else make_mesh(
             n_devices, axis_names=("graph",))
-        self.sg: ShardedGraph = shard_graph(graph, self.mesh)
+        self.sg: ShardedGraph = shard_graph(
+            graph, self.mesh, packed_adjacency=packed_adjacency)
         self.batch_size = batch_size
         self.shard_state = shard_state
         self.stats = {"steps": 0}

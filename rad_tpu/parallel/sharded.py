@@ -78,11 +78,14 @@ class ShardedGraph:
     m0: int
     max_level: int
     axis: str
+    adj_bits: int = 32
+    adj_group: int = 1
 
     def tree_flatten(self):
         return (self.packed, self.pops, self.adj, self.offsets), (
             self.n_nodes, self.n_rows, self.n_pad_nodes, self.n_pad_rows,
-            self.m0, self.max_level, self.axis)
+            self.m0, self.max_level, self.axis, self.adj_bits,
+            self.adj_group)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -91,7 +94,8 @@ class ShardedGraph:
     def device_graph(self) -> DeviceGraph:
         return DeviceGraph(adj=self.adj, offsets=self.offsets,
                            n_nodes=self.n_nodes, n_rows=self.n_rows,
-                           m0=self.m0, max_level=self.max_level)
+                           m0=self.m0, max_level=self.max_level,
+                           adj_bits=self.adj_bits, adj_group=self.adj_group)
 
 
 def _pad_rows(arr: np.ndarray, mult: int, fill) -> np.ndarray:
@@ -117,14 +121,36 @@ def _global_put(arr_np: np.ndarray, mesh: Mesh, spec: P):
     return jax.device_put(jnp.asarray(arr_np), sh)
 
 
-def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph"
-                ) -> ShardedGraph:
-    """Lay a built graph out across the mesh's ``axis`` (row-sharded)."""
+def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
+                packed_adjacency: bool | int = False) -> ShardedGraph:
+    """Lay a built graph out across the mesh's ``axis`` (row-sharded).
+
+    ``packed_adjacency=True`` stores each shard's adjacency rows as
+    bit-packed fields (rad_tpu.graph.adjpack; an int gives the field
+    width explicitly) in the grouped ``[R/G, G*W]`` layout — the same
+    ~12-37% adjacency-HBM saving as the single-chip engine's
+    ``--packed-adj``, applied per shard. The owned-gather fetches packed
+    super-rows over ICI (proportionally *less* ICI traffic per
+    expansion) and decodes after the psum."""
+    from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
+                                       pack_adjacency_numpy,
+                                       packed_adj_words)
+
     dg = prepare_device_graph(graph)
     nd = mesh.shape[axis]
     packed = _pad_rows(np.asarray(graph.packed), nd, 0)
     pops = _pad_rows(np.asarray(graph.popcounts), nd, 0)
-    adj = _pad_rows(np.asarray(dg.adj), nd, -1)
+    bits, grp = 32, 1
+    if packed_adjacency:
+        bits = (packed_adjacency if isinstance(packed_adjacency, int)
+                and packed_adjacency is not True
+                else adj_bits_for(dg.n_nodes))
+        grp = adj_group_for(dg.m0, bits)
+    adj = _pad_rows(np.asarray(dg.adj), nd * grp, -1)
+    n_pad_rows = adj.shape[0]
+    if bits < 32:
+        w = packed_adj_words(dg.m0, bits)
+        adj = pack_adjacency_numpy(adj, bits).reshape(-1, grp * w)
     return ShardedGraph(
         packed=_global_put(packed, mesh, P(axis, None)),
         pops=_global_put(pops, mesh, P(axis)),
@@ -133,10 +159,12 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph"
         n_nodes=dg.n_nodes,
         n_rows=dg.n_rows,
         n_pad_nodes=packed.shape[0],
-        n_pad_rows=adj.shape[0],
+        n_pad_rows=n_pad_rows,
         m0=dg.m0,
         max_level=dg.max_level,
         axis=axis,
+        adj_bits=bits,
+        adj_group=grp,
     )
 
 
@@ -161,6 +189,38 @@ def _owned_gather(local: jnp.ndarray, global_idx: jnp.ndarray,
         jnp.zeros((), vals.dtype))
     total = jax.lax.psum(contrib, axis)
     return total - jnp.asarray(fill_shift, vals.dtype)
+
+
+def _adj_gatherer(sg: ShardedGraph, adj_l, adj_shard: int, axis: str):
+    """``gather_adj(rows) -> [B, M0] int32`` closure for the shard bodies.
+
+    int32 storage: one owned-gather (fill_shift=1 so out-of-shard rows
+    decode to the -1 sentinel). Packed storage (shard_graph
+    packed_adjacency=True): owned-gather the ``[B, G*W]`` uint32
+    super-rows (psum'ing ~bits/32 of the int32 ICI bytes), slice the
+    target sub-row, and decode — the sharded twin of the single-chip
+    grouped decode in rad_tpu.traverse.device.expand_impl. Every in-range
+    row has exactly one owner, so the uint32 zero fill is unreachable for
+    the engine's clipped pop rows."""
+    if sg.adj_bits >= 32:
+        def gather_adj(rows):
+            return _owned_gather(adj_l, rows, adj_shard, axis,
+                                 fill_shift=1)
+        return gather_adj
+
+    from rad_tpu.graph.adjpack import unpack_adjacency_rows
+    g = sg.adj_group
+    w = sg.adj.shape[-1] // g
+
+    def gather_adj(rows):
+        sup = _owned_gather(adj_l, rows // g, adj_shard // g, axis,
+                            fill_shift=0)
+        cols = ((rows % g)[:, None] * w
+                + jnp.arange(w, dtype=jnp.int32)[None, :])
+        sub = jnp.take_along_axis(sup, cols, axis=1)
+        return unpack_adjacency_rows(sub, sg.m0, sg.adj_bits)
+
+    return gather_adj
 
 
 @partial(jax.jit, static_argnames=("k", "mesh", "axis"))
@@ -267,8 +327,7 @@ def make_sharded_step(sg: ShardedGraph, mesh: Mesh, batch: int,
                    offsets, target_packed, target_pop):
         dg = dataclasses.replace(dg_meta, offsets=offsets)
 
-        def gather_adj(rows):
-            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+        gather_adj = _adj_gatherer(sg, adj_l, adj_shard, axis)
 
         state, out = expand_impl(state, dg, batch, gather_adj=gather_adj)
         ts = out["to_score"]
@@ -489,8 +548,7 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
                    offsets, target_packed, target_pop):
         dg = dataclasses.replace(dg_meta, offsets=offsets)
 
-        def gather_adj(rows):
-            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+        gather_adj = _adj_gatherer(sg, adj_l, adj_shard, axis)
 
         state, out = expand_impl(state, dg, batch, gather_adj=gather_adj,
                                  ops=ops)
@@ -577,8 +635,7 @@ def make_sharded_step_multi(sg: ShardedGraph, mesh: Mesh, batch: int):
                    offsets, targets, t_pops, budgets):
         dg = dataclasses.replace(dg_meta, offsets=offsets)
 
-        def gather_adj(rows):
-            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+        gather_adj = _adj_gatherer(sg, adj_l, adj_shard, axis)
 
         def expand_score(state, target, t_pop, refill):
             state, out = expand_impl(state, dg, batch, refill=refill,
@@ -682,8 +739,7 @@ def make_sharded_expand_integrate(sg: ShardedGraph, mesh: Mesh, batch: int,
     def expand_body(state: TraversalState, adj_l, offsets):
         dg = dataclasses.replace(dg_meta, offsets=offsets)
 
-        def gather_adj(rows):
-            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+        gather_adj = _adj_gatherer(sg, adj_l, adj_shard, axis)
 
         state, out = expand_impl(state, dg, batch, gather_adj=gather_adj,
                                  ops=ops)
@@ -795,12 +851,12 @@ def _make_search_shard_body(sg: ShardedGraph, k: int, ef: int):
     max_level = sg.max_level
 
     def shard_body(adj_l, packed_l, pops_l, offsets, queries, q_pops):
-        # shard sizes come from the local block shapes (static at trace)
-        adj_shard = adj_l.shape[0]
+        # shard sizes come from the local block shapes (static at trace);
+        # packed storage holds adj_group rows per local table row
+        adj_shard = adj_l.shape[0] * sg.adj_group
         fp_shard = packed_l.shape[0]
 
-        def gather_adj_rows(rows):           # [B] -> [B, M0]
-            return _owned_gather(adj_l, rows, adj_shard, axis, fill_shift=1)
+        gather_adj_rows = _adj_gatherer(sg, adj_l, adj_shard, axis)
 
         def gather_fps(ids):                 # [B, K] -> [B, K, W], [B, K]
             flat = ids.reshape(-1)

@@ -244,7 +244,8 @@ def auto_frontier_capacity(n_rows: int, cap_max: int = 1 << 22) -> int:
 def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
                log_capacity: int | None = None,
                buffer_capacity: int = 1 << 15,
-               head_capacity: int | None | str = "auto") -> TraversalState:
+               head_capacity: int | None | str = "auto",
+               score_table: bool = True) -> TraversalState:
     """The frontier is a sorted main array [C] plus an append buffer [P].
 
     Pushes go to the buffer (no sort); a full merge-sort happens only when
@@ -273,6 +274,12 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
     screening-regime profile shows the full-capacity merge at ~630 µs/step
     (BENCHMARKS.md); small frontiers stay single-level. ``None`` forces
     the classic single-level layout.
+
+    ``score_table=False`` allocates a 1-slot ``scores`` dummy instead of
+    the ``[N] f32`` table (0.9 GiB at 240M — pure ballast when a custom
+    ``StateOps.gather_scores`` recomputes candidate scores, e.g. id-mode
+    scorers). Never allocating it matters at the HBM ceiling: replacing
+    it after the fact still pays the transient allocation.
     """
     if frontier_capacity is None:
         frontier_capacity = auto_frontier_capacity(dg.n_rows)
@@ -299,7 +306,8 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
         watermark=jnp.asarray(jnp.inf, jnp.float32),
         enqueued=jnp.zeros((dg.n_rows,), jnp.bool_),
         scored=jnp.zeros((dg.n_nodes,), jnp.bool_),
-        scores=jnp.full((dg.n_nodes,), INF, jnp.float32),
+        scores=(jnp.full((dg.n_nodes,), INF, jnp.float32) if score_table
+                else jnp.zeros((1,), jnp.float32)),
         order_log=jnp.full((cap,), -1, jnp.int32),
         n_scored=jnp.zeros((), jnp.int32),
         n_dropped=jnp.zeros((), jnp.int32),

@@ -439,3 +439,79 @@ def test_multi_campaign_pod_matches_solo_pod(mesh, built):
                                       np.asarray(st.order_log))
         np.testing.assert_allclose(np.asarray(got.scores),
                                    np.asarray(st.scores), atol=0)
+
+
+def test_packed_adjacency_pod_bit_identical(mesh, built):
+    """Packed sharded adjacency (shard_graph packed_adjacency=True): the
+    replicated-state pod step, the fully-state-sharded step, and the
+    sharded beam search all agree bit-for-bit with int32 storage."""
+    from rad_tpu.graph.adjpack import adj_bits_for, adj_group_for
+    from rad_tpu.parallel.sharded import (init_state_sharded,
+                                          make_sharded_search,
+                                          make_sharded_step_full)
+
+    graph = built
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=77)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+
+    sg_u = shard_graph(graph, mesh)
+    sg_p = shard_graph(graph, mesh, packed_adjacency=True)
+    bits = adj_bits_for(len(graph))
+    assert sg_p.adj_bits == bits
+    assert sg_p.adj_group == adj_group_for(sg_u.m0, bits)
+    assert sg_p.adj.dtype == jnp.uint32
+    assert sg_p.adj.shape[0] * sg_p.adj_group == sg_p.n_pad_rows
+
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = np.asarray(tanimoto_matrix(
+        jnp.asarray(target[None, :]),
+        jnp.asarray(np.asarray(graph.packed)[:n_top])))[0]
+
+    # replicated-state pod step
+    finals = []
+    for sg in (sg_u, sg_p):
+        st = dev.init_state(dg, frontier_capacity=1 << 10)
+        st = dev.prime(st, dg, ids, jnp.asarray(seed_scores))
+        step = make_sharded_step(sg, mesh, batch=4)
+        for _ in range(12):
+            st = step(st, t_packed, t_pop)
+        finals.append(st)
+    a, b = finals
+    assert int(a.n_scored) == int(b.n_scored) > n_top
+    np.testing.assert_array_equal(np.asarray(a.scored), np.asarray(b.scored))
+    np.testing.assert_array_equal(np.asarray(a.order_log),
+                                  np.asarray(b.order_log))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(a.f_score), np.asarray(b.f_score),
+                               atol=0)
+
+    # fully-state-sharded step
+    finals = []
+    for sg in (sg_u, sg_p):
+        st = init_state_sharded(sg, mesh, 1 << 10, len(graph), 1 << 8)
+        # prime via the padded view (sentinels outside every shard)
+        from rad_tpu.parallel.pod import _padded_device_graph
+        st = dev.prime(st, _padded_device_graph(sg), ids,
+                       jnp.asarray(seed_scores))
+        step = make_sharded_step_full(sg, mesh, batch=4)
+        for _ in range(12):
+            st = step(st, t_packed, t_pop)
+        finals.append(st)
+    a, b = finals
+    assert int(a.n_scored) == int(b.n_scored) > n_top
+    np.testing.assert_array_equal(np.asarray(a.scored), np.asarray(b.scored))
+    np.testing.assert_array_equal(np.asarray(a.order_log),
+                                  np.asarray(b.order_log))
+
+    # sharded beam search
+    queries = random_fingerprints(5, n_bits=128, density=0.25, seed=78)
+    s_u = make_sharded_search(sg_u, mesh, k=6, ef=24, batch=5)
+    s_p = make_sharded_search(sg_p, mesh, k=6, ef=24, batch=5)
+    d_u, i_u = s_u(jnp.asarray(queries))
+    d_p, i_p = s_p(jnp.asarray(queries))
+    np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p), atol=0)
