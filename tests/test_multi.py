@@ -169,3 +169,34 @@ def test_multi_two_level_same_scored_set(setup):
         np.testing.assert_array_equal(np.asarray(a.scored),
                                       np.asarray(b.scored))
         assert int(a.n_scored) == int(b.n_scored)
+
+
+def test_multi_campaign_packed_adjacency_bit_identical(setup):
+    """The vmapped multi-campaign engine over a PACKED (grouped bit-field)
+    adjacency table ends bit-identical to the int32 run — the packed
+    decode is a shared-operand gather, the vmapped-gather-safe layout."""
+    graph, dg, packed, pops, targets, t_pops = setup
+    frontier, buffer = 1 << 11, 1 << 8
+    budgets = jnp.asarray([80, 150, 120], jnp.int32)
+    dg_p = dev.pack_device_graph(dg, chunk=256)
+    assert dg_p.adj_bits < 32
+
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seeds = tanimoto_matrix(targets, packed[:n_top])
+
+    finals = []
+    for d in (dg, dg_p):
+        states = init_multi(d, 3, frontier_capacity=frontier,
+                            buffer_capacity=buffer)
+        states = prime_multi(states, d, ids, seeds)
+        finals.append(fused_run_multi(states, d, packed, pops, targets,
+                                      t_pops, budgets, batch=4))
+    a, b = finals
+    np.testing.assert_array_equal(np.asarray(a.scored), np.asarray(b.scored))
+    np.testing.assert_array_equal(np.asarray(a.order_log),
+                                  np.asarray(b.order_log))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               atol=0)
+    np.testing.assert_array_equal(np.asarray(a.n_scored),
+                                  np.asarray(b.n_scored))
