@@ -137,8 +137,17 @@ def pack_device_graph(dg: "DeviceGraph", bits: int | None = None,
     return dataclasses.replace(dg, adj=out, adj_bits=bits, adj_group=g)
 
 
-def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
-    """Flatten per-layer neighbor tables into the [R, M0] traversal table."""
+def prepare_device_graph(graph: HNSWGraph,
+                         packed_adjacency: bool | int = False
+                         ) -> DeviceGraph:
+    """Flatten per-layer neighbor tables into the [R, M0] traversal table.
+
+    ``packed_adjacency=True`` (or an explicit field width) packs the
+    table to grouped bit-fields ON THE HOST before upload — unlike
+    :func:`pack_device_graph`, the int32 table never touches the device,
+    so graphs whose int32 footprint alone exceeds HBM (>180M nodes,
+    BENCHMARKS.md scale ceiling) can still be loaded for traversal.
+    """
     m0 = max(int(t.shape[1]) for t in graph.neighbors)
     sizes = graph.layer_sizes
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)
@@ -150,6 +159,27 @@ def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
     # offsets gets a trailing sentinel so searchsorted(side='right')-1 maps
     # any row in [offsets[L], R) to level L.
     offsets_arr = np.concatenate([offsets, [r]]).astype(np.int32)
+    bits, grp = 32, 1
+    if packed_adjacency:
+        from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
+                                           pack_adjacency_numpy,
+                                           packed_adj_words)
+        bits = (packed_adjacency if isinstance(packed_adjacency, int)
+                and packed_adjacency is not True
+                else adj_bits_for(len(graph)))
+        grp = adj_group_for(m0, bits)
+        w = packed_adj_words(m0, bits)
+        r_pad = -(-r // grp) * grp
+        out = np.zeros((r_pad // grp, grp * w), np.uint32)
+        step = (1 << 20) // grp * grp or grp  # chunk the uint64 temps
+        for lo in range(0, r, step):
+            src = adj[lo:lo + step]
+            if src.shape[0] % grp:
+                src = np.concatenate(
+                    [src, np.full((-src.shape[0] % grp, m0), -1, np.int32)])
+            out[lo // grp: lo // grp + src.shape[0] // grp] = \
+                pack_adjacency_numpy(src, bits).reshape(-1, grp * w)
+        adj = out
     return DeviceGraph(
         adj=jnp.asarray(adj),
         offsets=jnp.asarray(offsets_arr),
@@ -157,6 +187,8 @@ def prepare_device_graph(graph: HNSWGraph) -> DeviceGraph:
         n_rows=r,
         m0=m0,
         max_level=graph.max_level,
+        adj_bits=bits,
+        adj_group=grp,
     )
 
 

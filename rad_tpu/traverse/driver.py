@@ -55,13 +55,13 @@ class DeviceTraverser:
         self.failed_score = failed_score
         self.n_score_threads = n_score_threads
 
-        self.dg = dev.prepare_device_graph(graph)
-        if packed_adjacency:
-            # bit-packed neighbor table (rad_tpu.graph.adjpack): same
-            # traversal bit-for-bit, ceil(log2(N+1))/32 of the adjacency
-            # HBM — the single-chip option for graphs near the HBM
-            # ceiling (BENCHMARKS.md scale ceiling).
-            self.dg = dev.pack_device_graph(self.dg)
+        # bit-packed neighbor table (rad_tpu.graph.adjpack): same
+        # traversal bit-for-bit, ~bits/32 of the adjacency HBM. Packing
+        # happens host-side inside prepare_device_graph, so the int32
+        # table never touches the device — the single-chip option for
+        # graphs past the int32 HBM ceiling (~180M nodes, BENCHMARKS.md).
+        self.dg = dev.prepare_device_graph(
+            graph, packed_adjacency=packed_adjacency)
         self.state = dev.init_state(self.dg, frontier_capacity, log_capacity,
                                     buffer_capacity, head_capacity)
         # host-spilled order log: the device ring stays O(log_capacity)

@@ -166,3 +166,26 @@ def test_pack_device_graph_noop_when_wide():
     assert pack_device_graph(dg, bits=32) is dg
     already = pack_device_graph(dg, bits=8)
     assert pack_device_graph(already, bits=8) is already
+
+
+def test_prepare_device_graph_host_packing_matches_device_packing():
+    """prepare_device_graph(packed_adjacency=True) packs on the HOST
+    (the int32 table never touches the device — required past the int32
+    HBM ceiling) and must produce the same grouped table as packing the
+    uploaded int32 graph with pack_device_graph."""
+    import jax.numpy as jnp
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(500, n_bits=128, density=0.25, seed=5)
+    graph = build_hnsw(fps, connectivity=5, expansion_add=32, seed=2)
+    dg_host = dev.prepare_device_graph(graph, packed_adjacency=True)
+    dg_dev = dev.pack_device_graph(dev.prepare_device_graph(graph),
+                                   chunk=64)
+    assert dg_host.adj_bits == dg_dev.adj_bits
+    assert dg_host.adj_group == dg_dev.adj_group
+    assert dg_host.adj.dtype == jnp.uint32
+    np.testing.assert_array_equal(np.asarray(dg_host.adj),
+                                  np.asarray(dg_dev.adj))
