@@ -408,7 +408,13 @@ def main(argv=None) -> int:
 
     log("compiling + first run ...")
     t0 = time.perf_counter()
-    state = run_fn(fresh_state())
+    state = fresh_state()
+    # serialize init/prime before dispatching the run: dispatches run
+    # ahead of buffer frees through the tunnel (CLAUDE.md), so without a
+    # barrier the pre-prime state copies are still live when the run
+    # program's buffers allocate — the margin at the >200M ceiling
+    jax.block_until_ready(state.f_score)
+    state = run_fn(state)
     scored = int(state.n_scored)
     log(f"first run: {time.perf_counter() - t0:.1f}s, scored {scored}, "
         f"dropped {int(state.n_dropped)}, steps {int(state.n_steps)}")
