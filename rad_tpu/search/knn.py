@@ -51,7 +51,8 @@ def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
 
 @partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width",
                                    "visited_capacity", "prefix_words",
-                                   "prefix_keep"))
+                                   "prefix_keep", "adj_bits", "adj_group",
+                                   "m0_packed"))
 def search_device_jit(
     packed: jnp.ndarray,
     pops: jnp.ndarray,
@@ -67,6 +68,9 @@ def search_device_jit(
     prefix_keep: int = 0,
     prefix: jnp.ndarray | None = None,
     prefix_pops: jnp.ndarray | None = None,
+    adj_bits: int = 32,
+    adj_group: int = 1,
+    m0_packed: int | None = None,
 ):
     """Batched search. Returns ``(dists [B, k], node_ids [B, k])``.
 
@@ -89,8 +93,24 @@ def search_device_jit(
     trade measured in benchmarks/bench_prefix.py.
     """
     n = packed.shape[0]
-    m0 = adj.shape[1]
+    m0 = m0_packed if adj_bits < 32 else adj.shape[1]
     e = expand_width
+
+    if adj_bits < 32:
+        from rad_tpu.graph.adjpack import unpack_adjacency_rows
+        w = adj.shape[-1] // adj_group
+
+        def fetch_rows(ridx):
+            """[...] row indices -> [..., M0] ids (grouped bit-field
+            decode — the >180M serving layout, graph/adjpack.py)."""
+            sup = adj[ridx // adj_group]
+            cols = ((ridx % adj_group)[..., None] * w
+                    + jnp.arange(w, dtype=jnp.int32))
+            sub = jnp.take_along_axis(sup, cols, axis=-1)
+            return unpack_adjacency_rows(sub, m0, adj_bits)
+    else:
+        def fetch_rows(ridx):
+            return adj[ridx]
     # dense [B, N] visited while it fits the budget (exact, cheapest);
     # bounded hash table past it (memory independent of N)
     dense = visited_capacity is None and use_dense_visited(
@@ -123,7 +143,7 @@ def search_device_jit(
 
             def body(c):
                 ep_i, d_i, _ = c
-                row = adj[offsets[l] + ep_i]
+                row = fetch_rows(offsets[l] + ep_i)
                 valid = row >= 0
                 d_n = _query_dist(q, q_pop, packed, pops, row, valid)
                 j = jnp.argmin(d_n)
@@ -171,7 +191,7 @@ def search_device_jit(
             expanded = expanded.at[jnp.where(has_work, sel, ef)].set(
                 True, mode="drop")
             u = jnp.maximum(beam_id[sel], 0)               # [E]
-            rows = adj[u].reshape(-1)                      # [E*M0]
+            rows = fetch_rows(u).reshape(-1)               # [E*M0]
             valid = (rows >= 0) & jnp.repeat(has_work, m0)
             if dense:
                 seen = visited[jnp.maximum(rows, 0)]
@@ -228,17 +248,20 @@ def search_device_jit(
     return jax.vmap(one_query)(queries, q_pops, q_pref_pops)
 
 
-def _prep(graph: HNSWGraph):
+def _prep(graph: HNSWGraph, packed_adjacency: bool | int = False):
     """Per-graph device arrays (adj/offsets), cached ON the graph object so
     the cache entry dies with the graph (no id()-reuse aliasing and no
-    pinned device memory for dead graphs)."""
-    prep = getattr(graph, "_device_prep", None)
+    pinned device memory for dead graphs). Packed and int32 layouts cache
+    under separate keys."""
+    attr = ("_device_prep" if not packed_adjacency
+            else f"_device_prep_packed_{packed_adjacency}")
+    prep = getattr(graph, attr, None)
     if prep is None:
-        dg = prepare_device_graph(graph)
+        dg = prepare_device_graph(graph, packed_adjacency=packed_adjacency)
         packed = jnp.asarray(np.asarray(graph.packed))
         pops = jnp.asarray(np.asarray(graph.popcounts))
         prep = (dg, packed, pops)
-        graph._device_prep = prep
+        setattr(graph, attr, prep)
     return prep
 
 
@@ -264,8 +287,13 @@ def search_device(
     visited_capacity: int | None = None,
     prefix_filter: int | None = None,
     prefix_keep: int | None = None,
+    packed_adjacency: bool | int = False,
 ):
     """Search a built graph: ``(dists [B, k], node_ids [B, k])``.
+
+    ``packed_adjacency=True`` searches over the grouped bit-field
+    neighbor table (rad_tpu.graph.adjpack — same results, ~bits/32 of
+    the adjacency HBM; the serving option past the int32 ceiling).
 
     Query batches larger than ``chunk_size`` are processed in equal chunks
     through one compiled program (bounds compile size and the B·H visited
@@ -276,7 +304,7 @@ def search_device(
     graduate to full-width distances (default E·M0/4). Heuristic —
     measured recall/throughput trade in benchmarks/bench_prefix.py.
     """
-    dg, packed, pops = _prep(graph)
+    dg, packed, pops = _prep(graph, packed_adjacency)
     queries = np.atleast_2d(np.asarray(queries, np.uint32))
     ef = max(expansion_search, k)
     b = queries.shape[0]
@@ -285,8 +313,7 @@ def search_device(
     keep = 0
     if prefix_filter:
         pw = max(1, int(prefix_filter) // 32)
-        m0 = dg.adj.shape[1]
-        keep = prefix_keep or max(k, (expand_width * m0) // 4)
+        keep = prefix_keep or max(k, (expand_width * dg.m0) // 4)
         prefix, prefix_pops = _prefix_prep(graph, packed, pw)
     if chunk_size is None:
         chunk_size = max(1, min(b, 4096))
@@ -294,7 +321,9 @@ def search_device(
               expand_width=expand_width,
               visited_capacity=visited_capacity,
               prefix_words=pw, prefix_keep=keep,
-              prefix=prefix, prefix_pops=prefix_pops)
+              prefix=prefix, prefix_pops=prefix_pops,
+              adj_bits=dg.adj_bits, adj_group=dg.adj_group,
+              m0_packed=dg.m0)
     if b <= chunk_size:
         return search_device_jit(packed, pops, dg.adj, dg.offsets,
                                  jnp.asarray(queries), **kw)

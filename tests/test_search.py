@@ -106,3 +106,27 @@ def test_prefix_filter_recall_and_degenerate_equivalence():
         for q in range(queries.shape[0])
     ])
     assert overlap >= 0.9, f"prefix-filtered overlap with baseline {overlap}"
+
+
+def test_search_device_packed_adjacency_identical():
+    """search_device(packed_adjacency=True) walks the grouped bit-field
+    table and must return exactly the int32 search's results."""
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.search.knn import search_device
+
+    fps = random_fingerprints(700, n_bits=128, density=0.25, seed=21)
+    graph = build_hnsw(fps, connectivity=6, expansion_add=48, seed=7)
+    queries = random_fingerprints(9, n_bits=128, density=0.25, seed=22)
+    d_u, i_u = search_device(graph, queries, k=8, expansion_search=48)
+    d_p, i_p = search_device(graph, queries, k=8, expansion_search=48,
+                             packed_adjacency=True)
+    np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p), atol=0)
+    # prefix filter composes with the packed table
+    d_u2, i_u2 = search_device(graph, queries, k=8, expansion_search=48,
+                               prefix_filter=64)
+    d_p2, i_p2 = search_device(graph, queries, k=8, expansion_search=48,
+                               prefix_filter=64, packed_adjacency=True)
+    np.testing.assert_array_equal(np.asarray(i_u2), np.asarray(i_p2))
+    np.testing.assert_allclose(np.asarray(d_u2), np.asarray(d_p2), atol=0)
