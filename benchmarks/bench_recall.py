@@ -45,6 +45,10 @@ def main(argv=None) -> int:
     ap.add_argument("--chain", type=int, default=8,
                     help="query blocks chained inside one jitted scan for "
                          "the RTT-free q/s measurement")
+    ap.add_argument("--packed-adj", action="store_true",
+                    help="search over the grouped bit-field neighbor "
+                         "table (rad_tpu.graph.adjpack) — result-identical; "
+                         "measures the decode cost on the search path")
     args = ap.parse_args(argv)
 
     import numpy as _np
@@ -92,14 +96,16 @@ def main(argv=None) -> int:
     import jax
     from rad_tpu.search.knn import search_device_jit, _prep
 
-    dg, packed_j, pops_j = _prep(graph)
+    dg, packed_j, pops_j = _prep(graph, packed_adjacency=args.packed_adj)
     rng_c = _np.random.default_rng(7)
     qk = _np.stack([fps[rng_c.choice(args.n, args.q, replace=False)]
                     for _ in range(args.chain)])
     qk_j = jnp.asarray(qk)
 
     def make_chain(ef):
-        kw = dict(k=args.k, ef=max(ef, args.k), max_level=dg.max_level)
+        kw = dict(k=args.k, ef=max(ef, args.k), max_level=dg.max_level,
+                  adj_bits=dg.adj_bits, adj_group=dg.adj_group,
+                  m0_packed=dg.m0)
 
         @jax.jit
         def chain(packed, pops, adj, offsets, qks):
@@ -114,11 +120,13 @@ def main(argv=None) -> int:
     results = []
     for ef in args.efs:
         _, ids = search_device(graph, queries, k=args.k,
-                               expansion_search=ef)   # compile + warm
+                               expansion_search=ef,
+                               packed_adjacency=args.packed_adj)  # warm
         ids = np.asarray(ids)
         t0 = time.perf_counter()
-        ids2 = np.asarray(search_device(graph, queries, k=args.k,
-                                        expansion_search=ef)[1])
+        ids2 = np.asarray(search_device(
+            graph, queries, k=args.k, expansion_search=ef,
+            packed_adjacency=args.packed_adj)[1])
         dt = time.perf_counter() - t0
         recall = float(np.mean([
             len(set(ids[i].tolist()) & true_sets[i]) / args.k
