@@ -45,19 +45,37 @@ def main(argv=None) -> int:
     ap.add_argument("--chain", type=int, default=8,
                     help="query blocks chained inside one jitted scan for "
                          "the RTT-free q/s measurement")
+    ap.add_argument("--expand-width", type=int, default=4,
+                    help="beam entries expanded per iteration (E): wider "
+                         "waves = fewer lockstep iterations per query")
     ap.add_argument("--packed-adj", action="store_true",
                     help="search over the grouped bit-field neighbor "
                          "table (rad_tpu.graph.adjpack) — result-identical; "
                          "measures the decode cost on the search path")
+    ap.add_argument("--graph-cache", default=None,
+                    help="path to save/reuse the built graph npz — a 1M "
+                         "native build costs ~25 min on this one core; "
+                         "sweeping search configs should not repeat it")
     args = ap.parse_args(argv)
 
     import numpy as _np
     import jax.numpy as jnp
     from rad_tpu.fp import random_fingerprints
     from rad_tpu.fp.tanimoto import bruteforce_topk_blocked
+    from rad_tpu.graph.storage import HNSWGraph
     from rad_tpu.search.knn import search_device
 
-    if args.library == "tree":
+    graph = None
+    if args.graph_cache and os.path.exists(args.graph_cache):
+        log(f"loading cached graph {args.graph_cache} ...")
+        graph = HNSWGraph.load(args.graph_cache, mmap=False)
+        assert len(graph) == args.n and \
+            graph.connectivity == args.connectivity, (
+                len(graph), graph.connectivity)
+        fps = _np.asarray(graph.packed)
+        rng = _np.random.default_rng(99)
+        queries = fps[rng.choice(args.n, args.q, replace=False)]
+    elif args.library == "tree":
         sys.path.insert(0, os.path.join(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__))), "examples"))
         from enrichment_example import make_library
@@ -69,17 +87,22 @@ def main(argv=None) -> int:
                                   seed=0)
         queries = random_fingerprints(args.q, n_bits=args.n_bits,
                                       density=0.1, seed=99)
-    log(f"building {args.n}-node graph ...")
-    t0 = time.perf_counter()
-    try:
-        from rad_tpu.native import build_hnsw_native
-        graph = build_hnsw_native(fps, connectivity=args.connectivity,
-                                  expansion_add=args.expansion_add, seed=0)
-    except Exception:
-        from rad_tpu.build.reference import build_hnsw
-        graph = build_hnsw(fps, connectivity=args.connectivity,
-                           expansion_add=args.expansion_add, seed=0)
-    log(f"build: {time.perf_counter()-t0:.1f}s")
+    if graph is None:
+        log(f"building {args.n}-node graph ...")
+        t0 = time.perf_counter()
+        try:
+            from rad_tpu.native import build_hnsw_native
+            graph = build_hnsw_native(fps, connectivity=args.connectivity,
+                                      expansion_add=args.expansion_add,
+                                      seed=0)
+        except Exception:
+            from rad_tpu.build.reference import build_hnsw
+            graph = build_hnsw(fps, connectivity=args.connectivity,
+                               expansion_add=args.expansion_add, seed=0)
+        log(f"build: {time.perf_counter()-t0:.1f}s")
+        if args.graph_cache:
+            graph.save(args.graph_cache)
+            log(f"saved graph cache -> {args.graph_cache}")
 
     log("exact ground truth ...")
     _, true_ids = bruteforce_topk_blocked(
@@ -104,6 +127,7 @@ def main(argv=None) -> int:
 
     def make_chain(ef):
         kw = dict(k=args.k, ef=max(ef, args.k), max_level=dg.max_level,
+                  expand_width=args.expand_width,
                   adj_bits=dg.adj_bits, adj_group=dg.adj_group,
                   m0_packed=dg.m0)
 
@@ -121,11 +145,13 @@ def main(argv=None) -> int:
     for ef in args.efs:
         _, ids = search_device(graph, queries, k=args.k,
                                expansion_search=ef,
+                               expand_width=args.expand_width,
                                packed_adjacency=args.packed_adj)  # warm
         ids = np.asarray(ids)
         t0 = time.perf_counter()
         ids2 = np.asarray(search_device(
             graph, queries, k=args.k, expansion_search=ef,
+            expand_width=args.expand_width,
             packed_adjacency=args.packed_adj)[1])
         dt = time.perf_counter() - t0
         recall = float(np.mean([

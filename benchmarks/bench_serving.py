@@ -42,40 +42,53 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def synth_graph_file(n: int, m: int, path: str, seed: int = 0) -> dict:
-    """Write a valid level-sorted HNSW-format graph of n nodes (no vectors)."""
-    from rad_tpu.build.reference import sample_levels
-    from rad_tpu.graph.storage import HNSWGraph
+def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
+                     chunk_rows: int = 4_000_000) -> dict:
+    """Write a valid level-sorted HNSW-format graph of n nodes (no vectors).
 
-    rng = np.random.default_rng(seed)
-    levels = np.sort(sample_levels(n, m, seed))[::-1].copy()
+    Streamed via :class:`NpzStreamWriter` in ``chunk_rows`` pieces so peak
+    RAM is O(chunk), not O(n) — a 1B-node file is ~70 GiB of adjacency that
+    must never be resident at once (the reference's 2B serving file is the
+    same deal, reference index.html:568-580)."""
+    from rad_tpu.build.reference import sample_levels
+    from rad_tpu.graph.storage import NpzStreamWriter
+
+    levels = np.sort(sample_levels(n, m, seed))[::-1]
     max_level = int(levels[0])
-    layer_sizes = [int((levels >= l).sum()) for l in range(max_level + 1)]
-    neighbors = []
+    layer_sizes = [int(np.searchsorted(-levels, -l, side="right"))
+                   for l in range(max_level + 1)]
+    w = NpzStreamWriter(path)
+    with w.member("keys", (n,), np.int64) as mb:
+        for i in range(0, n, chunk_rows):
+            mb.write(np.arange(i, min(i + chunk_rows, n), dtype=np.int64))
+    with w.member("levels", (n,), np.int32) as mb:
+        for i in range(0, n, chunk_rows):
+            mb.write(np.ascontiguousarray(levels[i:i + chunk_rows],
+                                          dtype=np.int32))
+    del levels
+    rng = np.random.default_rng(seed + 1)
     for l, n_l in enumerate(layer_sizes):
         cap = 2 * m if l == 0 else m
-        if n_l <= 1:
-            neighbors.append(np.full((n_l, cap), -1, np.int32))
-            continue
-        # random neighbors != self, a few -1 pads at the tail columns
-        a = rng.integers(0, n_l - 1, size=(n_l, cap), dtype=np.int32)
-        ids = np.arange(n_l, dtype=np.int32)[:, None]
-        a = np.where(a >= ids, a + 1, a)          # skip self
-        pad = rng.integers(0, 4, size=(n_l,))
-        for p in range(1, 4):
-            a[pad == p, cap - p:] = -1
-        neighbors.append(a)
-        del a
-    g = HNSWGraph(
-        packed=np.zeros((n, 1), np.uint32),
-        popcounts=np.zeros((n,), np.int32),
-        keys=np.arange(n, dtype=np.int64),
-        levels=levels.astype(np.int32),
-        neighbors=tuple(neighbors),
-        ndim=32 * 32,
-        connectivity=m,
-    )
-    g.save(path, exclude_vectors=True)
+        with w.member(f"neighbors_{l}", (n_l, cap), np.int32) as mb:
+            if n_l <= 1:
+                if n_l:
+                    mb.write(np.full((n_l, cap), -1, np.int32))
+                continue
+            for i in range(0, n_l, chunk_rows):
+                rows = min(chunk_rows, n_l - i)
+                # random neighbors != self, a few -1 pads at tail columns
+                a = rng.integers(0, n_l - 1, size=(rows, cap),
+                                 dtype=np.int32)
+                ids = np.arange(i, i + rows, dtype=np.int32)[:, None]
+                a = np.where(a >= ids, a + 1, a)          # skip self
+                pad = rng.integers(0, 4, size=(rows,))
+                for p in range(1, 4):
+                    a[pad == p, cap - p:] = -1
+                mb.write(a)
+                del a
+    w.close({"ndim": 32 * 32, "connectivity": m,
+             "n_layers": max_level + 1, "exclude_vectors": True,
+             "version": 1})
     return {"max_level": max_level, "layer_sizes": layer_sizes}
 
 

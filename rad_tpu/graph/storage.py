@@ -32,7 +32,83 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HNSWGraph", "LayerStats"]
+__all__ = ["HNSWGraph", "LayerStats", "NpzStreamWriter"]
+
+
+class NpzStreamWriter:
+    """Stream an *uncompressed* ``.npz`` to disk member-by-member, in chunks.
+
+    ``HNSWGraph.save`` materializes every array before ``np.savez`` — fine
+    up to ~100M nodes, but a billion-node serving file (the reference's 2B
+    deployment, reference index.html:568-580) is ~70 GiB of adjacency that
+    should never exist in RAM at once. This writer produces byte-compatible
+    archives (ZIP_STORED + zip64) that ``HNSWGraph.load(mmap=True)`` maps
+    in place, while each member is fed as a sequence of row chunks.
+
+        w = NpzStreamWriter(path)
+        with w.member("neighbors_0", (n, 16), np.int32) as m:
+            for chunk in chunks:      # [rows, 16] int32 pieces
+                m.write(chunk)
+        w.write_array("keys", np.arange(...))   # small members in one go
+        w.close(meta_dict)                      # writes meta_json + directory
+    """
+
+    def __init__(self, path: str):
+        import zipfile
+
+        self._zip = zipfile.ZipFile(path, "w", zipfile.ZIP_STORED,
+                                    allowZip64=True)
+
+    class _Member:
+        def __init__(self, fp, shape, dtype):
+            self._fp = fp
+            self._rows = 0
+            self._shape = shape
+            self._dtype = np.dtype(dtype)
+
+        def write(self, chunk: np.ndarray) -> None:
+            chunk = np.ascontiguousarray(chunk, dtype=self._dtype)
+            lead = chunk.shape[0] if chunk.ndim else 1
+            if chunk.ndim != len(self._shape) or \
+                    chunk.shape[1:] != tuple(self._shape[1:]):
+                raise ValueError(f"chunk shape {chunk.shape} does not extend "
+                                 f"member shape {self._shape}")
+            self._fp.write(memoryview(chunk).cast("B"))
+            self._rows += lead
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, exc_type, exc, tb):
+            if exc_type is None and self._rows != self._shape[0]:
+                raise ValueError(
+                    f"member closed after {self._rows} rows; "
+                    f"declared {self._shape[0]}")
+            self._fp.close()
+            return False
+
+    def member(self, name: str, shape, dtype) -> "NpzStreamWriter._Member":
+        """Open member ``name`` for chunked writes (use as a context mgr)."""
+        import zipfile
+
+        info = zipfile.ZipInfo(name + ".npy", date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_STORED
+        fp = self._zip.open(info, "w", force_zip64=True)
+        np.lib.format.write_array_header_2_0(
+            fp, {"descr": np.lib.format.dtype_to_descr(np.dtype(dtype)),
+                 "fortran_order": False, "shape": tuple(shape)})
+        return self._Member(fp, tuple(shape), dtype)
+
+    def write_array(self, name: str, array: np.ndarray) -> None:
+        array = np.asarray(array)
+        with self.member(name, array.shape, array.dtype) as m:
+            m.write(array)
+
+    def close(self, meta: dict | None = None) -> None:
+        if meta is not None:
+            self.write_array("meta_json", np.frombuffer(
+                json.dumps(meta).encode(), dtype=np.uint8))
+        self._zip.close()
 
 
 def _mmap_npz_members(path: str):

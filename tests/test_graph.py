@@ -190,3 +190,75 @@ def test_exclude_vectors_serving_file(tmp_path, small_graph):
     assert g.get_top_level_nodes() == small_graph.get_top_level_nodes()
     np.testing.assert_array_equal(np.asarray(g.keys),
                                   np.asarray(small_graph.keys))
+
+
+def test_npz_stream_writer_parity(tmp_path, small_graph):
+    """NpzStreamWriter produces archives HNSWGraph.load(mmap=True) maps in
+    place, identical to a save() file — the 1B-node serving-file path
+    (reference's 2B mmap deployment, index.html:568-580) writes its ~70 GiB
+    of adjacency through this in chunks."""
+    from rad_tpu.graph.storage import NpzStreamWriter
+
+    p = str(tmp_path / "streamed.npz")
+    w = NpzStreamWriter(p)
+    w.write_array("keys", np.asarray(small_graph.keys))
+    w.write_array("levels", np.asarray(small_graph.levels))
+    for l, t in enumerate(small_graph.neighbors):
+        t = np.asarray(t)
+        with w.member(f"neighbors_{l}", t.shape, t.dtype) as mb:
+            step = max(1, t.shape[0] // 3)
+            for i in range(0, t.shape[0], step):
+                mb.write(t[i:i + step])
+    w.close({"ndim": small_graph.ndim,
+             "connectivity": small_graph.connectivity,
+             "n_layers": len(small_graph.neighbors),
+             "exclude_vectors": True, "version": 1})
+
+    g = HNSWGraph.load(p, mmap=True)
+    assert isinstance(g.levels, np.memmap), type(g.levels)
+    assert not g.has_vectors
+    np.testing.assert_array_equal(np.asarray(g.keys),
+                                  np.asarray(small_graph.keys))
+    np.testing.assert_array_equal(np.asarray(g.levels),
+                                  np.asarray(small_graph.levels))
+    for a, b in zip(g.neighbors, small_graph.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert g.get_neighbors(0, 0) == small_graph.get_neighbors(0, 0)
+
+
+def test_npz_stream_writer_shape_guards(tmp_path):
+    from rad_tpu.graph.storage import NpzStreamWriter
+
+    p = str(tmp_path / "bad.npz")
+    w = NpzStreamWriter(p)
+    with pytest.raises(ValueError, match="does not extend"):
+        with w.member("a", (4, 3), np.int32) as mb:
+            mb.write(np.zeros((2, 5), np.int32))
+    with pytest.raises(ValueError, match="declared"):
+        with w.member("b", (4, 3), np.int32) as mb:
+            mb.write(np.zeros((2, 3), np.int32))
+
+
+def test_synth_graph_file_streamed(tmp_path):
+    """bench_serving's chunked synthesizer writes a valid level-sorted,
+    self-edge-free serving file (anti-rot for the 1B bench path)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from benchmarks.bench_serving import synth_graph_file
+
+    p = str(tmp_path / "synth.npz")
+    info = synth_graph_file(5000, 8, p, chunk_rows=700)
+    g = HNSWGraph.load(p, mmap=True)
+    assert len(g) == 5000
+    assert g.max_level == info["max_level"]
+    assert list(g.layer_sizes) == info["layer_sizes"]
+    lv = np.asarray(g.levels)
+    assert (np.diff(lv) <= 0).all()          # level-sorted descending
+    for l, t in enumerate(g.neighbors):
+        t = np.asarray(t)
+        n_l = t.shape[0]
+        assert t.shape[1] == (16 if l == 0 else 8)
+        assert (t >= -1).all() and (t < n_l).all()
+        ids = np.arange(n_l, dtype=np.int32)[:, None]
+        assert not (t == ids).any()          # no self edges
+    assert g.get_neighbors(0, 0)             # fork accessor works
