@@ -49,23 +49,32 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
     Streamed via :class:`NpzStreamWriter` in ``chunk_rows`` pieces so peak
     RAM is O(chunk), not O(n) — a 1B-node file is ~70 GiB of adjacency that
     must never be resident at once (the reference's 2B serving file is the
-    same deal, reference index.html:568-580)."""
-    from rad_tpu.build.reference import sample_levels
+    same deal, reference index.html:568-580).
+
+    Levels are the expected geometric occupancy (hnsw_layer_sizes, the
+    same model bench_scale's device generator uses) rather than sampled:
+    per-element sampling + a global 1B-element sort costs tens of CPU-
+    minutes on this host for zero structural difference. Neighbor ids
+    come from full-range raw bits + modulo — numpy's bounded
+    ``Generator.integers`` with a varying bound is ~1000x slower than the
+    full-range mask path (measured: 554 s vs 0.1 s per 8M rows)."""
+    from benchmarks.bench_scale import hnsw_layer_sizes
     from rad_tpu.graph.storage import NpzStreamWriter
 
-    levels = np.sort(sample_levels(n, m, seed))[::-1]
-    max_level = int(levels[0])
-    layer_sizes = [int(np.searchsorted(-levels, -l, side="right"))
-                   for l in range(max_level + 1)]
+    layer_sizes = hnsw_layer_sizes(n, m)
+    max_level = len(layer_sizes) - 1
+    sizes_asc = np.asarray(layer_sizes[::-1], np.int64)
     w = NpzStreamWriter(path)
     with w.member("keys", (n,), np.int64) as mb:
         for i in range(0, n, chunk_rows):
             mb.write(np.arange(i, min(i + chunk_rows, n), dtype=np.int64))
+    # level-sorted descending ids: node i's level = #{l : i < N_l} - 1
     with w.member("levels", (n,), np.int32) as mb:
         for i in range(0, n, chunk_rows):
-            mb.write(np.ascontiguousarray(levels[i:i + chunk_rows],
-                                          dtype=np.int32))
-    del levels
+            ids = np.arange(i, min(i + chunk_rows, n), dtype=np.int64)
+            lev = (len(layer_sizes)
+                   - np.searchsorted(sizes_asc, ids, side="right") - 1)
+            mb.write(lev.astype(np.int32))
     rng = np.random.default_rng(seed + 1)
     for l, n_l in enumerate(layer_sizes):
         cap = 2 * m if l == 0 else m
@@ -77,15 +86,16 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
             for i in range(0, n_l, chunk_rows):
                 rows = min(chunk_rows, n_l - i)
                 # random neighbors != self, a few -1 pads at tail columns
-                a = rng.integers(0, n_l - 1, size=(rows, cap),
-                                 dtype=np.int32)
+                bits = rng.integers(0, 1 << 32, size=(rows, cap),
+                                    dtype=np.uint32)
+                a = (bits % np.uint32(n_l - 1)).astype(np.int32)
                 ids = np.arange(i, i + rows, dtype=np.int32)[:, None]
                 a = np.where(a >= ids, a + 1, a)          # skip self
-                pad = rng.integers(0, 4, size=(rows,))
+                pad = (bits[:, 0] & np.uint32(3)).astype(np.int64)
                 for p in range(1, 4):
                     a[pad == p, cap - p:] = -1
                 mb.write(a)
-                del a
+                del a, bits
     w.close({"ndim": 32 * 32, "connectivity": m,
              "n_layers": max_level + 1, "exclude_vectors": True,
              "version": 1})

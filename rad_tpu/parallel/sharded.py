@@ -44,6 +44,8 @@ from rad_tpu.traverse.device import (
 __all__ = [
     "ShardedGraph",
     "shard_graph",
+    "shard_graph_streamed",
+    "put_sharded_rows",
     "sharded_bruteforce_topk",
     "sharded_fused_step",
     "make_sharded_step",
@@ -162,6 +164,159 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
         n_pad_rows=n_pad_rows,
         m0=dg.m0,
         max_level=dg.max_level,
+        axis=axis,
+        adj_bits=bits,
+        adj_group=grp,
+    )
+
+
+def put_sharded_rows(mesh: Mesh, axis: str, global_shape, dtype,
+                     make_shard):
+    """Assemble a row-sharded global array from per-shard host callbacks.
+
+    ``make_shard(start, stop) -> np.ndarray [stop-start, ...]`` is invoked
+    once per mesh device with the global row range that device owns; each
+    chunk is placed directly on its device and freed before the next is
+    built, so peak host memory is ONE shard rather than the global array —
+    the difference between "fits" and "cannot exist" at billion-node scale
+    (the reference's 2B library is ~256 GB of fingerprints alone,
+    reference index.html:568-580). ``global_shape[0]`` must divide evenly
+    by the mesh's ``axis`` size. Works multi-process too: each process
+    builds only the shards it can address.
+    """
+    global_shape = tuple(int(s) for s in global_shape)
+    nd = mesh.shape[axis]
+    if global_shape[0] % nd:
+        raise ValueError(
+            f"global row count {global_shape[0]} is not divisible by the "
+            f"{nd}-device '{axis}' mesh axis — pad rows first")
+    sh = NamedSharding(mesh, P(axis, *(None,) * (len(global_shape) - 1)))
+    shards = []
+    for dev_, idx in sh.addressable_devices_indices_map(global_shape).items():
+        sl = idx[0]
+        start = 0 if sl.start is None else int(sl.start)
+        stop = global_shape[0] if sl.stop is None else int(sl.stop)
+        chunk = np.ascontiguousarray(make_shard(start, stop),
+                                     dtype=np.dtype(dtype))
+        expect = (stop - start, *global_shape[1:])
+        if chunk.shape != expect:
+            raise ValueError(f"make_shard({start}, {stop}) returned shape "
+                             f"{chunk.shape}; expected {expect}")
+        shards.append(jax.device_put(chunk, dev_))
+        del chunk
+    return jax.make_array_from_single_device_arrays(global_shape, sh, shards)
+
+
+def _pad_range_fn(fn, n_real: int, ncols: int, fill, dtype):
+    """Wrap a [0, n_real) row-range callback so reads past n_real yield
+    ``fill`` rows (the shard-padding region)."""
+    def wrapped(start, stop):
+        if start >= n_real:
+            return np.full((stop - start, ncols), fill, dtype)
+        real = np.ascontiguousarray(fn(start, min(stop, n_real)),
+                                    dtype=dtype)
+        if stop <= n_real:
+            return real
+        return np.concatenate(
+            [real, np.full((stop - n_real, ncols), fill, dtype)])
+    return wrapped
+
+
+def shard_graph_streamed(mesh: Mesh, *, n_nodes: int, layer_sizes,
+                         m0: int, make_adj_rows, make_packed_rows,
+                         make_pops_rows=None, fp_words: int = 32,
+                         axis: str = "graph",
+                         packed_adjacency: bool | int = False
+                         ) -> ShardedGraph:
+    """Build a :class:`ShardedGraph` shard-by-shard from host callbacks.
+
+    :func:`shard_graph` materializes the FULL adjacency + fingerprint
+    tables on the host before placing them — fine to ~100M nodes, but a
+    billion-node graph is ~60 GB of adjacency that must never exist twice
+    (and on a real pod cannot exist on any single host at 2B). Here the
+    caller supplies row-range producers and every mesh device receives
+    exactly its rows:
+
+    - ``make_adj_rows(start, stop) -> [stop-start, m0] int32`` flat
+      traversal-table rows (``row = offsets[level] + node`` layout,
+      level-0 block first, -1 padded — rad_tpu.traverse.device docstring);
+    - ``make_packed_rows(start, stop) -> [stop-start, fp_words] uint32``
+      packed fingerprints by node id;
+    - ``make_pops_rows(start, stop) -> [stop-start] int32`` per-node
+      popcounts (computed from the fingerprints via ``np.bitwise_count``
+      when omitted).
+
+    ``layer_sizes`` is ``[N_0, N_1, ...]``; rows/nodes are padded to mesh
+    multiples here (callbacks are only consulted for real rows).
+    ``packed_adjacency`` packs each adjacency shard to grouped bit-fields
+    before placement (rad_tpu.graph.adjpack), so the int32 table never
+    exists anywhere at once.
+    """
+    layer_sizes = [int(s) for s in layer_sizes]
+    offsets = np.concatenate([[0], np.cumsum(layer_sizes)]).astype(np.int32)
+    r = int(offsets[-1])
+    offsets_arr = np.concatenate([offsets, [r]]).astype(np.int32)
+    nd = mesh.shape[axis]
+    max_level = len(layer_sizes) - 1
+
+    bits, grp = 32, 1
+    if packed_adjacency:
+        from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
+                                           pack_adjacency_numpy,
+                                           packed_adj_words)
+        bits = (packed_adjacency if isinstance(packed_adjacency, int)
+                and packed_adjacency is not True
+                else adj_bits_for(n_nodes))
+        grp = adj_group_for(m0, bits)
+
+    n_pad_nodes = -(-n_nodes // nd) * nd
+    n_pad_rows = -(-r // (nd * grp)) * (nd * grp)
+
+    adj_rows = _pad_range_fn(make_adj_rows, r, m0, -1, np.int32)
+    fp_rows = _pad_range_fn(make_packed_rows, n_nodes, fp_words, 0,
+                            np.uint32)
+    if make_pops_rows is None:
+        def pops_fn(start, stop):
+            return np.bitwise_count(fp_rows(start, stop)).sum(
+                axis=1).astype(np.int32)
+    else:
+        def pops_fn(start, stop):
+            if start >= n_nodes:
+                return np.zeros(stop - start, np.int32)
+            real = np.ascontiguousarray(
+                make_pops_rows(start, min(stop, n_nodes)), dtype=np.int32)
+            if stop <= n_nodes:
+                return real
+            return np.concatenate(
+                [real, np.zeros(stop - n_nodes, np.int32)])
+
+    if bits < 32:
+        w = packed_adj_words(m0, bits)
+
+        def adj_shard(start, stop):
+            # start/stop are PACKED table rows; each covers grp flat rows
+            flat = adj_rows(start * grp, stop * grp)
+            return pack_adjacency_numpy(flat, bits).reshape(-1, grp * w)
+
+        adj = put_sharded_rows(mesh, axis, (n_pad_rows // grp, grp * w),
+                               np.uint32, adj_shard)
+    else:
+        adj = put_sharded_rows(mesh, axis, (n_pad_rows, m0), np.int32,
+                               adj_rows)
+
+    return ShardedGraph(
+        packed=put_sharded_rows(mesh, axis, (n_pad_nodes, fp_words),
+                                np.uint32, fp_rows),
+        pops=put_sharded_rows(mesh, axis, (n_pad_nodes,), np.int32,
+                              lambda s, e: pops_fn(s, e)),
+        adj=adj,
+        offsets=_global_put(offsets_arr, mesh, P()),
+        n_nodes=n_nodes,
+        n_rows=r,
+        n_pad_nodes=n_pad_nodes,
+        n_pad_rows=n_pad_rows,
+        m0=m0,
+        max_level=max_level,
         axis=axis,
         adj_bits=bits,
         adj_group=grp,

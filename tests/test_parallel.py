@@ -515,3 +515,75 @@ def test_packed_adjacency_pod_bit_identical(mesh, built):
     d_p, i_p = s_p(jnp.asarray(queries))
     np.testing.assert_array_equal(np.asarray(i_u), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p), atol=0)
+
+
+def test_shard_graph_streamed_matches_materialized(mesh, built):
+    """shard_graph_streamed (per-shard host callbacks, the billion-node
+    constructor) produces byte-identical device layout to shard_graph's
+    materialize-then-place path, for int32 AND packed adjacency — and the
+    pod step over it is bit-identical."""
+    from rad_tpu.parallel.sharded import shard_graph_streamed
+
+    graph = built
+    dg = dev.prepare_device_graph(graph)
+    adj_np = np.asarray(dg.adj)
+    fps_np = np.asarray(graph.packed)
+    pops_np = np.asarray(graph.popcounts)
+    calls = []
+
+    def make_sg(packed_adjacency):
+        return shard_graph_streamed(
+            mesh,
+            n_nodes=len(graph),
+            layer_sizes=graph.layer_sizes,
+            m0=dg.m0,
+            make_adj_rows=lambda s, e: (calls.append((s, e)),
+                                        adj_np[s:e])[1],
+            make_packed_rows=lambda s, e: fps_np[s:e],
+            fp_words=fps_np.shape[1],
+            packed_adjacency=packed_adjacency,
+        )
+
+    for packed_adjacency in (False, True):
+        sg_ref = shard_graph(graph, mesh, packed_adjacency=packed_adjacency)
+        sg_st = make_sg(packed_adjacency)
+        assert sg_st.n_pad_rows == sg_ref.n_pad_rows
+        assert sg_st.n_pad_nodes == sg_ref.n_pad_nodes
+        assert (sg_st.adj_bits, sg_st.adj_group) == \
+            (sg_ref.adj_bits, sg_ref.adj_group)
+        np.testing.assert_array_equal(np.asarray(sg_st.adj),
+                                      np.asarray(sg_ref.adj))
+        np.testing.assert_array_equal(np.asarray(sg_st.packed),
+                                      np.asarray(sg_ref.packed))
+        np.testing.assert_array_equal(np.asarray(sg_st.pops),
+                                      np.asarray(sg_ref.pops))
+        np.testing.assert_array_equal(np.asarray(sg_st.offsets),
+                                      np.asarray(sg_ref.offsets))
+        # each device's shard was requested exactly once, in its own range
+        assert len(calls) == 8
+        calls.clear()
+
+    # default pops path (np.bitwise_count) matches the stored popcounts
+    sg_auto = make_sg(False)
+    np.testing.assert_array_equal(
+        np.asarray(sg_auto.pops)[: len(graph)], pops_np)
+
+    # and the pod step over the streamed graph is bit-identical
+    target = random_fingerprints(1, n_bits=128, density=0.25, seed=78)[0]
+    t_packed = jnp.asarray(target)
+    t_pop = popcount_rows(t_packed[None, :])[0]
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+    seed_scores = tanimoto_matrix(
+        t_packed[None, :], jnp.asarray(fps_np[:n_top]))[0]
+    finals = []
+    for sg in (shard_graph(built, mesh), sg_auto):
+        st = dev.prime(dev.init_state(dg, frontier_capacity=1 << 10),
+                       dg, ids, seed_scores)
+        step = make_sharded_step(sg, mesh, batch=4)
+        for _ in range(10):
+            st = step(st, t_packed, t_pop)
+        finals.append(st)
+    assert int(finals[0].n_scored) == int(finals[1].n_scored)
+    np.testing.assert_array_equal(np.asarray(finals[0].scored),
+                                  np.asarray(finals[1].scored))
