@@ -43,7 +43,7 @@ def log(*a):
 
 
 def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
-                     chunk_rows: int = 4_000_000) -> dict:
+                     chunk_rows: int = 4_000_000, slim: bool = False) -> dict:
     """Write a valid level-sorted HNSW-format graph of n nodes (no vectors).
 
     Streamed via :class:`NpzStreamWriter` in ``chunk_rows`` pieces so peak
@@ -57,7 +57,15 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
     minutes on this host for zero structural difference. Neighbor ids
     come from full-range raw bits + modulo — numpy's bounded
     ``Generator.integers`` with a varying bound is ~1000x slower than the
-    full-range mask path (measured: 554 s vs 0.1 s per 8M rows)."""
+    full-range mask path (measured: 554 s vs 0.1 s per 8M rows).
+
+    ``slim=True`` writes the v2 serving format: the keys and levels
+    members are OMITTED and declared derivable in the meta
+    (``identity_keys`` — keys == node ids, and ``derived_levels`` — level
+    from the level-sorted layer sizes), and per-layer edge counts are
+    recorded so ``levels_stats`` never scans the file. At 2B nodes those
+    two members alone are 24 GB — the difference between the reference's
+    2B deployment fitting this disk or not."""
     from benchmarks.bench_scale import hnsw_layer_sizes
     from rad_tpu.graph.storage import NpzStreamWriter
 
@@ -65,23 +73,29 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
     max_level = len(layer_sizes) - 1
     sizes_asc = np.asarray(layer_sizes[::-1], np.int64)
     w = NpzStreamWriter(path)
-    with w.member("keys", (n,), np.int64) as mb:
-        for i in range(0, n, chunk_rows):
-            mb.write(np.arange(i, min(i + chunk_rows, n), dtype=np.int64))
-    # level-sorted descending ids: node i's level = #{l : i < N_l} - 1
-    with w.member("levels", (n,), np.int32) as mb:
-        for i in range(0, n, chunk_rows):
-            ids = np.arange(i, min(i + chunk_rows, n), dtype=np.int64)
-            lev = (len(layer_sizes)
-                   - np.searchsorted(sizes_asc, ids, side="right") - 1)
-            mb.write(lev.astype(np.int32))
+    if not slim:
+        with w.member("keys", (n,), np.int64) as mb:
+            for i in range(0, n, chunk_rows):
+                mb.write(np.arange(i, min(i + chunk_rows, n),
+                                   dtype=np.int64))
+        # level-sorted descending ids: node i's level = #{l : i < N_l} - 1
+        with w.member("levels", (n,), np.int32) as mb:
+            for i in range(0, n, chunk_rows):
+                ids = np.arange(i, min(i + chunk_rows, n), dtype=np.int64)
+                lev = (len(layer_sizes)
+                       - np.searchsorted(sizes_asc, ids, side="right") - 1)
+                mb.write(lev.astype(np.int32))
     rng = np.random.default_rng(seed + 1)
+    edges_per_layer = []
+    t_start = time.time()
     for l, n_l in enumerate(layer_sizes):
         cap = 2 * m if l == 0 else m
+        edges = 0
         with w.member(f"neighbors_{l}", (n_l, cap), np.int32) as mb:
             if n_l <= 1:
                 if n_l:
                     mb.write(np.full((n_l, cap), -1, np.int32))
+                edges_per_layer.append(0)
                 continue
             for i in range(0, n_l, chunk_rows):
                 rows = min(chunk_rows, n_l - i)
@@ -94,11 +108,22 @@ def synth_graph_file(n: int, m: int, path: str, seed: int = 0,
                 pad = (bits[:, 0] & np.uint32(3)).astype(np.int64)
                 for p in range(1, 4):
                     a[pad == p, cap - p:] = -1
+                edges += rows * cap - int(pad.sum())      # pad in {0,1,2,3}
                 mb.write(a)
                 del a, bits
-    w.close({"ndim": 32 * 32, "connectivity": m,
-             "n_layers": max_level + 1, "exclude_vectors": True,
-             "version": 1})
+                if l == 0 and i % (16 * chunk_rows) == 0 and i:
+                    done = i / n_l
+                    log(f"  layer 0: {done:5.1%} "
+                        f"({(time.time()-t_start)/60:.1f} min)")
+        edges_per_layer.append(edges)
+    meta = {"ndim": 32 * 32, "connectivity": m,
+            "n_layers": max_level + 1, "exclude_vectors": True,
+            "version": 2 if slim else 1,
+            "edges_per_layer": edges_per_layer}
+    if slim:
+        meta["identity_keys"] = True
+        meta["derived_levels"] = True
+    w.close(meta)
     return {"max_level": max_level, "layer_sizes": layer_sizes}
 
 
@@ -120,6 +145,10 @@ def main(argv=None) -> int:
     ap.add_argument("--requests", type=int, default=5000)
     ap.add_argument("--threads", type=int, default=8)
     ap.add_argument("--keep-file", action="store_true")
+    ap.add_argument("--slim", action="store_true",
+                    help="v2 serving format: omit keys/levels members "
+                         "(identity/derived), record edge counts in meta — "
+                         "how 2B nodes fit a ~100 GB disk")
     args = ap.parse_args(argv)
 
     from rad_tpu.graph.storage import HNSWGraph
@@ -136,7 +165,7 @@ def main(argv=None) -> int:
              f"import sys; sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r}); "
              f"from benchmarks.bench_serving import synth_graph_file; "
              f"synth_graph_file({args.n}, {args.connectivity}, "
-             f"{args.path!r})"],
+             f"{args.path!r}, slim={args.slim})"],
             check=True)
         log(f"wrote {args.path} in {time.time()-t0:.0f}s "
             f"({os.path.getsize(args.path)/2**30:.1f} GiB)")
@@ -193,6 +222,7 @@ def main(argv=None) -> int:
     result = {
         "metric": "serving_neighbors",
         "n_nodes": n,
+        "format": "v2-slim" if args.slim else "v1",
         "file_gib": round(os.path.getsize(args.path) / 2**30, 2),
         "mmap_load_s": round(t_load, 2),
         "qps": round(len(lats) / wall),

@@ -32,7 +32,109 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HNSWGraph", "LayerStats", "NpzStreamWriter"]
+__all__ = ["HNSWGraph", "LayerStats", "NpzStreamWriter", "ArangeKeys",
+           "DerivedLevels", "neighbor_valid_mask", "host_keys_view",
+           "ADJ_SENTINEL_U32"]
+
+# uint32 adjacency sentinel (tables whose layer has > 2**31 rows cannot use
+# int32 -1; usearch's internal ids are 40-bit for the same reason)
+ADJ_SENTINEL_U32 = np.uint32(0xFFFFFFFF)
+
+
+def neighbor_valid_mask(row: np.ndarray) -> np.ndarray:
+    """Edge-validity mask for an adjacency row/table of either dtype.
+
+    ``int32`` tables pad with ``-1``; ``uint32`` tables (graphs whose ids
+    exceed 2**31, e.g. the reference's 2B serving deployment,
+    reference index.html:568-580) pad with ``0xFFFFFFFF``.
+    """
+    if row.dtype == np.uint32:
+        return row != ADJ_SENTINEL_U32
+    return row >= 0
+
+
+class VirtualArray:
+    """Tiny lazy stand-in for an ``[N]`` host array that is a pure function
+    of the index — never materialized (2B int64 keys are 16 GB that the
+    mmap'd serving file deliberately omits). Supports the indexing the
+    serving/fork-API paths need; ``np.asarray`` materializes (only safe at
+    test scale — the serving paths keep the virtual object, see
+    :func:`host_keys_view`)."""
+
+    dtype: np.dtype
+    shape: tuple
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def size(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _eval(self, ids: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def __getitem__(self, idx):
+        n = self.shape[0]
+        if isinstance(idx, slice):
+            return self._eval(np.arange(*idx.indices(n), dtype=np.int64))
+        if np.ndim(idx) == 0:
+            i = int(idx)
+            if i < 0:
+                i += n
+            if not 0 <= i < n:
+                raise IndexError(i)
+            return self._eval(np.asarray([i], np.int64))[0]
+        return self._eval(np.asarray(idx, np.int64))
+
+    def __array__(self, dtype=None, copy=None):
+        out = self._eval(np.arange(self.shape[0], dtype=np.int64))
+        return out if dtype is None else out.astype(dtype)
+
+
+class ArangeKeys(VirtualArray):
+    """Identity key map: ``keys[i] == i`` (int64). The serving-file
+    analogue of building the index with ``add(np.arange(n), ...)`` —
+    ``meta['identity_keys']`` marks files that omit the keys member."""
+
+    def __init__(self, n: int):
+        self.shape = (int(n),)
+        self.dtype = np.dtype(np.int64)
+
+    def _eval(self, ids: np.ndarray) -> np.ndarray:
+        return ids
+
+
+class DerivedLevels(VirtualArray):
+    """Per-node level derived from level-sorted ids: node ``i`` is on every
+    layer ``l`` with ``i < N_l``, so ``level(i) = #{l : i < N_l} - 1``.
+    Exact for any graph with level-sorted descending ids (this package's
+    invariant); ``meta['derived_levels']`` marks files that omit the
+    levels member."""
+
+    def __init__(self, layer_sizes):
+        self._sizes = np.asarray(layer_sizes, np.int64)
+        self.shape = (int(self._sizes[0]),)
+        self.dtype = np.dtype(np.int32)
+
+    def _eval(self, ids: np.ndarray) -> np.ndarray:
+        return ((ids[:, None] < self._sizes[None, :]).sum(axis=1)
+                .astype(np.int32) - 1)
+
+
+def host_keys_view(keys):
+    """Host-indexable view of a graph's ``keys`` field: virtual keys pass
+    through untouched (never materialized); device/mmap arrays become
+    numpy. Use this instead of ``np.asarray(graph.keys)`` anywhere a
+    billion-node serving graph can appear."""
+    return keys if isinstance(keys, VirtualArray) else np.asarray(keys)
 
 
 class NpzStreamWriter:
@@ -241,18 +343,29 @@ class HNSWGraph:
         return tuple(int(t.shape[0]) for t in self.neighbors)
 
     def levels_stats(self) -> List[LayerStats]:
-        """Per-layer node/edge stats (reference rad/hnsw_server.py:144-161)."""
+        """Per-layer node/edge stats (reference rad/hnsw_server.py:144-161).
+
+        Cached after the first call: the edge count is a full scan of the
+        adjacency (a one-time ~70 GB mmap read at 2B nodes — the /info
+        route must not pay it per request). Files whose meta carries
+        ``edges_per_layer`` (the streamed serving generator records it)
+        skip the scan entirely.
+        """
+        cache = getattr(self, "_levels_stats_cache", None)
+        if cache is not None:
+            return cache
         stats = []
         for table in self.neighbors:
             t = np.asarray(table)
             stats.append(
                 LayerStats(
                     nodes=int(t.shape[0]),
-                    edges=int((t >= 0).sum()),
+                    edges=int(neighbor_valid_mask(t).sum()),
                     max_edges=int(t.shape[0] * t.shape[1]),
                     allocated_bytes=int(t.size * t.dtype.itemsize),
                 )
             )
+        object.__setattr__(self, "_levels_stats_cache", stats)
         return stats
 
     # ----------------------------------------------------------- fork API
@@ -275,8 +388,8 @@ class HNSWGraph:
             raise ValueError(
                 f"node {node_id} does not exist on level {level}")
         row = np.asarray(self.neighbors[level][node_id])
-        ids = row[row >= 0]
-        keys = np.asarray(self.keys)[ids]
+        ids = row[neighbor_valid_mask(row)].astype(np.int64)
+        keys = np.asarray(self.keys[ids])
         out: List[int] = []
         for i, k in zip(ids.tolist(), keys.tolist()):
             out.extend((int(i), int(k)))
@@ -285,7 +398,7 @@ class HNSWGraph:
     def get_top_level_nodes(self) -> List[int]:
         """All nodes on the top layer as ``[id, key, ...]`` (fork parity)."""
         n_top = self.layer_sizes[self.max_level]
-        keys = np.asarray(self.keys)[:n_top]
+        keys = np.asarray(self.keys[:n_top])
         out: List[int] = []
         for i in range(n_top):
             out.extend((i, int(keys[i])))
@@ -294,6 +407,12 @@ class HNSWGraph:
     def get_node_ids_from_keys(self, keys: Sequence[int]) -> List[int]:
         """Map user keys → internal node ids (fork parity,
         reference examples/DUDEZ_example.ipynb:405-409)."""
+        if isinstance(self.keys, ArangeKeys):
+            n = len(self)
+            for k in keys:
+                if not 0 <= int(k) < n:
+                    raise KeyError(int(k))
+            return [int(k) for k in keys]
         if self._key_to_id is None:
             host_keys = np.asarray(self.keys)
             object.__setattr__(
@@ -349,22 +468,36 @@ class HNSWGraph:
         neighbors = tuple(
             data[f"neighbors_{l}"] for l in range(meta["n_layers"])
         )
+        n = int(neighbors[0].shape[0])
+        # v2 serving-file members: identity keys / level-sorted levels can
+        # be derived instead of stored (2B nodes = 16 GB keys + 8 GB levels
+        # the file omits; see NpzStreamWriter callers)
+        keys = (ArangeKeys(n) if meta.get("identity_keys")
+                else data["keys"])
+        levels = (DerivedLevels([t.shape[0] for t in neighbors])
+                  if meta.get("derived_levels") else data["levels"])
         if meta.get("exclude_vectors"):
-            n = data["keys"].shape[0]
             packed = np.zeros((n, 0), np.uint32)
             popcounts = np.zeros((n,), np.int32)
         else:
             packed = data["packed"]
             popcounts = data["popcounts"]
-        return cls(
+        graph = cls(
             packed=packed,
             popcounts=popcounts,
-            keys=data["keys"],
-            levels=data["levels"],
+            keys=keys,
+            levels=levels,
             neighbors=neighbors,
             ndim=meta["ndim"],
             connectivity=meta["connectivity"],
         )
+        if "edges_per_layer" in meta:
+            object.__setattr__(graph, "_levels_stats_cache", [
+                LayerStats(nodes=int(t.shape[0]), edges=int(e),
+                           max_edges=int(t.shape[0] * t.shape[1]),
+                           allocated_bytes=int(t.size * t.dtype.itemsize))
+                for t, e in zip(neighbors, meta["edges_per_layer"])])
+        return graph
 
     # --------------------------------------------------------------- device
     def device_put(self, sharding=None) -> "HNSWGraph":

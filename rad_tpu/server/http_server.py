@@ -36,7 +36,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional, Tuple
 
-from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.graph.storage import HNSWGraph, host_keys_view
 from rad_tpu.store.smiles_store import SmilesStore
 
 logger = logging.getLogger(__name__)
@@ -104,7 +104,7 @@ class HNSWServerApp:
         self.server_name = server_name
         self.metrics = HNSWServerMetrics()
         import numpy as np
-        self._keys = np.asarray(graph.keys)
+        self._keys = host_keys_view(graph.keys)
         self._top_cache: Optional[list] = None
         self._top_cache_lock = threading.Lock()
 

@@ -18,7 +18,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from rad_tpu.graph.storage import HNSWGraph
+from rad_tpu.graph.storage import HNSWGraph, host_keys_view
 from rad_tpu.service.base import HNSWService
 from rad_tpu.store.smiles_store import SmilesStore
 
@@ -42,7 +42,7 @@ class LocalHNSWService(HNSWService):
         self._error_count = 0
         self._request_time = 0.0
         # host copies of key map + adjacency for fast scalar access
-        self._keys = np.asarray(graph.keys)
+        self._keys = host_keys_view(graph.keys)
 
     # ----------------------------------------------------------- internals
     def _check_alive(self) -> None:

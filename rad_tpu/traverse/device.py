@@ -148,6 +148,12 @@ def prepare_device_graph(graph: HNSWGraph,
     so graphs whose int32 footprint alone exceeds HBM (>180M nodes,
     BENCHMARKS.md scale ceiling) can still be loaded for traversal.
     """
+    if any(np.dtype(t.dtype) == np.uint32 for t in graph.neighbors):
+        raise ValueError(
+            "uint32 adjacency (>2**31-id serving-format tables) cannot be "
+            "flattened into the int32 device traversal table; such graphs "
+            "are served via mmap (HNSWGraph.load(mmap=True) + the HTTP "
+            "server) or traversed sharded (rad_tpu.parallel)")
     m0 = max(int(t.shape[1]) for t in graph.neighbors)
     sizes = graph.layer_sizes
     offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int32)

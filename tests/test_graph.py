@@ -262,3 +262,134 @@ def test_synth_graph_file_streamed(tmp_path):
         ids = np.arange(n_l, dtype=np.int32)[:, None]
         assert not (t == ids).any()          # no self edges
     assert g.get_neighbors(0, 0)             # fork accessor works
+
+
+def test_virtual_arrays():
+    """ArangeKeys / DerivedLevels: the lazy stand-ins for the keys/levels
+    members a v2 serving file omits (24 GB at the reference's 2B scale)."""
+    from rad_tpu.graph.storage import ArangeKeys, DerivedLevels
+
+    k = ArangeKeys(100)
+    assert k.shape == (100,) and k.dtype == np.int64 and len(k) == 100
+    assert int(k[7]) == 7 and int(k[-1]) == 99
+    np.testing.assert_array_equal(k[10:20], np.arange(10, 20))
+    np.testing.assert_array_equal(k[np.asarray([5, 0, 99])], [5, 0, 99])
+    np.testing.assert_array_equal(np.asarray(k), np.arange(100))
+    with pytest.raises(IndexError):
+        k[100]
+
+    sizes = (100, 37, 9, 1)
+    lv = DerivedLevels(sizes)
+    assert lv.shape == (100,) and lv.dtype == np.int32
+    expect = np.array([sum(i < s for s in sizes) - 1 for i in range(100)],
+                      np.int32)
+    np.testing.assert_array_equal(np.asarray(lv), expect)
+    assert int(lv[0]) == 3 and int(lv[99]) == 0
+
+
+def test_slim_serving_format(tmp_path):
+    """The v2 serving file (identity keys, derived levels, meta edge
+    counts) reproduces the v1 file's whole fork-API surface while being
+    strictly smaller."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from benchmarks.bench_serving import synth_graph_file
+    from rad_tpu.graph.storage import ArangeKeys, DerivedLevels
+
+    p1 = str(tmp_path / "v1.npz")
+    p2 = str(tmp_path / "v2.npz")
+    synth_graph_file(5000, 8, p1, chunk_rows=700)
+    synth_graph_file(5000, 8, p2, chunk_rows=700, slim=True)
+    import os
+    assert os.path.getsize(p2) < os.path.getsize(p1) - 5000 * 10
+
+    g1 = HNSWGraph.load(p1, mmap=True)
+    g2 = HNSWGraph.load(p2, mmap=True)
+    assert isinstance(g2.keys, ArangeKeys)
+    assert isinstance(g2.levels, DerivedLevels)
+    assert len(g2) == len(g1) == 5000
+    np.testing.assert_array_equal(np.asarray(g2.keys), np.asarray(g1.keys))
+    np.testing.assert_array_equal(np.asarray(g2.levels),
+                                  np.asarray(g1.levels))
+    assert g2.get_top_level_nodes() == g1.get_top_level_nodes()
+    rng = np.random.default_rng(0)
+    for nid in rng.integers(0, 5000, size=20):
+        assert g2.get_neighbors(int(nid), 0) == g1.get_neighbors(int(nid), 0)
+    assert g2.get_node_ids_from_keys([0, 17, 4999]) == [0, 17, 4999]
+    with pytest.raises(KeyError):
+        g2.get_node_ids_from_keys([5000])
+    # levels_stats: g2 comes from meta edge counts, g1 from a table scan
+    s1 = [vars(s) for s in g1.levels_stats()]
+    s2 = [vars(s) for s in g2.levels_stats()]
+    assert s1 == s2
+    # and the cache makes the second call free (same object)
+    assert g1.levels_stats() is g1.levels_stats()
+
+
+def test_slim_file_http_server(tmp_path):
+    """The HTTP server serves a v2 (virtual keys/levels) file end-to-end —
+    the 2B-deployment request path, with nothing materialized."""
+    import http.client
+    import json as _json
+    import sys
+    import threading
+
+    sys.path.insert(0, "/root/repo")
+    from benchmarks.bench_serving import synth_graph_file
+    from rad_tpu.server.http_server import create_hnsw_server
+
+    p = str(tmp_path / "slim.npz")
+    synth_graph_file(3000, 8, p, chunk_rows=700, slim=True)
+    g = HNSWGraph.load(p, mmap=True)
+    srv, _app = create_hnsw_server(g, host="127.0.0.1", port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/neighbors/5/0")
+        r = _json.loads(conn.getresponse().read())
+        assert r["node_id"] == 5 and r["neighbor_count"] > 0
+        # identity keys: the key slots in [id, smiles_or_key...] pairs
+        assert g.get_neighbors(5, 0)[::2] == [
+            n for i, n in enumerate(r["neighbors"][::2])]
+        conn.request("GET", "/top-level-nodes")
+        top = _json.loads(conn.getresponse().read())
+        assert top["node_count"] == g.layer_sizes[g.max_level]
+        conn.request("GET", "/info")
+        info = _json.loads(conn.getresponse().read())
+        assert info["hnsw"]["size"] == 3000
+        assert [s["nodes"] for s in info["levels_stats"]] == \
+            list(g.layer_sizes)
+        conn.close()
+    finally:
+        srv.shutdown()
+
+
+def test_uint32_adjacency():
+    """uint32 adjacency tables (ids past 2**31 — the >2.1B serving regime):
+    fork accessors mask 0xFFFFFFFF sentinels, levels_stats counts edges
+    correctly, and the device-traversal path refuses them loudly."""
+    from rad_tpu.graph.storage import (ADJ_SENTINEL_U32, ArangeKeys,
+                                       DerivedLevels, neighbor_valid_mask)
+    from rad_tpu.traverse.device import prepare_device_graph
+
+    fps = random_fingerprints(50, n_bits=64, density=0.3, seed=1)
+    g = build_hnsw(fps, connectivity=4, expansion_add=16, seed=0)
+    neighbors_u = tuple(
+        np.where(np.asarray(t) >= 0, np.asarray(t).astype(np.uint32),
+                 ADJ_SENTINEL_U32)
+        for t in g.neighbors)
+    gu = HNSWGraph(packed=g.packed, popcounts=g.popcounts,
+                   keys=g.keys,
+                   levels=DerivedLevels(g.layer_sizes),
+                   neighbors=neighbors_u, ndim=g.ndim,
+                   connectivity=g.connectivity)
+    for t, tu in zip(g.neighbors, neighbors_u):
+        np.testing.assert_array_equal(neighbor_valid_mask(tu),
+                                      np.asarray(t) >= 0)
+    for nid in (0, 1, 17, 49):
+        assert gu.get_neighbors(nid, 0) == g.get_neighbors(nid, 0)
+    assert [vars(s) for s in gu.levels_stats()] == \
+        [vars(s) for s in g.levels_stats()]
+    with pytest.raises(ValueError, match="uint32"):
+        prepare_device_graph(gu)
