@@ -6,6 +6,15 @@ Variants:
   floor   — intersections only (dot + integer max): the MXU+unpack ceiling;
             how far `approx` sits from `floor` is the remaining VPU cost.
 
+Epilogue-decomposition probes (split the exact-epilogue cost between the
+f32 divide and the min+argmin double reduction):
+  exact-pk — exact f32 divide + the packed-key SINGLE max reduction
+             (exact-pk − approx  = cost of the exact divide)
+  newton   — approx reciprocal + one Newton refinement + min+argmin
+             (newton − approx-minarg side: cost of the double reduction;
+             the refined divide is ~1e-7 relative, NOT order-exact for
+             equal-ratio (i,u) pairs — probe only, not a product path)
+
 Each variant is one compile on the remote service (4-20 min for new
 shapes) — batch runs of this script. Prints one JSON line with all rates.
 """
@@ -122,6 +131,111 @@ def make_floor_kernel(q_tile: int, n_tile: int, compute_dtype,
     return run
 
 
+def make_epilogue_probe(q_tile: int, n_tile: int, compute_dtype,
+                        mode: str):
+    """1-NN kernels probing the exact-epilogue cost split.
+
+    mode="exact-pk": exact f32 divide, then the packed-key single max
+        reduction (the approx kernel's reduction with the exact divide).
+    mode="newton":   approx reciprocal + one Newton step (~1e-7 relative,
+        order-exact only up to equal-ratio ties), then min+argmin (the
+        exact kernel's reduction with a cheap divide).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from rad_tpu.fp.kernels import _unpack_block_bytes, unpack_bitmajor
+    from rad_tpu.fp.pack import popcount_rows
+
+    def kern(q_bits_ref, q_pops_ref, db_ref, db_pops_ref, out_a, out_b,
+             scratch, *, nbytes):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            if mode == "exact-pk":
+                out_a[:, :] = jnp.full_like(out_a[:, :],
+                                            jnp.iinfo(jnp.int32).min)
+                out_b[:, :] = jnp.zeros_like(out_b[:, :])
+            else:
+                out_a[:, :] = jnp.full_like(out_a[:, :], jnp.inf)
+                out_b[:, :] = jnp.full_like(out_b[:, :], -1)
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            _unpack_block_bytes(db_ref, scratch, nbytes)
+
+        acc = jnp.int32 if scratch.dtype == jnp.int8 else jnp.float32
+        inter = jax.lax.dot_general(
+            q_bits_ref[:, :], scratch[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc).astype(jnp.float32)
+        union = q_pops_ref[:, :] + db_pops_ref[:, :].T - inter
+        u = jnp.maximum(union, 1.0)
+        if mode == "exact-pk":
+            sim = inter / u
+            sim = jnp.where(union > 0, sim, 1.0)
+            bits = jax.lax.bitcast_convert_type(sim, jnp.int32)
+            idx = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+            keys = (bits & ~jnp.int32(n_tile - 1)) | idx
+            kmax = jnp.max(keys, axis=1, keepdims=True)
+            better = kmax > out_a[:, :]
+            out_a[:, :] = jnp.where(better, kmax, out_a[:, :])
+            out_b[:, :] = jnp.where(better, i, out_b[:, :])
+        else:  # newton
+            r = pl.reciprocal(u, approx=True)
+            r = r * (2.0 - u * r)                 # one Newton step
+            sim = jnp.where(union > 0, inter * r, 1.0)
+            dist = 1.0 - sim
+            bmin = jnp.min(dist, axis=1, keepdims=True)
+            barg = jnp.argmin(dist, axis=1)[:, None].astype(jnp.int32)
+            gid = i * n_tile + barg
+            better = bmin < out_a[:, :]
+            out_a[:, :] = jnp.where(better, bmin, out_a[:, :])
+            out_b[:, :] = jnp.where(better, gid, out_b[:, :])
+
+    @jax.jit
+    def run(q_packed, db_packed):
+        q, w = q_packed.shape
+        n, _ = db_packed.shape
+        nbytes = w * 4
+        d = w * 32
+        q_bits = unpack_bitmajor(q_packed, compute_dtype)
+        q_pops = popcount_rows(q_packed).astype(jnp.float32)[:, None]
+        db_pops = popcount_rows(db_packed).astype(jnp.float32)[:, None]
+        db_bytes = jax.lax.bitcast_convert_type(
+            db_packed, jnp.uint8).reshape(n, nbytes)
+        grid = (n // n_tile, q // q_tile)
+        a_dtype = jnp.int32 if mode == "exact-pk" else jnp.float32
+        out_a, _ = pl.pallas_call(
+            functools.partial(kern, nbytes=nbytes),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((q_tile, d), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tile, nbytes), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_tile, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((q_tile, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(jax.ShapeDtypeStruct((q, 1), a_dtype),
+                       jax.ShapeDtypeStruct((q, 1), jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((n_tile, d), compute_dtype)],
+        )(q_bits, q_pops, db_bytes, db_pops)
+        return out_a
+
+    return run
+
+
 def time_variant(name, fn, db_j, qk_j, reps=6):
     """Best seconds per sweep, timed as chained sweeps inside one jitted
     scan over distinct query blocks — one dispatch + one readback per
@@ -184,6 +298,10 @@ def main(argv=None):
             mode = v.replace("-bf16", "")
             fn0 = make_floor_kernel(args.q_tile, args.n_tile, dtype,
                                     mode=mode)
+            fn = lambda dbp, qp, f=fn0: f(qp, dbp)
+        elif v in ("exact-pk", "newton"):
+            fn0 = make_epilogue_probe(args.q_tile, args.n_tile, jnp.int8,
+                                      mode=v)
             fn = lambda dbp, qp, f=fn0: f(qp, dbp)
         else:
             fn = functools.partial(
