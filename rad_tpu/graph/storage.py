@@ -422,7 +422,8 @@ class HNSWGraph:
         return [self._key_to_id[int(k)] for k in keys]
 
     # -------------------------------------------------------------- persist
-    def save(self, path: str, exclude_vectors: bool = False) -> None:
+    def save(self, path: str, exclude_vectors: bool = False,
+             slim: bool = False) -> None:
         """Persist to an ``.npz`` (analogue of usearch file persistence).
 
         ``exclude_vectors=True`` omits the fingerprint matrix — the
@@ -431,11 +432,42 @@ class HNSWGraph:
         2B-molecule adjacency serves /neighbors without the 256 GB of
         vectors. A graph loaded from such a file answers graph queries
         but cannot compute distances (``has_vectors`` is False).
+
+        ``slim=True`` writes the v2 serving format on top of that: the
+        keys and levels members are omitted (they are declared derivable
+        in the meta — at 2B nodes they alone are 24 GB) and per-layer
+        edge counts are recorded so ``levels_stats``/``/info`` never
+        scan the adjacency. Requires identity keys (``keys[i] == i``,
+        i.e. the index was built with ``add(np.arange(n), ...)``) and
+        the package's level-sorted id invariant; raises ``ValueError``
+        otherwise. For graphs too large to hold resident, write the file
+        in chunks with :class:`NpzStreamWriter` instead (the
+        benchmarks/bench_serving.py generator shows the recipe).
         """
-        arrays = {
-            "keys": np.asarray(self.keys),
-            "levels": np.asarray(self.levels),
-        }
+        if slim:
+            if not exclude_vectors:
+                raise ValueError(
+                    "slim=True is a serving-file mode and requires "
+                    "exclude_vectors=True")
+            if not isinstance(self.keys, ArangeKeys):
+                k = np.asarray(self.keys)
+                if not np.array_equal(k, np.arange(len(self),
+                                                   dtype=k.dtype)):
+                    raise ValueError(
+                        "slim=True requires identity keys (keys[i] == i); "
+                        "this graph's keys are not an arange — save "
+                        "without slim")
+            if not isinstance(self.levels, DerivedLevels):
+                expect = np.asarray(DerivedLevels(self.layer_sizes))
+                if not np.array_equal(np.asarray(self.levels), expect):
+                    raise ValueError(
+                        "slim=True requires level-sorted derived levels; "
+                        "this graph's levels member disagrees with its "
+                        "layer sizes — save without slim")
+        arrays = {}
+        if not slim:
+            arrays["keys"] = np.asarray(self.keys)
+            arrays["levels"] = np.asarray(self.levels)
         if not exclude_vectors:
             arrays["packed"] = np.asarray(self.packed)
             arrays["popcounts"] = np.asarray(self.popcounts)
@@ -446,8 +478,12 @@ class HNSWGraph:
             "connectivity": self.connectivity,
             "n_layers": len(self.neighbors),
             "exclude_vectors": bool(exclude_vectors),
-            "version": 1,
+            "version": 2 if slim else 1,
         }
+        if slim:
+            meta["identity_keys"] = True
+            meta["derived_levels"] = True
+            meta["edges_per_layer"] = [s.edges for s in self.levels_stats()]
         arrays["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), dtype=np.uint8
         )

@@ -326,6 +326,39 @@ def test_slim_serving_format(tmp_path):
     assert g1.levels_stats() is g1.levels_stats()
 
 
+def test_save_slim(tmp_path, small_graph):
+    """HNSWGraph.save(slim=True) is the library-level v2 writer: it must
+    round-trip through load to virtual keys/levels + cached stats, and
+    refuse graphs whose keys are not the identity (level-sorting permutes
+    user keys, so slim is only valid for id-keyed serving graphs)."""
+    import dataclasses
+
+    from rad_tpu.graph.storage import ArangeKeys, DerivedLevels
+
+    # built graphs carry permuted user keys -> slim must refuse
+    with pytest.raises(ValueError, match="identity keys"):
+        small_graph.save(str(tmp_path / "x.npz"), exclude_vectors=True,
+                         slim=True)
+    with pytest.raises(ValueError, match="exclude_vectors"):
+        small_graph.save(str(tmp_path / "x.npz"), slim=True)
+
+    ided = dataclasses.replace(
+        small_graph, keys=np.arange(len(small_graph), dtype=np.int64))
+    p = str(tmp_path / "slim.npz")
+    ided.save(p, exclude_vectors=True, slim=True)
+    g = HNSWGraph.load(p, mmap=True)
+    assert isinstance(g.keys, ArangeKeys)
+    assert isinstance(g.levels, DerivedLevels)
+    np.testing.assert_array_equal(np.asarray(g.levels),
+                                  np.asarray(small_graph.levels))
+    for a, b in zip(g.neighbors, small_graph.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # meta edge counts == a fresh scan's
+    assert [vars(s) for s in g.levels_stats()] == \
+        [vars(s) for s in small_graph.levels_stats()]
+    assert g.get_node_ids_from_keys([0, 5]) == [0, 5]
+
+
 def test_slim_file_http_server(tmp_path):
     """The HTTP server serves a v2 (virtual keys/levels) file end-to-end —
     the 2B-deployment request path, with nothing materialized."""
