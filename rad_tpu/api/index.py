@@ -157,6 +157,11 @@ class HNSWIndex:
             # MXU all-pairs construction (rad_tpu.build.exact) — the fast
             # accelerator path at <=few-million-node scale
             from rad_tpu.build.exact import build_hnsw_exact
+            logger.info(
+                "build backend=exact: expansion_add=%d is ignored (exact "
+                "per-layer kNN is the infinite-beam limit); pass "
+                "backend='native'/'device' for beam-width semantics",
+                self.expansion_add)
             self._graph = build_hnsw_exact(fps, **common, **kwargs)
         elif backend == "native":
             from rad_tpu.native import build_hnsw_native

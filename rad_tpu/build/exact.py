@@ -354,9 +354,13 @@ def build_hnsw_exact(
             continue
         # k stays CONSTANT across layers (shape stability = compile
         # reuse); layers with fewer than k real neighbors just carry
-        # INF/-1 tails, which selection and symmetrization already mask
-        k = candidates
+        # INF/-1 tails, which selection and symmetrization already mask.
+        # Clamped to the padded width: top_k/approx_max_k require
+        # k <= reduction dim, so a small library (n_pad < candidates)
+        # must not ask for more winners than the block holds — the two
+        # shared compile units (small-layer, big-layer) each keep one k.
         n_pad, qb, cb, sb = _pad_for(n_l)
+        k = min(candidates, n_pad)
         packed_l = dev_packed[:n_pad]
         pops_l = dev_pops[:n_pad]
 

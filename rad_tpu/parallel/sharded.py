@@ -147,12 +147,21 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
         bits = (packed_adjacency if isinstance(packed_adjacency, int)
                 and packed_adjacency is not True
                 else adj_bits_for(dg.n_nodes))
-        grp = adj_group_for(dg.m0, bits)
+        if bits >= 32:
+            bits = 32  # >=32-bit fields cannot shrink; keep unpacked
+        else:
+            grp = adj_group_for(dg.m0, bits)
     adj = _pad_rows(np.asarray(dg.adj), nd * grp, -1)
     n_pad_rows = adj.shape[0]
     if bits < 32:
         w = packed_adj_words(dg.m0, bits)
-        adj = pack_adjacency_numpy(adj, bits).reshape(-1, grp * w)
+        out = np.empty((adj.shape[0] // grp, grp * w), np.uint32)
+        step = (1 << 20) // grp * grp or grp  # chunk the 8B/elem pack temps
+        for lo in range(0, adj.shape[0], step):
+            src = adj[lo:lo + step]
+            out[lo // grp: lo // grp + src.shape[0] // grp] = \
+                pack_adjacency_numpy(src, bits).reshape(-1, grp * w)
+        adj = out
     return ShardedGraph(
         packed=_global_put(packed, mesh, P(axis, None)),
         pops=_global_put(pops, mesh, P(axis)),
@@ -267,7 +276,10 @@ def shard_graph_streamed(mesh: Mesh, *, n_nodes: int, layer_sizes,
         bits = (packed_adjacency if isinstance(packed_adjacency, int)
                 and packed_adjacency is not True
                 else adj_bits_for(n_nodes))
-        grp = adj_group_for(m0, bits)
+        if bits >= 32:
+            bits = 32  # >=32-bit fields cannot shrink; keep unpacked
+        else:
+            grp = adj_group_for(m0, bits)
 
     n_pad_nodes = -(-n_nodes // nd) * nd
     n_pad_rows = -(-r // (nd * grp)) * (nd * grp)
@@ -757,7 +769,8 @@ def make_sharded_step_full(sg: ShardedGraph, mesh: Mesh, batch: int,
     return step
 
 
-def make_sharded_step_multi(sg: ShardedGraph, mesh: Mesh, batch: int):
+def make_sharded_step_multi(sg: ShardedGraph, mesh: Mesh, batch: int,
+                            allow_hazard: bool = False):
     """Multi-campaign × pod composition: T vmapped campaigns over the
     graph-sharded step (the CLAUDE.md open item).
 
@@ -830,6 +843,12 @@ def make_sharded_step_multi(sg: ShardedGraph, mesh: Mesh, batch: int):
                       t_pops, budgets)
 
     def step(states: TraversalState, targets, t_pops, budgets):
+        # same measured-TPU-hazard guard as the single-chip multi engine
+        # (vmapped small-batch on big graphs faults the worker) — the pod
+        # composition must not be a bypass around it
+        from rad_tpu.traverse.multi import _check_multi_batch
+        _check_multi_batch(dg_meta, batch, int(targets.shape[0]),
+                           allow_hazard)
         budgets = jnp.broadcast_to(jnp.asarray(budgets, jnp.int32),
                                    (targets.shape[0],))
         return _step(states, sg.adj, sg.packed, sg.pops, sg.offsets,

@@ -173,19 +173,27 @@ def prepare_device_graph(graph: HNSWGraph,
         bits = (packed_adjacency if isinstance(packed_adjacency, int)
                 and packed_adjacency is not True
                 else adj_bits_for(len(graph)))
-        grp = adj_group_for(m0, bits)
-        w = packed_adj_words(m0, bits)
-        r_pad = -(-r // grp) * grp
-        out = np.zeros((r_pad // grp, grp * w), np.uint32)
-        step = (1 << 20) // grp * grp or grp  # chunk the uint64 temps
-        for lo in range(0, r, step):
-            src = adj[lo:lo + step]
-            if src.shape[0] % grp:
-                src = np.concatenate(
-                    [src, np.full((-src.shape[0] % grp, m0), -1, np.int32)])
-            out[lo // grp: lo // grp + src.shape[0] // grp] = \
-                pack_adjacency_numpy(src, bits).reshape(-1, grp * w)
-        adj = out
+        if bits >= 32:
+            # >=32-bit fields cannot shrink the table; leave it unpacked
+            # (pack_device_graph applies the same guard) — packing here
+            # would hand the engine grouped uint32 rows it reads via the
+            # int32 path, silently corrupting traversal
+            bits, grp = 32, 1
+        else:
+            grp = adj_group_for(m0, bits)
+            w = packed_adj_words(m0, bits)
+            r_pad = -(-r // grp) * grp
+            out = np.zeros((r_pad // grp, grp * w), np.uint32)
+            step = (1 << 20) // grp * grp or grp  # chunk the uint64 temps
+            for lo in range(0, r, step):
+                src = adj[lo:lo + step]
+                if src.shape[0] % grp:
+                    src = np.concatenate(
+                        [src,
+                         np.full((-src.shape[0] % grp, m0), -1, np.int32)])
+                out[lo // grp: lo // grp + src.shape[0] // grp] = \
+                    pack_adjacency_numpy(src, bits).reshape(-1, grp * w)
+            adj = out
     return DeviceGraph(
         adj=jnp.asarray(adj),
         offsets=jnp.asarray(offsets_arr),

@@ -189,3 +189,31 @@ def test_prepare_device_graph_host_packing_matches_device_packing():
     assert dg_host.adj.dtype == jnp.uint32
     np.testing.assert_array_equal(np.asarray(dg_host.adj),
                                   np.asarray(dg_dev.adj))
+
+
+def test_prepare_device_graph_wide_bits_stays_unpacked():
+    """A resolved field width >= 32 cannot shrink the table; the host
+    packer must leave it unpacked instead of emitting grouped uint32 rows
+    the engine would read via the int32 path (silent traversal
+    corruption; review r3s9). Same guard in shard_graph."""
+    import jax.numpy as jnp
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(300, n_bits=128, density=0.25, seed=9)
+    graph = build_hnsw(fps, connectivity=6, expansion_add=24, seed=1)
+    for width in (32, 40):
+        dg = dev.prepare_device_graph(graph, packed_adjacency=width)
+        assert (dg.adj_bits, dg.adj_group) == (32, 1)
+        assert dg.adj.dtype == jnp.int32
+
+    import jax
+
+    from rad_tpu.parallel import make_mesh
+    from rad_tpu.parallel.sharded import shard_graph
+    mesh = make_mesh(len(jax.devices()), axis_names=("graph",))
+    sg = shard_graph(graph, mesh, packed_adjacency=32)
+    assert (sg.adj_bits, sg.adj_group) == (32, 1)
+    assert np.dtype(sg.adj.dtype) == np.int32

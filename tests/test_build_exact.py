@@ -154,3 +154,20 @@ def test_mxu_pairs_selection_identical(fps):
                       mxu_pairs=True)
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_small_library_builds():
+    """Libraries smaller than the candidate depth (default 64) must clamp
+    the per-block top-k instead of crashing lax.top_k with
+    k > reduction_dim (review r3s9)."""
+    from rad_tpu.build.reference import search_hnsw
+
+    fps = random_fingerprints(30, n_bits=64, density=0.3, seed=11)
+    g = build_hnsw_exact(fps, connectivity=16)
+    assert len(g) == 30
+    # searchable end-to-end: exact brute force == graph search at n=30
+    q = random_fingerprints(3, n_bits=64, density=0.3, seed=12)
+    dists, ids = search_hnsw(g, q, k=5, expansion_search=30)
+    assert dists.shape == ids.shape == (3, 5)
+    assert (ids >= 0).all()                      # all k reachable at n=30
+    assert (np.diff(dists, axis=1) >= 0).all()

@@ -106,3 +106,39 @@ def test_traverser_rejects_unknown_engine_kwargs():
         assert stats["n_scored"] >= 10
     finally:
         tr.shutdown()
+
+
+def test_sharded_multi_batch_guard_fires(monkeypatch):
+    """The pod multi-campaign step enforces the same small-batch hazard
+    guard as the single-chip multi engine — make_sharded_step_multi must
+    not be a bypass (review r3s9)."""
+    import jax
+
+    from rad_tpu.fp.pack import popcount_rows
+    from rad_tpu.parallel import make_mesh
+    from rad_tpu.parallel.sharded import make_sharded_step_multi, shard_graph
+    from rad_tpu.traverse.multi import init_multi, prime_multi
+
+    fps = random_fingerprints(300, n_bits=128, density=0.25, seed=7)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=16, seed=0)
+    dg = dev.prepare_device_graph(graph)
+    mesh = make_mesh(len(jax.devices()), axis_names=("graph",))
+    sg = shard_graph(graph, mesh)
+    monkeypatch.setattr(multi_mod, "MULTI_BIG_GRAPH_ROWS", 128)
+
+    targets = random_fingerprints(2, n_bits=128, density=0.25, seed=8)
+    targets_j = jnp.asarray(targets)
+    t_pops = popcount_rows(targets_j)
+    states = init_multi(dg, 2, frontier_capacity=1 << 10,
+                        buffer_capacity=1 << 8)
+    n_top = graph.layer_sizes[graph.max_level]
+    states = prime_multi(states, dg, jnp.arange(n_top, dtype=jnp.int32),
+                         jnp.zeros((2, n_top), jnp.float32))
+    step = make_sharded_step_multi(sg, mesh, batch=8)
+    with pytest.raises(ValueError, match="hard-fault the TPU worker"):
+        step(states, targets_j, t_pops, jnp.asarray([10, 10], jnp.int32))
+    # allow_hazard overrides (trace only needs to start; run one step)
+    step_ok = make_sharded_step_multi(sg, mesh, batch=8, allow_hazard=True)
+    states = step_ok(states, targets_j, t_pops,
+                     jnp.asarray([10, 10], jnp.int32))
+    assert int(states.n_scored[0]) >= 0
