@@ -51,14 +51,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def morgan_fingerprints(smiles_list, n_bits=1024, radius=2):
-    """Real-data path: RDKit Morgan fingerprints, packed."""
+    """Real-data path: Morgan fingerprints, packed.
+
+    RDKit when installed (bit-layout parity with the reference's
+    pipeline); otherwise the in-tree dependency-free Morgan/ECFP
+    (rad_tpu.chem — same algorithm, different bit hash, fully
+    Tanimoto-comparable within a library)."""
     try:
         from rdkit import Chem
         from rdkit.Chem import rdFingerprintGenerator
     except ImportError:
-        sys.exit("the real-data path needs RDKit (pip install rdkit) — "
-                 "offline images run the faithful-proxy path instead "
-                 "(omit --smiles-file)")
+        print("RDKit not installed — fingerprinting with the in-tree "
+              "Morgan/ECFP implementation (rad_tpu.chem)", file=sys.stderr)
+        from rad_tpu.chem import morgan_fingerprints_packed
+        return morgan_fingerprints_packed(smiles_list, radius=radius,
+                                          n_bits=n_bits)
     gen = rdFingerprintGenerator.GetMorganGenerator(radius=radius,
                                                     fpSize=n_bits)
     bits = np.zeros((len(smiles_list), n_bits), np.uint8)
