@@ -22,6 +22,7 @@ place collectives).
 from __future__ import annotations
 
 import dataclasses
+import weakref
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -38,7 +39,6 @@ from rad_tpu.traverse.device import (
     TraversalState,
     expand_impl,
     integrate_impl,
-    prepare_device_graph,
 )
 
 __all__ = [
@@ -137,8 +137,13 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
     from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
                                        pack_adjacency_numpy,
                                        packed_adj_words)
+    from rad_tpu.traverse.device import flatten_adjacency_host
 
-    dg = prepare_device_graph(graph)
+    # host-side flatten: the full int32 table must never round-trip
+    # through a single device before sharding (at ~100M nodes that is a
+    # 6-26 GB HBM commit through the remote tunnel for nothing)
+    adj_host, offsets_np, m0, r = flatten_adjacency_host(graph)
+    n_nodes, max_level = len(graph), graph.max_level
     nd = mesh.shape[axis]
     packed = _pad_rows(np.asarray(graph.packed), nd, 0)
     pops = _pad_rows(np.asarray(graph.popcounts), nd, 0)
@@ -146,15 +151,15 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
     if packed_adjacency:
         bits = (packed_adjacency if isinstance(packed_adjacency, int)
                 and packed_adjacency is not True
-                else adj_bits_for(dg.n_nodes))
+                else adj_bits_for(n_nodes))
         if bits >= 32:
             bits = 32  # >=32-bit fields cannot shrink; keep unpacked
         else:
-            grp = adj_group_for(dg.m0, bits)
-    adj = _pad_rows(np.asarray(dg.adj), nd * grp, -1)
+            grp = adj_group_for(m0, bits)
+    adj = _pad_rows(adj_host, nd * grp, -1)
     n_pad_rows = adj.shape[0]
     if bits < 32:
-        w = packed_adj_words(dg.m0, bits)
+        w = packed_adj_words(m0, bits)
         out = np.empty((adj.shape[0] // grp, grp * w), np.uint32)
         step = (1 << 20) // grp * grp or grp  # chunk the 8B/elem pack temps
         for lo in range(0, adj.shape[0], step):
@@ -166,13 +171,13 @@ def shard_graph(graph: HNSWGraph, mesh: Mesh, axis: str = "graph",
         packed=_global_put(packed, mesh, P(axis, None)),
         pops=_global_put(pops, mesh, P(axis)),
         adj=_global_put(adj, mesh, P(axis, None)),
-        offsets=_global_put(np.asarray(dg.offsets), mesh, P()),
-        n_nodes=dg.n_nodes,
-        n_rows=dg.n_rows,
+        offsets=_global_put(offsets_np, mesh, P()),
+        n_nodes=n_nodes,
+        n_rows=r,
         n_pad_nodes=packed.shape[0],
         n_pad_rows=n_pad_rows,
-        m0=dg.m0,
-        max_level=dg.max_level,
+        m0=m0,
+        max_level=max_level,
         axis=axis,
         adj_bits=bits,
         adj_group=grp,
@@ -285,11 +290,29 @@ def shard_graph_streamed(mesh: Mesh, *, n_nodes: int, layer_sizes,
     n_pad_rows = -(-r // (nd * grp)) * (nd * grp)
 
     adj_rows = _pad_range_fn(make_adj_rows, r, m0, -1, np.int32)
-    fp_rows = _pad_range_fn(make_packed_rows, n_nodes, fp_words, 0,
-                            np.uint32)
+    fp_rows_raw = _pad_range_fn(make_packed_rows, n_nodes, fp_words, 0,
+                                np.uint32)
+    fp_rows = fp_rows_raw
     if make_pops_rows is None:
+        # compute pops as a side product of the fingerprint placement
+        # pass so the (possibly expensive) row producer is consulted ONCE
+        # per shard — at 2B nodes the callbacks read ~256 GB of
+        # fingerprints; re-invoking them for popcounts doubles ingestion.
+        # Cache cost: one int32 per node (8 GB at 2B) until the pops pass
+        # consumes it — small next to the adjacency being placed.
+        pops_cache: dict = {}
+
+        def fp_rows(start, stop):
+            chunk = fp_rows_raw(start, stop)
+            pops_cache[(start, stop)] = np.bitwise_count(chunk).sum(
+                axis=1).astype(np.int32)
+            return chunk
+
         def pops_fn(start, stop):
-            return np.bitwise_count(fp_rows(start, stop)).sum(
+            got = pops_cache.pop((start, stop), None)
+            if got is not None:
+                return got
+            return np.bitwise_count(fp_rows_raw(start, stop)).sum(
                 axis=1).astype(np.int32)
     else:
         def pops_fn(start, stop):
@@ -1009,6 +1032,11 @@ def make_sharded_search(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
         return mapped(adj, packed, pops, offsets, queries, q_pops)
 
     def search(queries):
+        if queries.shape[0] != batch:
+            raise ValueError(
+                f"search built for batch={batch} got {queries.shape[0]} "
+                f"queries — each batch size is its own compiled program "
+                f"(build one search per size, or pad the query block)")
         return _search(sg.adj, sg.packed, sg.pops, sg.offsets, queries)
 
     return search
@@ -1186,6 +1214,23 @@ def make_sharded_search_2d(sg: ShardedGraph, mesh: Mesh, k: int, ef: int,
 
 def sharded_fused_step(state: TraversalState, sg: ShardedGraph, mesh: Mesh,
                        target_packed, target_pop, batch: int):
-    """One-shot convenience wrapper over :func:`make_sharded_step`."""
-    step = make_sharded_step(sg, mesh, batch)
+    """One-shot convenience wrapper over :func:`make_sharded_step`.
+
+    The built step is memoized per (graph, mesh, batch) — each
+    `make_sharded_step` call creates a fresh `jax.jit` whose cache is
+    empty, and a full pod-step recompile costs minutes through the
+    remote-compile service. Loops should still call
+    :func:`make_sharded_step` once and reuse the returned step.
+    """
+    key = (id(sg), id(mesh), batch)
+    cached = _FUSED_STEP_CACHE.get(key)
+    # id() keys can be reused after gc — validate identity via the refs
+    if cached is None or cached[0]() is not sg or cached[1]() is not mesh:
+        step = make_sharded_step(sg, mesh, batch)
+        _FUSED_STEP_CACHE[key] = (weakref.ref(sg), weakref.ref(mesh), step)
+    else:
+        step = cached[2]
     return step(state, target_packed, target_pop)
+
+
+_FUSED_STEP_CACHE: dict = {}

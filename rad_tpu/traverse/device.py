@@ -124,30 +124,32 @@ def pack_device_graph(dg: "DeviceGraph", bits: int | None = None,
     g = adj_group_for(dg.m0, bits)
     chunk = -(-chunk // g) * g
     r_grp = -(-r // g)
-    pack = jax.jit(partial(pack_adjacency_rows, bits=bits))
+
+    # pack + update in ONE jitted program with the output donated: an
+    # eager dynamic_update_slice materializes a fresh full-size table per
+    # chunk (~50 copies of a ~13 GB table at 200M rows) on a device where
+    # this function is aimed at graphs near the HBM ceiling
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=("pad",))
+    def _pack_into(out, src, lo_grp, pad):
+        if pad:
+            src = jnp.concatenate(
+                [src, jnp.full((pad, src.shape[1]), -1, src.dtype)])
+        rows = pack_adjacency_rows(src, bits=bits).reshape(-1, g * w)
+        return jax.lax.dynamic_update_slice(out, rows, (lo_grp, 0))
+
     out = jnp.zeros((r_grp, g * w), jnp.uint32)
     for lo in range(0, r, chunk):
         src = dg.adj[lo:lo + chunk]
-        pad = -len(src) % g
-        if pad:
-            src = jnp.concatenate(
-                [src, jnp.full((pad, dg.m0), -1, src.dtype)])
-        rows = pack(src).reshape(-1, g * w)
-        out = jax.lax.dynamic_update_slice(out, rows, (lo // g, 0))
+        out = _pack_into(out, src, lo // g, -len(src) % g)
     return dataclasses.replace(dg, adj=out, adj_bits=bits, adj_group=g)
 
 
-def prepare_device_graph(graph: HNSWGraph,
-                         packed_adjacency: bool | int = False
-                         ) -> DeviceGraph:
-    """Flatten per-layer neighbor tables into the [R, M0] traversal table.
-
-    ``packed_adjacency=True`` (or an explicit field width) packs the
-    table to grouped bit-fields ON THE HOST before upload — unlike
-    :func:`pack_device_graph`, the int32 table never touches the device,
-    so graphs whose int32 footprint alone exceeds HBM (>180M nodes,
-    BENCHMARKS.md scale ceiling) can still be loaded for traversal.
-    """
+def flatten_adjacency_host(graph: HNSWGraph):
+    """Host-side flatten of per-layer neighbor tables into the [R, M0]
+    traversal-table layout → ``(adj int32 [R, M0], offsets int32 [L+2],
+    m0, r)``. Pure numpy — callers that shard or re-pack the table
+    (rad_tpu.parallel.shard_graph) use this directly so the full int32
+    table never round-trips through a device."""
     if any(np.dtype(t.dtype) == np.uint32 for t in graph.neighbors):
         raise ValueError(
             "uint32 adjacency (>2**31-id serving-format tables) cannot be "
@@ -165,6 +167,21 @@ def prepare_device_graph(graph: HNSWGraph,
     # offsets gets a trailing sentinel so searchsorted(side='right')-1 maps
     # any row in [offsets[L], R) to level L.
     offsets_arr = np.concatenate([offsets, [r]]).astype(np.int32)
+    return adj, offsets_arr, m0, r
+
+
+def prepare_device_graph(graph: HNSWGraph,
+                         packed_adjacency: bool | int = False
+                         ) -> DeviceGraph:
+    """Flatten per-layer neighbor tables into the [R, M0] traversal table.
+
+    ``packed_adjacency=True`` (or an explicit field width) packs the
+    table to grouped bit-fields ON THE HOST before upload — unlike
+    :func:`pack_device_graph`, the int32 table never touches the device,
+    so graphs whose int32 footprint alone exceeds HBM (>180M nodes,
+    BENCHMARKS.md scale ceiling) can still be loaded for traversal.
+    """
+    adj, offsets_arr, m0, r = flatten_adjacency_host(graph)
     bits, grp = 32, 1
     if packed_adjacency:
         from rad_tpu.graph.adjpack import (adj_bits_for, adj_group_for,
@@ -258,7 +275,11 @@ class TraversalState:
     n_steps: jnp.ndarray
 
     def tree_flatten(self):
-        return dataclasses.astuple(self), None
+        # plain field references — dataclasses.astuple deep-COPIES every
+        # leaf (a full state buffer copy per jit dispatch, and the donated
+        # buffers would be the throwaway copies instead of the caller's)
+        return tuple(getattr(self, f.name)
+                     for f in dataclasses.fields(self)), None
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
@@ -308,12 +329,15 @@ def init_state(dg: DeviceGraph, frontier_capacity: int | None = None,
     to ~4M rows.
 
     ``head_capacity`` (< frontier_capacity) enables the TWO-LEVEL layout:
-    the sorted head shrinks to this size (merges sort head+buffer instead
-    of the whole capacity) and the remaining ``frontier_capacity`` slots
-    become the unsorted cold store for entries at/above the watermark —
-    same total capacity and drop policy, much cheaper steady-state merges.
-    Equal-score pop order may differ from the single-level layout once
-    spills occur.
+    the sorted head shrinks to ``head_capacity`` slots (merges sort
+    head+buffer instead of the whole capacity) and a FULL
+    ``frontier_capacity``-slot unsorted cold store holds entries at/above
+    the watermark — total capacity is ``head_capacity +
+    frontier_capacity`` (the head is extra, so the lossless guarantee at
+    ``frontier_capacity >= n_rows`` is preserved verbatim; memory grows
+    by the head, drops can only be fewer than the single-level layout at
+    equal nominal capacity). Much cheaper steady-state merges. Equal-score
+    pop order may differ from the single-level layout once spills occur.
 
     The default ``"auto"`` enables it (head = 2¹⁶) once the frontier is
     large enough for merge sorts to dominate (capacity ≥ 2¹⁸) — the
@@ -845,31 +869,49 @@ def prime(
     each top-layer node into the scored set, mark it enqueued at
     ``start_level = max(0, max_level - 1)``, and push it into the frontier at
     that level with its score. ``node_ids`` padded with -1.
+
+    Insert-if-absent like :func:`integrate`: in-batch duplicate ids and
+    ids already scored/enqueued are skipped, so a duplicate seed list or
+    a re-prime of a live state cannot double-count ``n_scored``,
+    duplicate the order log, or push a frontier row twice. The append
+    buffer is folded into the re-sort (and reset), so the two-level
+    cold>=watermark>=head/buffer invariant survives a mid-run prime.
     """
     n = dg.n_nodes
     cap = state.order_log.shape[0]
+    k = node_ids.shape[0]
     ok = node_ids >= 0
-    idx = jnp.where(ok, node_ids, n)
+    safe_ids = jnp.where(ok, node_ids, 0)
+    start_level = max(0, dg.max_level - 1)
+    row = dg.offsets[start_level] + safe_ids
+    already = jnp.where(ok, state.scored[safe_ids], True)
+    already_enq = jnp.where(ok, state.enqueued[row], True)
+    first = _first_occurrence(jnp.where(ok, row, dg.n_rows), dg.n_rows)
+    fresh = ok & first & ~already & ~already_enq
+
+    idx = jnp.where(fresh, node_ids, n)
     scores = state.scores.at[idx].set(node_scores, mode="drop")
     scored = state.scored.at[idx].set(True, mode="drop")
-    k = node_ids.shape[0]
-    log_pos = jnp.where(
-        ok, (state.n_scored + jnp.arange(k, dtype=jnp.int32)) % cap, cap)
+    pos_in_batch = jnp.cumsum(fresh.astype(jnp.int32)) - 1
+    log_pos = jnp.where(fresh,
+                        (state.n_scored + pos_in_batch) % cap, cap)
     order_log = state.order_log.at[log_pos].set(node_ids, mode="drop")
-    n_scored = state.n_scored + jnp.sum(ok).astype(jnp.int32)
+    n_scored = state.n_scored + jnp.sum(fresh).astype(jnp.int32)
 
-    start_level = max(0, dg.max_level - 1)
-    row = dg.offsets[start_level] + jnp.where(ok, node_ids, 0)
-    enq_idx = jnp.where(ok, row, dg.n_rows)
+    enq_idx = jnp.where(fresh, row, dg.n_rows)
     enqueued = state.enqueued.at[enq_idx].set(True, mode="drop")
 
-    entry_score = jnp.where(ok, node_scores, INF)
-    entry_row = jnp.where(ok, row, 0)
+    entry_score = jnp.where(fresh, node_scores, INF)
+    entry_row = jnp.where(fresh, row, 0)
     c = state.f_score.shape[0]
     live = jnp.arange(c, dtype=jnp.int32) >= state.f_cursor
+    # fold the append buffer into the re-sort (unused slots hold INF by
+    # construction) — leaving it out would let buffer entries sit above a
+    # lowered watermark, breaking globally-exact pops
     all_scores = jnp.concatenate(
-        [jnp.where(live, state.f_score, INF), entry_score])
-    all_rows = jnp.concatenate([state.f_row, entry_row])
+        [jnp.where(live, state.f_score, INF), state.f_buf_score,
+         entry_score])
+    all_rows = jnp.concatenate([state.f_row, state.f_buf_row, entry_row])
     sorted_scores, sorted_rows = jax.lax.sort((all_scores, all_rows),
                                               num_keys=1)
     cc = state.cold_score.shape[0]
@@ -895,11 +937,15 @@ def prime(
     f_live = (state.f_live
               + jnp.sum(jnp.isfinite(entry_score)).astype(jnp.int32)
               - lost)
+    p = state.f_buf_score.shape[0]
     return dataclasses.replace(
         state,
         f_score=sorted_scores[:c],
         f_row=sorted_rows[:c],
         f_cursor=jnp.zeros((), jnp.int32),
+        f_buf_score=jnp.full((p,), INF, jnp.float32),
+        f_buf_row=jnp.zeros((p,), jnp.int32),
+        f_buf_n=jnp.zeros((), jnp.int32),
         f_live=f_live,
         cold_score=cold_s,
         cold_row=cold_r,

@@ -383,3 +383,93 @@ def test_frontier_live_counter_matches_scan():
         assert int(state.f_live) == int(dev.frontier_live_scan(state))
     assert int(state.n_dropped) > 0, "test must cross the merge/drop path"
     assert int(state.f_live) == 0, "sweep must exhaust"
+
+
+def test_prime_insert_if_absent():
+    """prime() has integrate()'s once-only semantics (review r3s9):
+    duplicate seed ids and re-primes of a live state must not
+    double-count n_scored, duplicate the order log, or push a frontier
+    row twice."""
+    import jax.numpy as jnp
+
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(400, n_bits=128, density=0.25, seed=21)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=2)
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = np.arange(n_top, dtype=np.int32)
+    dup_ids = jnp.asarray(np.concatenate([ids, ids, [-1]]).astype(np.int32))
+    sc = np.linspace(0.1, 0.9, n_top).astype(np.float32)
+    dup_sc = jnp.asarray(np.concatenate([sc, sc + 100.0, [0.0]])
+                         .astype(np.float32))
+
+    st = dev.init_state(dg, frontier_capacity=1 << 10, head_capacity=None)
+    st = dev.prime(st, dg, dup_ids, dup_sc)
+    assert int(st.n_scored) == n_top                 # uniques only
+    log = np.asarray(st.order_log)[:n_top]
+    assert sorted(log.tolist()) == ids.tolist()      # no duplicates
+    np.testing.assert_allclose(np.asarray(st.scores)[:n_top], sc)
+    assert int(st.f_live) == n_top                   # one push per row
+
+    # re-prime of a live state is a no-op
+    st2 = dev.prime(st, dg, jnp.asarray(ids), jnp.asarray(sc))
+    assert int(st2.n_scored) == n_top
+    assert int(st2.f_live) == int(st.f_live)
+
+    # reference state primed once with the clean list agrees exactly
+    ref = dev.init_state(dg, frontier_capacity=1 << 10, head_capacity=None)
+    ref = dev.prime(ref, dg, jnp.asarray(ids), jnp.asarray(sc))
+    np.testing.assert_array_equal(np.asarray(st.f_score),
+                                  np.asarray(ref.f_score))
+    np.testing.assert_array_equal(np.asarray(st.f_row),
+                                  np.asarray(ref.f_row))
+
+
+def test_prime_midrun_two_level_invariant():
+    """A mid-run prime on a two-level frontier folds the append buffer
+    into the re-sort (review r3s9): afterwards the buffer is empty and
+    every live head entry is <= watermark <= every cold entry — the
+    invariant that makes batched pops globally exact."""
+    import jax.numpy as jnp
+
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(600, n_bits=128, density=0.25, seed=22)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=24, seed=3)
+    dg = dev.prepare_device_graph(graph)
+    n_top = graph.layer_sizes[graph.max_level]
+    ids = jnp.arange(n_top, dtype=jnp.int32)
+
+    # tiny head forces spills; run some steps so the buffer holds entries
+    st = dev.init_state(dg, frontier_capacity=1 << 8,
+                        buffer_capacity=1 << 6, head_capacity=1 << 4)
+    target = jnp.asarray(random_fingerprints(1, 128, 0.25, seed=23)[0])
+    from rad_tpu.fp.pack import popcount_rows
+    t_pop = popcount_rows(target[None, :])[0]
+    packed = jnp.asarray(np.asarray(graph.packed))
+    pops = jnp.asarray(np.asarray(graph.popcounts))
+    from rad_tpu.parallel.sharded import tanimoto_to_target_scorer
+    seed_scores = tanimoto_to_target_scorer(
+        packed[:n_top], pops[:n_top], target, t_pop).astype(jnp.float32)
+    st = dev.prime(st, dg, ids, seed_scores)
+    for _ in range(12):
+        st = dev.fused_step(st, dg, packed, pops, target, t_pop, batch=4)
+        if int(st.f_buf_n) > 0:
+            break
+    assert int(st.f_buf_n) > 0, "test needs live buffer entries at prime"
+
+    # mid-run re-prime (seen seeds no-op; the buffer fold still runs)
+    st2 = dev.prime(st, dg, ids, seed_scores * 0.5)
+    assert int(st2.f_buf_n) == 0
+    assert np.all(np.isinf(np.asarray(st2.f_buf_score)))
+    c = st2.f_score.shape[0]
+    live = np.arange(c) >= int(st2.f_cursor)
+    head = np.asarray(st2.f_score)[live]
+    head = head[np.isfinite(head)]
+    wm = float(st2.watermark)
+    cold = np.asarray(st2.cold_score)[: int(st2.cold_n)]
+    if head.size and np.isfinite(wm):
+        assert head.max() <= wm + 1e-7
+    if cold.size and np.isfinite(wm):
+        assert cold.min() >= wm - 1e-7
