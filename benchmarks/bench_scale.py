@@ -275,8 +275,8 @@ def main(argv=None) -> int:
         bits = adj_bits_for(args.n)
 
     if args.mem_analysis:
-        if args.mode != "id":
-            ap.error("--mem-analysis supports --mode id only")
+        if args.mode not in ("id", "fps"):
+            ap.error("--mem-analysis supports --mode id or fps")
         dg_a, sizes = abstract_device_graph(args.n, args.m, packed_bits=bits)
         run_id, id_score = make_id_run(args.batch, args.no_score_table)
         head = args.head if args.head in (None, "auto") else int(args.head)
@@ -292,13 +292,26 @@ def main(argv=None) -> int:
                                head_capacity=head,
                                log_capacity=args.log_capacity,
                                score_table=not args.no_score_table)
-            return dev.prime(s, dg_a, top_ids, id_score(top_ids))
+            return dev.prime(s, dg_a, top_ids,
+                             jnp.zeros((top_ids.shape[0],), jnp.float32))
 
         state_abs = jax.eval_shape(fresh)
         log("lowering + compiling (abstract inputs) ...")
         t0 = time.perf_counter()
-        compiled = run_id.lower(
-            state_abs, jax.ShapeDtypeStruct((), jnp.int32), dg_a).compile()
+        if args.mode == "fps":
+            w = args.n_bits // 32
+            compiled = dev.fused_run.lower(
+                state_abs, dg_a,
+                jax.ShapeDtypeStruct((args.n, w), jnp.uint32),
+                jax.ShapeDtypeStruct((args.n,), jnp.int32),
+                jax.ShapeDtypeStruct((w,), jnp.uint32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((), jnp.int32),
+                batch=args.batch).compile()
+        else:
+            compiled = run_id.lower(
+                state_abs, jax.ShapeDtypeStruct((), jnp.int32),
+                dg_a).compile()
         ma = compiled.memory_analysis()
         log(f"compiled in {time.perf_counter() - t0:.1f}s")
         gib = 1 / 2**30
