@@ -227,6 +227,21 @@ class RADTraverser:
                 heartbeat_interval=heartbeat_interval,
                 namespace=namespace,
             )
+        # reference-ctor parity shim: rad's RADTraverser takes redis_*
+        # (rad/traverser.py:41-84); there is no Redis here — warn, don't
+        # fail a drop-in caller (docs/MIGRATION.md)
+        for k in ("redis_host", "redis_port", "redis_password"):
+            if k in kwargs:
+                kwargs.pop(k)
+                logger.warning(
+                    "%s ignored: rad-tpu has no Redis — traversal state is "
+                    "device-resident (see docs/MIGRATION.md)", k)
+        if kwargs:
+            raise TypeError(
+                f"unsupported RADTraverser kwargs for engine "
+                f"{engine!r}: {sorted(kwargs)} (engine options like "
+                f"head_capacity/packed_adjacency apply to the device/pod "
+                f"engines only)")
         logger.info("RADTraverser initialized (mode=%s engine=%s)",
                     deployment_mode, engine)
 

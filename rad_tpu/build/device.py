@@ -474,7 +474,7 @@ def build_hnsw_device(
     return HNSWGraph(
         packed=packed_d,
         popcounts=jnp.asarray(popcount_rows_np(packed)),
-        keys=jnp.asarray(keys),
+        keys=keys,  # host int64 (jnp would truncate to int32)
         levels=levels_d,
         neighbors=tuple(np.asarray(t) for t in adj_layers),
         ndim=ndim,

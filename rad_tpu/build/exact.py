@@ -380,7 +380,9 @@ def build_hnsw_exact(
     return HNSWGraph(
         packed=dev_packed[:n],
         popcounts=dev_pops[:n],
-        keys=jnp.asarray(keys),
+        # keys stay HOST int64: jnp.asarray canonicalizes to int32 with
+        # x64 off (the repo default), silently wrapping >2^31 user keys
+        keys=keys,
         levels=jnp.asarray(levels),
         neighbors=tuple(neighbors),
         ndim=ndim,

@@ -220,7 +220,7 @@ def insert_into_graph(
     return HNSWGraph(
         packed=packed_d,
         popcounts=pops_d,
-        keys=jnp.asarray(keys_all),
+        keys=keys_all,  # host int64 (jnp would truncate to int32)
         levels=levels_d,
         neighbors=tuple(np.asarray(t) for t in adj_layers),
         ndim=graph.ndim,

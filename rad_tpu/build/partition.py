@@ -359,7 +359,7 @@ def build_hnsw_partitioned(
     return HNSWGraph(
         packed=jnp.asarray(g_packed),
         popcounts=jnp.asarray(g_pops),
-        keys=jnp.asarray(keys[order]),
+        keys=keys[order],  # host int64 (jnp would truncate to int32)
         levels=jnp.asarray(g_levels),
         neighbors=tuple(tables),
         ndim=ndim,

@@ -29,9 +29,30 @@ __all__ = [
     "tanimoto_distance",
     "tanimoto_matrix",
     "tanimoto_matrix_mxu",
+    "tanimoto_rows_to_target",
     "unpack_to_dtype",
     "bruteforce_topk",
 ]
+
+
+def tanimoto_rows_to_target(rows: jnp.ndarray, row_pops: jnp.ndarray,
+                            target_packed: jnp.ndarray, target_pop,
+                            valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``1 - Tanimoto(rows[i], target)`` (f32), ``+inf`` where ``valid``
+    is False.
+
+    THE candidate scorer shared by every engine (device fused step and
+    its narrow path, the multi-campaign sweep, the pod shard bodies, the
+    beam search) — one definition so the conventions (``union == 0``
+    counts as similarity 1; masked lanes are +inf; precomputed row
+    popcounts instead of a second popcount over the union) can never
+    diverge between engines.
+    """
+    inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
+    union = target_pop + row_pops - inter
+    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
+    d = (1.0 - sim).astype(jnp.float32)
+    return d if valid is None else jnp.where(valid, d, jnp.inf)
 
 
 def tanimoto_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

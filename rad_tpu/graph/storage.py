@@ -544,7 +544,10 @@ class HNSWGraph:
         return HNSWGraph(
             packed=put(self.packed),
             popcounts=put(self.popcounts),
-            keys=jnp.asarray(np.asarray(self.keys)),
+            # keys stay host-side: nothing device-side reads them, and
+            # jnp.asarray would truncate int64 user keys to int32 (x64
+            # is off); virtual keys pass through unmaterialized
+            keys=host_keys_view(self.keys),
             levels=jnp.asarray(np.asarray(self.levels)),
             neighbors=tuple(put(t) for t in self.neighbors),
             ndim=self.ndim,

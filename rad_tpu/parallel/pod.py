@@ -227,8 +227,9 @@ class PodTraverser:
         """Persist traversal state (gathers sharded arrays to host; for
         multi-host runs call on every process or use a sharded
         checkpointer). A new PodTraverser over the same graph + mesh
-        resumes with :meth:`load_checkpoint`."""
-        dev.save_state(self.state, path)
+        resumes with :meth:`load_checkpoint`. Atomic write-then-rename;
+        the file lands at exactly ``path`` whatever its suffix."""
+        dev.save_state_atomic(self.state, path)
 
     def load_checkpoint(self, path: str) -> None:
         state = dev.load_state(path)
@@ -271,6 +272,22 @@ class PodTraverser:
         return [(int(i), float(s)) for i, s in zip(ids, scores)]
 
     def get_best_molecules(self, n: int | None = None):
-        mols = self.get_molecules()
-        mols.sort(key=lambda x: x[1])
-        return mols[:n] if n is not None else mols
+        """Best-scoring rows, ties broken by traversal order; selects the
+        top ``n`` by score BEFORE any SMILES lookups (a billion-scale
+        campaign must not run one store lookup per scored molecule to
+        return 100 rows)."""
+        if self._spill is not None:
+            self._spill.drain(self.state)
+            ids = np.asarray(self._spill.read())
+        else:
+            ids = np.asarray(dev.read_order_log(self.state))
+        scores = np.asarray(self.state.scores)[ids]
+        order = np.argsort(scores, kind="stable")
+        if n is not None:
+            order = order[:n]
+        ids, scores = ids[order], scores[order]
+        if self._host_mode:
+            smiles = self._bridge.smiles_for_ids(ids) if len(ids) else []
+            return [(int(i), float(s), sm)
+                    for i, s, sm in zip(ids, scores, smiles)]
+        return [(int(i), float(s)) for i, s in zip(ids, scores)]

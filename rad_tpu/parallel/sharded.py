@@ -987,10 +987,9 @@ def make_sharded_expand_integrate(sg: ShardedGraph, mesh: Mesh, batch: int,
 def tanimoto_to_target_scorer(fp_rows, pop_rows, target_packed, target_pop):
     """Default on-device scorer: Tanimoto distance to a target fingerprint
     (the virtual-actives analogue of the reference notebook's lookup table)."""
-    inter = jnp.sum(popcount(fp_rows & target_packed[None, :]), axis=-1)
-    union = target_pop + pop_rows - inter
-    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-    return (1.0 - sim).astype(jnp.float32)
+    from rad_tpu.fp.tanimoto import tanimoto_rows_to_target
+    return tanimoto_rows_to_target(fp_rows, pop_rows, target_packed,
+                                   target_pop)
 
 
 def _state_structure():

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rad_tpu.fp.pack import popcount, popcount_rows
+from rad_tpu.fp.pack import popcount_rows
+from rad_tpu.fp.tanimoto import tanimoto_rows_to_target
 from rad_tpu.graph.storage import HNSWGraph
 from rad_tpu.search.visited import (hashset_check_insert, hashset_init,
                                     use_dense_visited,
@@ -42,11 +43,8 @@ def _query_dist(q_packed, q_pop, packed, pops, ids, valid):
     """Tanimoto distance from one query to gathered rows (masked +inf)."""
     safe = jnp.maximum(ids, 0)
     rows = packed[safe]  # [K, W]
-    inter = jnp.sum(popcount(rows & q_packed[None, :]), axis=-1)
-    union = q_pop + pops[safe] - inter
-    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-    d = (1.0 - sim).astype(jnp.float32)
-    return jnp.where(valid, d, jnp.inf)
+    return tanimoto_rows_to_target(rows, pops[safe], q_packed, q_pop,
+                                   valid=valid)
 
 
 @partial(jax.jit, static_argnames=("k", "ef", "max_level", "expand_width",
@@ -93,6 +91,11 @@ def search_device_jit(
     trade measured in benchmarks/bench_prefix.py.
     """
     n = packed.shape[0]
+    if adj_bits < 32 and m0_packed is None:
+        raise ValueError(
+            "m0_packed is required when adj_bits < 32: a grouped "
+            "bit-packed table's row width no longer encodes the neighbor "
+            "count (search_device passes it automatically)")
     m0 = m0_packed if adj_bits < 32 else adj.shape[1]
     e = expand_width
 

@@ -312,6 +312,9 @@ drop-in for the local service in any <code>RADTraverser</code>.</p>
             coord.report_worker_error(body["worker_id"],
                                       body.get("error", ""))
             return 200, {"ok": True}
+        if method == "POST" and path == "/coordination/fail":
+            ok = coord.fail_work(body["worker_id"], body["work_id"])
+            return 200, {"ok": bool(ok)}
         m = re.fullmatch(r"/coordination/score/(-?\d+)", path)
         if m and method == "GET":
             return 200, {"score": coord.scored_set.getScore(int(m.group(1)))}

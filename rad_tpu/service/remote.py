@@ -190,6 +190,17 @@ class RemoteCoordinationClient:
         self._svc._request("POST", "/coordination/error",
                            {"worker_id": worker_id, "error": error})
 
+    def fail_work(self, worker_id: str, work_id: str) -> bool:
+        """Release a failed work item for immediate requeue (an older
+        server without the route reaps it via the stale GC instead)."""
+        try:
+            return bool(self._svc._request(
+                "POST", "/coordination/fail",
+                {"worker_id": worker_id, "work_id": work_id})["ok"])
+        except ValueError:
+            return False  # 404 from a pre-fail_work server
+
+
     def get_coordination_stats(self) -> dict:
         return self._svc._request("GET", "/coordination/stats")
 

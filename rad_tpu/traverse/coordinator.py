@@ -285,6 +285,21 @@ class CoordinationService:
             if info is not None:
                 info.error_count += 1
 
+    def fail_work(self, worker_id: str, work_id: str) -> bool:
+        """Release a work item whose processing failed so it is requeued
+        NOW instead of stranding until the 2x-worker_timeout stale GC (a
+        transient scoring_fn exception must not stall the frontier entry
+        for minutes). Returns True if the item was outstanding."""
+        with self._lock:
+            item = self._outstanding.pop(work_id, None)
+            info = self._workers.get(worker_id)
+            if info is not None:
+                info.assigned_work.discard(work_id)
+            if item is None:
+                return False
+            self._requeue_item(item)
+            return True
+
     # ---------------------------------------------------------- monitoring
     def _monitor_loop(self) -> None:
         while not self._stop_event.wait(self.monitor_interval):

@@ -979,16 +979,14 @@ def fused_step(
     Tanimoto distance to ``target_packed`` (the virtual-actives analogue of
     the reference's lookup-table scorer, examples/DUDEZ_example.ipynb).
     """
-    from rad_tpu.fp.pack import popcount  # local import to avoid cycle
+    from rad_tpu.fp.tanimoto import tanimoto_rows_to_target  # local: cycle
 
     state, out = expand(state, dg, batch)
     ts = out["to_score"]
     ok = ts >= 0
     rows = packed[jnp.where(ok, ts, 0)]
-    inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
-    union = target_pop + pops[jnp.where(ok, ts, 0)] - inter
-    sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-    scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+    scores = tanimoto_rows_to_target(rows, pops[jnp.where(ok, ts, 0)],
+                                     target_packed, target_pop, valid=ok)
     return integrate(state, dg, out["exp_node"], out["exp_level"],
                      out["exp_score"], out["exp_valid"], out["cand"],
                      out["to_score"], scores)
@@ -1035,7 +1033,7 @@ def fused_run(
     always exceed the narrow width there, so the branch only adds
     overhead. Default None; enable for exhaustive/high-coverage sweeps.
     """
-    from rad_tpu.fp.pack import popcount
+    from rad_tpu.fp.tanimoto import tanimoto_rows_to_target  # local: cycle
 
     def cond(carry):
         st, steps = carry
@@ -1046,10 +1044,9 @@ def fused_run(
     def score_integrate(st, out, ts):
         ok = ts >= 0
         rows = packed[jnp.where(ok, ts, 0)]
-        inter = jnp.sum(popcount(rows & target_packed[None, :]), axis=-1)
-        union = target_pop + pops[jnp.where(ok, ts, 0)] - inter
-        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        scores = tanimoto_rows_to_target(
+            rows, pops[jnp.where(ok, ts, 0)], target_packed, target_pop,
+            valid=ok)
         return integrate_impl(st, dg, out["exp_node"], out["exp_level"],
                               out["exp_score"], out["exp_valid"],
                               out["cand"], ts, scores)
@@ -1155,8 +1152,24 @@ def save_state(state: TraversalState, path: str) -> None:
     np.savez(path, **arrays)
 
 
+def save_state_atomic(state: TraversalState, path: str) -> None:
+    """Write-then-rename :func:`save_state` so a crash mid-save never
+    corrupts the last good checkpoint, and the file lands at exactly
+    ``path`` whatever its suffix (np.savez appends ``.npz`` to any other
+    suffix, which used to break the save/load round-trip)."""
+    import os
+    tmp = f"{path}.tmp.{os.getpid()}"
+    save_state(state, tmp)
+    if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
+        tmp = tmp + ".npz"
+    os.replace(tmp, path)
+
+
 def load_state(path: str) -> TraversalState:
     """Restore a traversal checkpoint written by :func:`save_state`."""
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"   # a bare save_state() output for this path
     data = np.load(path)
     arrays = {f.name: jnp.asarray(data[f.name])
               for f in dataclasses.fields(TraversalState)

@@ -74,7 +74,10 @@ class DeviceTraverser:
             self._spill = SpilledOrderLog(
                 order_log_spill if isinstance(order_log_spill, str)
                 else None)
-        self._keys = np.asarray(graph.keys)
+        # host_keys_view: virtual keys (v2 slim serving graphs) index
+        # lazily instead of materializing 8 B/node on construction
+        from rad_tpu.graph.storage import host_keys_view
+        self._keys = host_keys_view(graph.keys)
         self._primed = False
         self._pool: Optional[ThreadPoolExecutor] = None
         self.stats = {
@@ -219,15 +222,7 @@ class DeviceTraverser:
 
     @staticmethod
     def _save_state_atomic(state, path: str) -> None:
-        """Write-then-rename so a crash mid-save never corrupts the last
-        good checkpoint."""
-        import os
-        tmp = f"{path}.tmp.{os.getpid()}"
-        dev.save_state(state, tmp)
-        # np.savez appends .npz to paths without an extension
-        if not os.path.exists(tmp) and os.path.exists(tmp + ".npz"):
-            tmp = tmp + ".npz"
-        os.replace(tmp, path)
+        dev.save_state_atomic(state, path)
 
     def shutdown(self) -> None:
         if self._pool is not None:
@@ -238,11 +233,16 @@ class DeviceTraverser:
     def save_checkpoint(self, path: str) -> None:
         """Persist traversal state; a new DeviceTraverser over the same
         graph resumes with :meth:`load_checkpoint` (the analogue of
-        re-attaching to a Redis namespace, reference rad/traverser.py:66)."""
-        dev.save_state(self.state, path)
+        re-attaching to a Redis namespace, reference rad/traverser.py:66).
+
+        The file lands at exactly ``path`` whatever its suffix
+        (np.savez appends .npz to other suffixes — the atomic
+        write-then-rename normalizes it) so the save/load pair always
+        round-trips."""
+        self._save_state_atomic(self.state, path)
 
     def load_checkpoint(self, path: str) -> None:
-        state = dev.load_state(path)
+        state = dev.load_state(path)   # normalizes a missing .npz suffix
         if state.scored.shape[0] != self.dg.n_nodes:
             raise ValueError("checkpoint is for a different graph size")
         self.state = state
@@ -276,9 +276,24 @@ class DeviceTraverser:
                 for i, s, sm in zip(ids, scores, smiles)]
 
     def get_best_molecules(self, n: int | None = None) -> List[Tuple[int, float, str]]:
-        mols = self.get_molecules()
-        mols.sort(key=lambda x: x[1])
-        return mols[:n] if n is not None else mols
+        """Best-scoring molecules, ties broken by traversal order.
+
+        Selects the top ``n`` ids by score BEFORE the SMILES lookups — a
+        10M-molecule campaign must not run 10M store lookups to return
+        100 rows."""
+        if self._spill is not None:
+            self._spill.drain(self.state)
+            ids = np.asarray(self._spill.read())
+        else:
+            ids = np.asarray(dev.read_order_log(self.state))
+        scores = np.asarray(self.state.scores)[ids]
+        order = np.argsort(scores, kind="stable")
+        if n is not None:
+            order = order[:n]
+        ids, scores = ids[order], scores[order]
+        smiles = self._smiles_for_ids(ids) if len(ids) else []
+        return [(int(i), float(s), sm)
+                for i, s, sm in zip(ids, scores, smiles)]
 
     def get_stats(self) -> dict:
         return dict(

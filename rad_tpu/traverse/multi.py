@@ -95,6 +95,15 @@ def init_multi(dg: DeviceGraph, n_campaigns: int,
     BENCHMARKS.md). An auto-sized frontier is clamped with a log line; an
     explicit larger request raises unless ``allow_hazard=True``."""
     if n_campaigns > 1 and not allow_hazard:
+        if buffer_capacity + (1 << 10) > MULTI_MAX_SORT_KEYS:
+            # the auto-clamp path cannot bring frontier+buffer under the
+            # hazard limit when the buffer alone (nearly) exceeds it
+            raise ValueError(
+                f"buffer_capacity={buffer_capacity} with n_campaigns="
+                f"{n_campaigns}: the frontier merge sorts frontier+buffer "
+                f"keys and vmapped sorts above ~{MULTI_MAX_SORT_KEYS} keys "
+                f"hard-fault the TPU worker (measured; BENCHMARKS.md). "
+                f"Use a smaller buffer, or pass allow_hazard=True.")
         if frontier_capacity is None:
             auto = dev.auto_frontier_capacity(dg.n_rows)
             cap = max(1 << 10, MULTI_MAX_SORT_KEYS - buffer_capacity)
@@ -223,7 +232,7 @@ def fused_run_multi(
     allow_hazard: bool = False,
 ) -> TraversalState:
     """Run all campaigns to their budgets in one `lax.while_loop`."""
-    from rad_tpu.fp.pack import popcount
+    from rad_tpu.fp.tanimoto import tanimoto_rows_to_target
 
     t = targets.shape[0]
     _check_multi_batch(dg, batch, t, allow_hazard)
@@ -234,10 +243,8 @@ def fused_run_multi(
         ts = out["to_score"]
         ok = ts >= 0
         rows = packed[jnp.where(ok, ts, 0)]
-        inter = jnp.sum(popcount(rows & target[None, :]), axis=-1)
-        union = t_pop + pops[jnp.where(ok, ts, 0)] - inter
-        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1), 1.0)
-        scores = jnp.where(ok, (1.0 - sim).astype(jnp.float32), jnp.inf)
+        scores = tanimoto_rows_to_target(
+            rows, pops[jnp.where(ok, ts, 0)], target, t_pop, valid=ok)
         return state, out, scores
 
     def vm_expand_score(states, refill):
@@ -270,6 +277,13 @@ def fused_run_multi_tables(
     t = score_tables.shape[0]
     n = score_tables.shape[1]
     _check_multi_batch(dg, batch, t, allow_hazard)
+    if t * n >= 2**31:
+        raise ValueError(
+            f"score_tables [{t}, {n}] flatten to {t * n} entries — past "
+            f"int32 index range the per-campaign gather bases overflow "
+            f"and later campaigns silently read wrong scores. Shard the "
+            f"panel (rad_tpu.parallel.make_sharded_step_multi) or split "
+            f"it into smaller table groups.")
     budgets = jnp.broadcast_to(jnp.asarray(n_to_score, jnp.int32), (t,))
     # flatten to one shared [T*N] operand gathered with per-lane offsets:
     # a vmapped gather with a BATCHED operand lowers to a kernel that

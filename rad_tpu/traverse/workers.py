@@ -113,6 +113,15 @@ class ScoringWorker:
                 self._record_error(f"process {item.work_id}: {e}")
                 logger.exception("%s failed processing %s", self.worker_id,
                                  item.work_id)
+                # release the item for immediate requeue — without this a
+                # transient scoring_fn failure strands the frontier entry
+                # until the 2x-worker_timeout stale GC
+                try:
+                    self.coordination_service.fail_work(self.worker_id,
+                                                        item.work_id)
+                except Exception:
+                    logger.exception("%s fail_work(%s) failed",
+                                     self.worker_id, item.work_id)
 
     def _process_work_item(self, item) -> List[tuple]:
         """Score every neighbor not yet in the scored set

@@ -171,3 +171,16 @@ def test_small_library_builds():
     assert dists.shape == ids.shape == (3, 5)
     assert (ids >= 0).all()                      # all k reachable at n=30
     assert (np.diff(dists, axis=1) >= 0).all()
+
+
+def test_int64_keys_preserved():
+    """User keys past 2**31 survive the device builders (review r3s9:
+    jnp.asarray canonicalizes int64->int32 with x64 off, silently
+    wrapping keys; they must stay host int64)."""
+    fps = random_fingerprints(300, n_bits=64, density=0.3, seed=13)
+    big = np.arange(300, dtype=np.int64) + 3_000_000_000
+    g = build_hnsw_exact(fps, connectivity=8, keys=big)
+    assert np.asarray(g.keys).dtype == np.int64
+    assert set(np.asarray(g.keys).tolist()) == set(big.tolist())
+    nid = g.get_node_ids_from_keys([int(big[7])])[0]
+    assert int(np.asarray(g.keys)[nid]) == int(big[7])

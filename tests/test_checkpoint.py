@@ -179,3 +179,35 @@ def test_batch_depth_warning_emitted(caplog):
         t2.traverse(n_to_score=200)  # 200/(2*8) = 12.5 rounds >= 8
     t2.shutdown()
     assert not any("best-first rounds" in r.message for r in caplog.records)
+
+
+def test_checkpoint_roundtrip_any_suffix(tmp_path):
+    """save_checkpoint/load_checkpoint round-trip for paths NOT ending in
+    .npz (np.savez appends the suffix; the atomic rename normalizes it —
+    review r3s9: the pair used to fail on its own output)."""
+    import numpy as np
+
+    from rad_tpu.build.reference import build_hnsw
+    from rad_tpu.fp import random_fingerprints
+    from rad_tpu.traverse.driver import DeviceTraverser
+
+    fps = random_fingerprints(300, n_bits=128, density=0.25, seed=31)
+    graph = build_hnsw(fps, connectivity=4, expansion_add=16, seed=1)
+    scores = np.linspace(0.0, 1.0, 300, dtype=np.float32)
+
+    def scorer(ids):
+        return scores[np.asarray(ids)]
+
+    t = DeviceTraverser(graph, scorer, batch_size=8)
+    t.prime()
+    t.traverse(n_to_score=40)
+    p = str(tmp_path / "run.ckpt")        # no .npz suffix on purpose
+    t.save_checkpoint(p)
+    import os
+    assert os.path.exists(p)              # file lands at exactly `path`
+
+    t2 = DeviceTraverser(graph, scorer, batch_size=8)
+    t2.load_checkpoint(p)
+    assert t2.n_scored == t.n_scored
+    np.testing.assert_array_equal(np.asarray(t2.state.order_log),
+                                  np.asarray(t.state.order_log))

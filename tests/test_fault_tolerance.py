@@ -123,6 +123,55 @@ def test_stale_submission_dropped(wiring):
     service.shutdown()
 
 
+def test_failed_work_requeued_immediately(wiring):
+    """A scoring_fn exception releases the work item for IMMEDIATE
+    requeue (fail_work) instead of stranding it until the
+    2x-worker_timeout stale GC — a transient failure must not stall the
+    frontier entry for minutes."""
+    graph, service, scoring_fn = wiring
+    coord = CoordinationService(service, worker_timeout=60)
+    _prime(coord, service, scoring_fn, graph)
+    coord.register_worker("w")
+    item = coord.request_work("w")
+    assert item is not None
+    pq_after_pop = len(coord.priority_queue)
+    assert coord.fail_work("w", item.work_id) is True
+    assert len(coord.priority_queue) == pq_after_pop + 1
+    assert coord.fail_work("w", item.work_id) is False  # already released
+    # a stale submit after the release is rejected
+    assert coord.submit_work_results("w", item.work_id, []) is False
+
+    # end-to-end: a worker whose scoring_fn always raises on one molecule
+    # still lets a healthy worker finish, with no duplicate scores
+    boom = {"armed": True}
+
+    def flaky(s):
+        if boom["armed"] and int(s.split("_")[1]) % 3 == 0:
+            raise RuntimeError("dock crashed")
+        return scoring_fn(s)
+
+    coord.start()
+    try:
+        w = ScoringWorker(coord, flaky, poll_interval=0.01)
+        w.start()
+        time.sleep(0.5)
+        boom["armed"] = False  # transient failure clears
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            done, _ = coord.check_termination(n_to_score=10**9)
+            if done:
+                break
+            time.sleep(0.05)
+        w.stop()
+        assert done
+        ids = [m[0] for m in coord.scored_set.get_molecules()]
+        assert len(ids) == len(set(ids))
+        assert len(ids) > 2
+    finally:
+        coord.shutdown()
+        service.shutdown()
+
+
 def test_scoring_failures_use_failed_score(wiring):
     """Device driver: scoring exceptions become failed_score (+inf default)
     and the traversal keeps going (reference workers record errors and

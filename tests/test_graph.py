@@ -139,8 +139,13 @@ def test_search_self_query_finds_self(small_graph):
 def test_device_put_pytree(small_graph):
     import jax
     g = small_graph.device_put()
+    # every leaf EXCEPT keys moves to device; keys stay host-side on
+    # purpose (nothing device-side reads them, and jnp.asarray would
+    # truncate int64 user keys to int32 with x64 off)
     leaves, _ = jax.tree_util.tree_flatten(g)
-    assert all(isinstance(l, jax.Array) for l in leaves)
+    device_leaves = [l for l in leaves if l is not g.keys]
+    assert all(isinstance(l, jax.Array) for l in device_leaves)
+    assert np.asarray(g.keys).dtype == np.int64
     g2 = jax.tree_util.tree_map(lambda x: x, g)
     assert isinstance(g2, HNSWGraph)
     assert g2.connectivity == g.connectivity

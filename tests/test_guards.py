@@ -142,3 +142,26 @@ def test_sharded_multi_batch_guard_fires(monkeypatch):
     states = step_ok(states, targets_j, t_pops,
                      jnp.asarray([10, 10], jnp.int32))
     assert int(states.n_scored[0]) >= 0
+
+
+def test_init_multi_rejects_oversized_buffer(small_dg):
+    """The sort-hazard guard must hold when the BUFFER alone (not the
+    frontier) exceeds the vmapped-sort limit (review r3s9 — the
+    auto-clamp floor could not bring frontier+buffer under it)."""
+    with pytest.raises(ValueError, match="buffer_capacity"):
+        init_multi(small_dg, n_campaigns=4, buffer_capacity=1 << 21)
+
+
+def test_search_device_jit_requires_m0_packed(small_dg):
+    """A packed-adjacency search without m0_packed raises a clear error
+    instead of a TypeError deep in tracing (review r3s9)."""
+    import jax.numpy as jnp
+
+    from rad_tpu.search.knn import search_device_jit
+
+    with pytest.raises(ValueError, match="m0_packed is required"):
+        search_device_jit(
+            jnp.zeros((8, 4), jnp.uint32), jnp.zeros((8,), jnp.int32),
+            jnp.zeros((4, 8), jnp.uint32), jnp.zeros((3,), jnp.int32),
+            jnp.zeros((2, 4), jnp.uint32), k=2, ef=4, max_level=0,
+            adj_bits=16, adj_group=2)

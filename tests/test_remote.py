@@ -231,6 +231,40 @@ def test_remote_worker_joins_over_http(graph, store):
         srv.shutdown()
 
 
+def test_remote_fail_work_requeues(graph, store):
+    """RemoteCoordinationClient.fail_work releases a failed item over
+    /coordination/fail for immediate requeue."""
+    from rad_tpu.service.local import LocalHNSWService
+
+    service = LocalHNSWService(graph, store)
+    coord = CoordinationService(service, heartbeat_interval=0.5)
+    srv, app = create_hnsw_server(graph, host="127.0.0.1", port=0,
+                                  smiles_store=store, coordination=coord)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        top = service.get_top_level_nodes()
+        start_level = max(0, graph.max_level - 1)
+        for nid, smi in zip(top[0::2], top[1::2]):
+            coord.scored_set.insert(nid, 1.0, smi)
+            if not coord.visited_set.checkAndInsert(nid, start_level):
+                coord.priority_queue.insert(nid, start_level, 1.0)
+        client = RemoteCoordinationClient(url, max_retries=1)
+        client.register_worker("remote-w")
+        item = client.request_work("remote-w")
+        assert item is not None
+        pq_after_pop = len(coord.priority_queue)
+        assert client.fail_work("remote-w", item.work_id) is True
+        assert len(coord.priority_queue) == pq_after_pop + 1
+        assert client.fail_work("remote-w", item.work_id) is False
+        client.shutdown()
+    finally:
+        coord.shutdown()
+        srv.shutdown()
+        service.shutdown()
+
+
 def test_options_204_no_body(server):
     """RFC 9110: 204 must carry no content (a body would desync the
     keep-alive connection for the next request / CORS preflight)."""
