@@ -220,7 +220,9 @@ class HNSWIndex:
                                    prefix_filter=prefix_filter,
                                    prefix_keep=prefix_keep)
             d, ids = np.asarray(d), np.asarray(ids)
-        keys = np.where(ids >= 0, np.asarray(g.keys)[np.maximum(ids, 0)], -1)
+        from rad_tpu.graph.storage import host_keys_view
+        kv = host_keys_view(g.keys)  # virtual keys index lazily, not O(N)
+        keys = np.where(ids >= 0, np.asarray(kv[np.maximum(ids, 0)]), -1)
         return d, keys
 
     # ---------------------------------------------------- usearch-like API

@@ -128,7 +128,7 @@ class PodTraverser:
 
         if self._host_mode:
             self._bridge = HostScoringBridge(
-                np.asarray(graph.keys), scoring_fn,
+                graph.keys, scoring_fn,
                 smiles_store=smiles_store,
                 n_score_threads=n_score_threads,
                 failed_score=failed_score, stats=self.stats)

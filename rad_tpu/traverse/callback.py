@@ -46,7 +46,8 @@ def make_callback_scorer(
     failed_score: float = float("inf"),
 ):
     """Wrap a SMILES scoring function as an id-batch → score-batch host fn."""
-    keys = np.asarray(graph.keys)
+    from rad_tpu.graph.storage import host_keys_view
+    keys = host_keys_view(graph.keys)  # virtual keys index lazily
 
     def score_ids(ids: np.ndarray) -> np.ndarray:
         ids = np.asarray(ids)

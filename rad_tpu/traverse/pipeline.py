@@ -44,7 +44,10 @@ class HostScoringBridge:
                  n_score_threads: int = 8,
                  failed_score: float = float("inf"),
                  stats: Optional[dict] = None):
-        self.keys = np.asarray(keys)
+        from rad_tpu.graph.storage import host_keys_view
+        # virtual keys (v2 slim serving graphs) stay lazy: indexing them
+        # per batch beats materializing 8 B/node up front
+        self.keys = host_keys_view(keys)
         self.scoring_fn = scoring_fn
         self.smiles_store = smiles_store
         self.failed_score = failed_score

@@ -157,3 +157,21 @@ def test_pod_checkpoint_resume(mesh, built, tmp_path):
     np.testing.assert_array_equal(read_order_log(a.state),
                                   read_order_log(b.state))
     a.shutdown(); b.shutdown()
+
+
+def test_scoring_bridge_keeps_virtual_keys_lazy():
+    """HostScoringBridge must not materialize VirtualArray key maps (a v2
+    slim serving graph's keys are 8 B/node): the bridge keeps the virtual
+    object and indexes it per batch."""
+    from rad_tpu.graph.storage import ArangeKeys
+    from rad_tpu.traverse.pipeline import HostScoringBridge
+
+    bridge = HostScoringBridge(ArangeKeys(1000), scoring_fn,
+                               n_score_threads=1)
+    assert isinstance(bridge.keys, ArangeKeys)  # not np.asarray'd
+    assert bridge.smiles_for_ids(np.array([3, 7])) == ["3", "7"]
+    scores = bridge.score_batch(np.array([5, -1, 9], np.int32))
+    assert scores.shape == (3,)
+    assert scores[0] == pytest.approx(scoring_fn("5"))
+    assert scores[1] == pytest.approx(scoring_fn("9"))  # packed left
+    bridge.shutdown()
