@@ -6,6 +6,7 @@ from rad_tpu.api.factories import (
     create_local_traverser,
     create_distributed_traverser,
     create_remote_traverser,
+    create_pod_traverser,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "create_local_traverser",
     "create_distributed_traverser",
     "create_remote_traverser",
+    "create_pod_traverser",
 ]

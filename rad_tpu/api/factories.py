@@ -51,7 +51,8 @@ def create_distributed_traverser(hnsw, scoring_fn: Callable[[str], float],
     elif isinstance(hnsw, HNSWGraph):
         hnsw = LocalHNSWService(hnsw, kwargs.pop("smiles_store", None))
     return RADTraverser(hnsw_service=hnsw, scoring_fn=scoring_fn,
-                        deployment_mode="distributed", **kwargs)
+                        deployment_mode="distributed",
+                        n_workers=n_workers, **kwargs)
 
 
 def create_remote_traverser(hnsw_service_url: str,

@@ -140,6 +140,7 @@ class RADTraverser:
         n_score_threads: int = 8,
         worker_timeout: float = 60.0,
         heartbeat_interval: float = 10.0,
+        n_workers: int | None = None,
         **kwargs,
     ) -> None:
         if scoring_fn is None:
@@ -154,6 +155,9 @@ class RADTraverser:
         self.scoring_fn = scoring_fn
         self.deployment_mode = deployment_mode
         self.namespace = namespace
+        # host-engine pool size used when traverse() is not given one
+        # (create_distributed_traverser(n_workers=...) lands here)
+        self._default_n_workers = int(n_workers) if n_workers else 1
         self._primed = False
         self._shutdown = False
         self._monitor_stats: dict = {}
@@ -269,7 +273,7 @@ class RADTraverser:
 
     def traverse(
         self,
-        n_workers: int = 1,
+        n_workers: Optional[int] = None,
         timeout: Optional[float] = None,
         n_to_score: Optional[int] = None,
         poll_interval: float = 0.2,
@@ -304,6 +308,11 @@ class RADTraverser:
             return stats
         # host engine: coordination + worker pool, 1 Hz-ish monitor poll
         self._coord.start()
+        # each traverse() round evaluates termination fresh: clear the
+        # previous round's sticky reason and restart the timeout epoch
+        self._coord.reset_termination()
+        if n_workers is None:
+            n_workers = self._default_n_workers
         self._pool = WorkerPool(self._coord, self.scoring_fn,
                                 n_workers=n_workers)
         self._pool.start_all()

@@ -125,8 +125,14 @@ class DerivedLevels(VirtualArray):
         self.dtype = np.dtype(np.int32)
 
     def _eval(self, ids: np.ndarray) -> np.ndarray:
-        return ((ids[:, None] < self._sizes[None, :]).sum(axis=1)
-                .astype(np.int32) - 1)
+        # level(i) = #{l : sizes[l] > i} - 1; sizes is descending, so the
+        # count is a searchsorted over the L-element (negated, ascending)
+        # sizes — O(N log L) with an [N] output. The broadcast form
+        # ids[:, None] < sizes[None, :] materializes an [N, L] bool
+        # (~2 GB transient at the proven 240M scale when device_put
+        # evaluates a slim-loaded graph's levels).
+        return (np.searchsorted(-self._sizes, -np.asarray(ids, np.int64),
+                                side="left") - 1).astype(np.int32)
 
 
 def host_keys_view(keys):

@@ -103,10 +103,12 @@ class HNSWServerApp:
         self.static_dir = os.path.abspath(static_dir) if static_dir else None
         self.server_name = server_name
         self.metrics = HNSWServerMetrics()
-        import numpy as np
         self._keys = host_keys_view(graph.keys)
         self._top_cache: Optional[list] = None
         self._top_cache_lock = threading.Lock()
+        # computed once on first /info: len(SQLiteSmilesStore) is a full
+        # COUNT(*) scan — minutes per request at the 2B serving scale
+        self._smiles_db_size: Optional[int] = None
 
     # ------------------------------------------------------------- helpers
     def _smiles_pairs(self, ids) -> list:
@@ -198,6 +200,9 @@ drop-in for the local service in any <code>RADTraverser</code>.</p>
     def handle(self, method: str, path: str, body: Optional[dict],
                headers) -> Tuple[int, dict]:
         """Dispatch; returns (status_code, json_payload)."""
+        # routes match the bare path: '/health?probe=1' must hit /health
+        # (load balancers and compatible clients append query params)
+        path = path.split("?", 1)[0]
         if self.api_key is not None and path not in ("/", "/ping"):
             auth = headers.get("Authorization", "")
             if auth != f"Bearer {self.api_key}":
@@ -232,13 +237,17 @@ drop-in for the local service in any <code>RADTraverser</code>.</p>
                 except Exception as e:
                     return 503, {"status": "unhealthy", "detail": str(e)}
             if path == "/info":
+                if self._smiles_db_size is None:
+                    # store is immutable while serving (same reasoning as
+                    # the levels_stats cache); count it once
+                    self._smiles_db_size = (len(self.smiles_store)
+                                            if self.smiles_store else 0)
                 return 200, {
                     "hnsw": self.graph.info(),
                     "levels_stats": [vars(s)
                                      for s in self.graph.levels_stats()],
                     "metrics": self.metrics.get_stats(),
-                    "smiles_db_size": (len(self.smiles_store)
-                                       if self.smiles_store else 0),
+                    "smiles_db_size": self._smiles_db_size,
                 }
             if path == "/top-level-nodes":
                 pairs = self.top_level_nodes()

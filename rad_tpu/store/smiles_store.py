@@ -63,11 +63,18 @@ class SQLiteSmilesStore(SmilesStore):
         self.chunk_size = chunk_size  # SQLite parameter limit is 999
         self._local = threading.local()
         self._closed = False
+        # every thread's connection, so close() can close them all (the
+        # per-thread handle in self._local is only reachable from its
+        # owning thread)
+        self._all_conns: List[sqlite3.Connection] = []
+        self._conns_lock = threading.Lock()
         # validate eagerly so a bad path fails at construction
         conn = self._conn()
         conn.execute("SELECT 1 FROM nodes LIMIT 1").fetchall()
 
     def _conn(self) -> sqlite3.Connection:
+        if self._closed:
+            raise RuntimeError("SmilesStore has been closed")
         conn = getattr(self._local, "conn", None)
         if conn is None:
             if self.read_only:
@@ -77,6 +84,8 @@ class SQLiteSmilesStore(SmilesStore):
             else:
                 conn = sqlite3.connect(self.path, check_same_thread=False)
             self._local.conn = conn
+            with self._conns_lock:
+                self._all_conns.append(conn)
         return conn
 
     def get_smiles_batch(self, keys: Sequence[int]) -> Dict[int, str]:
@@ -95,15 +104,25 @@ class SQLiteSmilesStore(SmilesStore):
         return out
 
     def __len__(self) -> int:
+        if self._closed:  # mirror get_smiles_batch's quiet after-close path
+            return 0
         return int(self._conn().execute(
             "SELECT COUNT(*) FROM nodes").fetchone()[0])
 
     def close(self) -> None:
+        """Close EVERY thread's connection (server handler threads each
+        opened their own); safe to call from any thread — sqlite3 allows
+        cross-thread close with check_same_thread=False as long as the
+        connection is idle, which _closed guarantees for new calls."""
         self._closed = True
-        conn = getattr(self._local, "conn", None)
-        if conn is not None:
-            conn.close()
-            self._local.conn = None
+        with self._conns_lock:
+            conns, self._all_conns = self._all_conns, []
+        for conn in conns:
+            try:
+                conn.close()
+            except sqlite3.ProgrammingError:  # racing in-flight query
+                pass
+        self._local = threading.local()
 
 
 class InMemorySmilesStore(SmilesStore):

@@ -180,7 +180,17 @@ class CoordinationService:
     # ------------------------------------------------------------- workers
     def register_worker(self, worker_id: str) -> dict:
         with self._lock:
-            self._workers[worker_id] = WorkerInfo(worker_id=worker_id)
+            info = self._workers.get(worker_id)
+            if info is not None:
+                # re-registration (retried POST after a lost response, or a
+                # worker process restart): keep the record — replacing it
+                # would empty assigned_work and strand that worker's
+                # in-flight items until the 2x-timeout stale GC instead of
+                # requeueing them the moment the worker dies/unregisters
+                info.last_heartbeat = time.time()
+                info.status = "active"
+            else:
+                self._workers[worker_id] = WorkerInfo(worker_id=worker_id)
         return {
             "worker_id": worker_id,
             "heartbeat_interval": self.heartbeat_interval,
@@ -339,6 +349,16 @@ class CoordinationService:
         self._reassigned_count += 1
 
     # --------------------------------------------------------- termination
+    def reset_termination(self) -> None:
+        """Clear the sticky termination verdict and restart the timeout
+        epoch. Call at the start of each traverse() round: without this, a
+        second traverse() on the same service instantly returns the FIRST
+        round's reason ('n_to_score' from a smaller budget), and its
+        ``timeout`` is measured from the first round's start."""
+        with self._lock:
+            self._termination = None
+            self._start_time = time.time()
+
     def check_termination(
         self,
         n_to_score: Optional[int] = None,
@@ -355,8 +375,15 @@ class CoordinationService:
             self._termination = "n_to_score"
             return True, self._termination
         with self._lock:
+            # queue length must be read in the SAME critical section as the
+            # outstanding count: request_work increments _inflight under
+            # _lock BEFORE popping, so inflight==0 here means no pop can be
+            # in progress — reading the queue after releasing the lock
+            # allowed a pop in the gap to fake a 'queue_empty' termination
+            # while the last item was mid-assignment.
             outstanding = len(self._outstanding) + self._inflight
-        if outstanding == 0 and len(self.priority_queue) == 0:
+            queue_len = len(self.priority_queue)
+        if outstanding == 0 and queue_len == 0:
             self._termination = "queue_empty"
             return True, self._termination
         return False, None

@@ -298,3 +298,53 @@ def test_index_accepts_packbits_rows():
     d2, k2 = idx_pb.search(np.packbits(bits[:5], axis=1), k=3, exact=True)
     np.testing.assert_array_equal(k1, k2)
     np.testing.assert_allclose(d1, d2)
+
+
+def test_host_traverse_resumable_in_session(index, scoring_setup):
+    """Second traverse() on the HOST engine continues the campaign: the
+    coordinator's sticky termination verdict and timeout epoch are reset
+    per round (regression: a second call instantly returned the first
+    round's 'n_to_score' with nothing new scored)."""
+    store, scoring_fn, _ = scoring_setup
+    t = create_distributed_traverser(index, scoring_fn, smiles_store=store)
+    t.prime()
+    t.traverse(n_workers=1, n_to_score=20, poll_interval=0.02)
+    first = len(t.scored_set)
+    assert first >= 20
+    stats = t.traverse(n_workers=1, n_to_score=first + 20,
+                       poll_interval=0.02)
+    second = len(t.scored_set)
+    # the regression symptom: round 2 returns instantly with round 1's
+    # 'n_to_score' verdict and nothing new scored. (A fast round 1 may
+    # have overshot and drained the whole 120-node library — then
+    # 'queue_empty' with no growth is the correct outcome.)
+    if stats["termination_reason"] == "n_to_score":
+        assert second >= first + 20
+    else:
+        assert stats["termination_reason"] == "queue_empty"
+    t.shutdown()
+
+
+def test_factory_n_workers_is_traverse_default(index, scoring_setup):
+    """create_distributed_traverser(n_workers=N) seeds the pool size used
+    when traverse() is not given one (regression: silently dropped)."""
+    store, scoring_fn, _ = scoring_setup
+    t = create_distributed_traverser(index, scoring_fn, n_workers=3,
+                                     smiles_store=store)
+    assert t._default_n_workers == 3
+    t.prime()
+    t.traverse(n_to_score=30, poll_interval=0.02)
+    assert len(t._pool.workers) == 3
+    # an explicit traverse() argument still wins
+    t.traverse(n_workers=2, n_to_score=len(t.scored_set) + 5,
+               poll_interval=0.02)
+    assert len(t._pool.workers) == 2
+    t.shutdown()
+
+
+def test_api_subpackage_exports_pod_factory():
+    """rad_tpu.api exports all four factories (create_pod_traverser was
+    importable from rad_tpu but not rad_tpu.api)."""
+    from rad_tpu.api import create_pod_traverser as f1
+    from rad_tpu import create_pod_traverser as f2
+    assert f1 is f2

@@ -199,3 +199,50 @@ def test_scoring_failures_use_failed_score(wiring):
     ids = [m[0] for m in mols]
     assert len(ids) == len(set(ids))
     tr.shutdown()
+
+
+def test_reregistration_keeps_assignments(wiring):
+    """A duplicate register (retried POST after a lost response, or a
+    worker restart under the same id) must not wipe the worker's
+    assigned_work: reassignment-on-death would otherwise never find the
+    in-flight items, stranding them until the 2x-timeout stale GC."""
+    graph, service, scoring_fn = wiring
+    coord = CoordinationService(service, worker_timeout=0.5,
+                                monitor_interval=0.05)
+    _prime(coord, service, scoring_fn, graph)
+    coord.register_worker("w1")
+    item = coord.request_work("w1")
+    assert item is not None
+    assert coord._workers["w1"].assigned_work == {item.work_id}
+
+    coord.register_worker("w1")  # duplicate registration
+    assert coord._workers["w1"].assigned_work == {item.work_id}
+
+    coord.start()
+    try:
+        # the worker goes silent; its item must be requeued at timeout
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            if coord._reassigned_count >= 1:
+                break
+            time.sleep(0.05)
+        assert coord._reassigned_count >= 1
+        assert item.work_id not in coord._outstanding
+    finally:
+        coord.shutdown()
+
+
+def test_reset_termination_clears_sticky_verdict(wiring):
+    """check_termination memoizes its verdict; reset_termination() starts
+    a fresh round (new timeout epoch, no stale reason)."""
+    graph, service, scoring_fn = wiring
+    coord = CoordinationService(service)
+    _prime(coord, service, scoring_fn, graph)
+    done, reason = coord.check_termination(n_to_score=1)
+    assert done and reason == "n_to_score"
+    # sticky: even a relaxed budget returns the memoized verdict
+    done, reason = coord.check_termination(n_to_score=10**9)
+    assert done and reason == "n_to_score"
+    coord.reset_termination()
+    done, reason = coord.check_termination(n_to_score=10**9)
+    assert not done and reason is None

@@ -330,3 +330,34 @@ def test_homepage_html_for_browsers(server):
     assert "<html" in body and "Tanimoto" in body
     with urllib.request.urlopen(url + "/", timeout=5) as r:
         assert r.headers.get_content_type() == "application/json"
+
+
+def test_query_string_routes_and_health_probe(server):
+    """Routes match the bare path: '/health?probe=1' (load balancers
+    append query params) must hit /health, not 404 (regression: routing
+    compared the raw request path including the query string)."""
+    import json
+    from urllib.request import urlopen
+
+    url, _ = server
+    with urlopen(f"{url}/health?probe=1", timeout=10) as r:
+        assert r.status == 200
+        assert json.loads(r.read())["status"] == "healthy"
+    with urlopen(f"{url}/top-level-nodes?x=y", timeout=10) as r:
+        assert r.status == 200
+
+
+def test_info_caches_smiles_db_size(server, store):
+    """/info counts the SMILES store once (COUNT(*) is a full scan at
+    serving scale), then serves the cached figure."""
+    import json
+    from urllib.request import urlopen
+
+    url, app = server
+    with urlopen(f"{url}/info", timeout=10) as r:
+        size1 = json.loads(r.read())["smiles_db_size"]
+    assert size1 == len(store)
+    assert app._smiles_db_size == size1
+    app._smiles_db_size = size1 + 123  # detect a recount
+    with urlopen(f"{url}/info", timeout=10) as r:
+        assert json.loads(r.read())["smiles_db_size"] == size1 + 123

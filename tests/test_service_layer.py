@@ -185,3 +185,38 @@ def test_factory_reference_signature(graph, tmp_path):
     assert len(pairs) >= 2 and len(pairs) % 2 == 0
     assert pairs[1].startswith("SMI_")
     svc.shutdown()
+
+
+def test_sqlite_store_close_closes_all_threads(tmp_path):
+    """close() closes EVERY thread's connection, and post-close use is
+    quiet/consistent: batch lookups return {}, len() returns 0, and no
+    fresh connection is silently opened (regression: close() only closed
+    the calling thread's handle and __len__ reopened the database)."""
+    import threading
+
+    from rad_tpu.store.smiles_store import SQLiteSmilesStore, create_smiles_db
+
+    db = str(tmp_path / "smiles.db")
+    create_smiles_db(db, [(i, f"S_{i}") for i in range(20)])
+    store = SQLiteSmilesStore(db)
+
+    hits = {}
+
+    def worker(tid):
+        hits[tid] = store.get_smiles_batch([tid])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(hits[i] == {i: f"S_{i}"} for i in range(3))
+    # main + 3 worker threads each opened a connection
+    assert len(store._all_conns) == 4
+
+    store.close()
+    assert store._all_conns == []
+    assert store.get_smiles_batch([1]) == {}
+    assert len(store) == 0
+    with pytest.raises(RuntimeError):
+        store._conn()
