@@ -39,6 +39,14 @@ def main(argv=None) -> int:
     ap.add_argument("--ef", type=int, default=64)
     ap.add_argument("--library", choices=["tree", "uniform"],
                     default="tree")
+    ap.add_argument("--builder", default="native",
+                    choices=["native", "host", "device", "exact"],
+                    help="sub-build backend for the partitioned path "
+                         "('exact' = the MXU all-pairs builder: the "
+                         "per-chip shard build at pod scale)")
+    ap.add_argument("--skip-mono", action="store_true",
+                    help="skip the monolithic baseline (at 1M the native "
+                         "single-core build alone is ~25 min)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -72,19 +80,23 @@ def main(argv=None) -> int:
             len(set(keys[i].tolist()) & set(true_keys[i].tolist())) / args.k
             for i in range(args.q)]))
 
-    log(f"monolithic native build ({args.n}) ...")
-    t0 = time.perf_counter()
-    mono = build_hnsw_native(fps, connectivity=args.connectivity,
-                             expansion_add=args.expansion_add, seed=0)
-    t_mono = time.perf_counter() - t0
-    r_mono = recall(mono)
-    log(f"  {t_mono:.1f}s, recall@{args.k}={r_mono:.3f}")
+    if args.skip_mono:
+        t_mono, r_mono = None, None
+    else:
+        log(f"monolithic native build ({args.n}) ...")
+        t0 = time.perf_counter()
+        mono = build_hnsw_native(fps, connectivity=args.connectivity,
+                                 expansion_add=args.expansion_add, seed=0)
+        t_mono = time.perf_counter() - t0
+        r_mono = recall(mono)
+        log(f"  {t_mono:.1f}s, recall@{args.k}={r_mono:.3f}")
 
-    log(f"partitioned build ({args.shards} shards) ...")
+    log(f"partitioned build ({args.shards} shards, "
+        f"builder={args.builder}) ...")
     t0 = time.perf_counter()
     part = build_hnsw_partitioned(
         fps, n_shards=args.shards, connectivity=args.connectivity,
-        expansion_add=args.expansion_add, seed=0, builder="native")
+        expansion_add=args.expansion_add, seed=0, builder=args.builder)
     t_part = time.perf_counter() - t0
     r_part = recall(part)
     log(f"  {t_part:.1f}s total (sequential sub-builds), "
@@ -92,12 +104,13 @@ def main(argv=None) -> int:
 
     print(json.dumps({
         "metric": "partition_build",
-        "n": args.n, "shards": args.shards,
+        "n": args.n, "shards": args.shards, "builder": args.builder,
         "monolithic_seconds": t_mono, "monolithic_recall": r_mono,
         "partitioned_seconds_sequential": t_part,
         "partitioned_recall": r_part,
-        "est_parallel_seconds": t_mono / args.shards
-        + (t_part - t_mono),  # per-shard build in parallel + stitch
+        "est_parallel_seconds": (
+            None if t_mono is None else t_mono / args.shards
+            + (t_part - t_mono)),  # per-shard build in parallel + stitch
     }))
     return 0
 

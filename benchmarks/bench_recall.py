@@ -56,6 +56,12 @@ def main(argv=None) -> int:
                     help="path to save/reuse the built graph npz — a 1M "
                          "native build costs ~25 min on this one core; "
                          "sweeping search configs should not repeat it")
+    ap.add_argument("--fps-npz", default=None,
+                    help="load packed fingerprints from this npz's "
+                         "'packed' member instead of generating a library "
+                         "(e.g. the dudez_workflow --cache file: real "
+                         "Morgan/ECFP4 fingerprints of real molecular "
+                         "graphs); overrides --library, checks --n")
     args = ap.parse_args(argv)
 
     import numpy as _np
@@ -73,6 +79,13 @@ def main(argv=None) -> int:
             graph.connectivity == args.connectivity, (
                 len(graph), graph.connectivity)
         fps = _np.asarray(graph.packed)
+        rng = _np.random.default_rng(99)
+        queries = fps[rng.choice(args.n, args.q, replace=False)]
+    elif args.fps_npz:
+        with _np.load(args.fps_npz, allow_pickle=False) as z:
+            fps = _np.ascontiguousarray(z["packed"], dtype=_np.uint32)
+        assert fps.shape == (args.n, args.n_bits // 32), fps.shape
+        log(f"loaded {len(fps)} packed fps from {args.fps_npz}")
         rng = _np.random.default_rng(99)
         queries = fps[rng.choice(args.n, args.q, replace=False)]
     elif args.library == "tree":

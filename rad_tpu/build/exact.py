@@ -196,8 +196,8 @@ def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
     return sel.reshape(n_pad, -1), sel_d.reshape(n_pad, -1)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def _symmetrize(sel, sel_d, n_real, cap: int):
+@partial(jax.jit, static_argnames=("cap", "two_pass"))
+def _symmetrize(sel, sel_d, n_real, cap: int, two_pass: bool = False):
     """Rows = distance-best ``cap`` incident edges (forward + reverse).
 
     The global form of the beam builder's reverse-link merge
@@ -205,9 +205,22 @@ def _symmetrize(sel, sel_d, n_real, cap: int):
     (i -> j, d) contributes edges (i, j) and (j, i); each destination keeps
     its ``cap`` nearest entrants. One sort + one rank-limited scatter —
     no per-row loops.
+
+    ``two_pass`` decomposes the 3-key sort into a (d, src) sort followed
+    by a STABLE single-key sort on dst — the classic lexsort
+    decomposition, bit-identical output (equal (dst, d, src) triples are
+    interchangeable for the downstream dup/rank masks). The remote
+    compile service killed the fused 3-key comparator at the 1M-node
+    edge-list shape (32M rows); the decomposed form is the fallback
+    lever for large builds.
     """
     n_pad, m = sel.shape
-    src = jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), m)
+    # optimization_barrier: src is a pure iota expression — without the
+    # barrier XLA may constant-fold the repeat/concatenate chain into a
+    # 100s-of-MB literal inside the compile process (the same failure
+    # class as CLAUDE.md's baked-in-constant HTTP 413s)
+    src = jax.lax.optimization_barrier(
+        jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), m))
     dst = sel.reshape(-1)
     d = sel_d.reshape(-1)
     ok = (dst >= 0) & (src < n_real)
@@ -217,7 +230,13 @@ def _symmetrize(sel, sel_d, n_real, cap: int):
     e_src = jnp.concatenate([src, jnp.where(ok, dst, n_pad)])
     e_d = jnp.concatenate([jnp.where(ok, d, INF)] * 2)
 
-    sd_key, sdist, ssrc = jax.lax.sort((e_dst, e_d, e_src), num_keys=3)
+    if two_pass:
+        s_d, s_src, s_dst = jax.lax.sort((e_d, e_src, e_dst), num_keys=2,
+                                         is_stable=True)
+        sd_key, sdist, ssrc = jax.lax.sort((s_dst, s_d, s_src), num_keys=1,
+                                           is_stable=True)
+    else:
+        sd_key, sdist, ssrc = jax.lax.sort((e_dst, e_d, e_src), num_keys=3)
     # drop duplicate (dst, src) pairs (mutual selections appear twice)
     dup = jnp.concatenate([
         jnp.zeros((1,), jnp.bool_),
@@ -259,6 +278,7 @@ def build_hnsw_exact(
     use_pallas: bool | None = None,
     approx_recall: float | None = 0.99,
     block_bucket: int | None = 64,
+    symm_two_pass: bool | None = None,
     interpret: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
@@ -278,8 +298,11 @@ def build_hnsw_exact(
     ``_allpairs_topk``), so the dominant layer-0 reduction never
     materializes distance blocks in HBM. Smaller layers (and
     ``use_pallas=False``) keep the ``approx_recall`` reduction; ``None``
-    disables. ``interpret`` runs the Pallas kernels in interpreter mode
-    (CPU testing).
+    disables. ``symm_two_pass`` picks the symmetrization sort form
+    (``None`` = auto: decomposed two-pass stable sort past ~16M edges,
+    where the fused 3-key sort's remote compile was killed; bit-identical
+    either way). ``interpret`` runs the Pallas kernels in interpreter
+    mode (CPU testing).
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -374,7 +397,10 @@ def build_hnsw_exact(
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
                                    n_l, min(m, cap), heuristic_k, sb,
                                    mxu_pairs=use_pallas)
-        rows = _symmetrize(sel, sel_d, n_l, cap)
+        # two-pass sort past ~16M edges (see _symmetrize) unless forced
+        two_pass = (symm_two_pass if symm_two_pass is not None
+                    else 2 * n_pad * min(m, cap) >= 1 << 24)
+        rows = _symmetrize(sel, sel_d, n_l, cap, two_pass=two_pass)
         neighbors.append(rows[:n_l])
 
     return HNSWGraph(

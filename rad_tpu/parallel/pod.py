@@ -157,7 +157,10 @@ class PodTraverser:
             seed_scores = jnp.asarray(self._bridge.score_smiles(smiles))
         else:
             from rad_tpu.fp.tanimoto import tanimoto_matrix
-            packed_top = jnp.asarray(np.asarray(self.graph.packed)[:n_top])
+            # slice BEFORE materializing: np.asarray(packed) would pull the
+            # whole fingerprint matrix to host (the graph here can be the
+            # pod-scale one; only the top layer's rows are needed)
+            packed_top = jnp.asarray(np.asarray(self.graph.packed[:n_top]))
             seed_scores = tanimoto_matrix(self._target[None, :],
                                           packed_top)[0]
         self.state = dev.prime(self.state, self.dg, ids, seed_scores)
@@ -264,7 +267,7 @@ class PodTraverser:
             ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
-        scores = np.asarray(self.state.scores)[ids]
+        scores = dev.gather_scores(self.state, ids)
         if self._host_mode:
             smiles = self._bridge.smiles_for_ids(ids) if len(ids) else []
             return [(int(i), float(s), sm)
@@ -281,7 +284,7 @@ class PodTraverser:
             ids = np.asarray(self._spill.read())
         else:
             ids = np.asarray(dev.read_order_log(self.state))
-        scores = np.asarray(self.state.scores)[ids]
+        scores = dev.gather_scores(self.state, ids)
         order = np.argsort(scores, kind="stable")
         if n is not None:
             order = order[:n]

@@ -1205,6 +1205,20 @@ def read_order_log(state: TraversalState) -> np.ndarray:
     return np.concatenate([log[head:], log[:head]])
 
 
+def gather_scores(state: TraversalState, ids) -> np.ndarray:
+    """Host float array of ``state.scores[ids]`` via an ON-DEVICE gather.
+
+    ``np.asarray(state.scores)[ids]`` downloads the full ``[N]`` scores
+    first — ~1 GB through the tunnel at the 240M single-chip scale, and a
+    cross-device gather of the whole array when the state is row-sharded.
+    This pulls only ``len(ids)`` floats.
+    """
+    ids = np.asarray(ids)
+    if ids.size == 0:
+        return np.zeros((0,), np.float32)
+    return np.asarray(state.scores[jnp.asarray(ids, jnp.int32)])
+
+
 def read_order_log_since(state: TraversalState, start: int) -> np.ndarray:
     """Scored node ids in positions [start, n_scored) — the incremental
     drain for runs whose total scored count exceeds the ring capacity.

@@ -270,7 +270,7 @@ class DeviceTraverser:
             ids = dev.read_order_log(self.state)
         if n is not None:
             ids = ids[:n]
-        scores = np.asarray(self.state.scores)[ids]
+        scores = dev.gather_scores(self.state, ids)
         smiles = self._smiles_for_ids(ids) if len(ids) else []
         return [(int(i), float(s), sm)
                 for i, s, sm in zip(ids, scores, smiles)]
@@ -286,7 +286,7 @@ class DeviceTraverser:
             ids = np.asarray(self._spill.read())
         else:
             ids = np.asarray(dev.read_order_log(self.state))
-        scores = np.asarray(self.state.scores)[ids]
+        scores = dev.gather_scores(self.state, ids)
         order = np.argsort(scores, kind="stable")
         if n is not None:
             order = order[:n]

@@ -184,3 +184,27 @@ def test_int64_keys_preserved():
     assert set(np.asarray(g.keys).tolist()) == set(big.tolist())
     nid = g.get_node_ids_from_keys([int(big[7])])[0]
     assert int(np.asarray(g.keys)[nid]) == int(big[7])
+
+
+def test_symmetrize_two_pass_identical(fps):
+    """The decomposed (two stable sorts) symmetrization — the compile
+    fallback for >16M-edge layers — is bit-identical to the fused 3-key
+    sort, both at the stage level (random directed selections, ties and
+    mutual pairs included) and through a full build."""
+    from rad_tpu.build.exact import _symmetrize
+
+    rng = np.random.default_rng(5)
+    n_pad, m, n_real = 256, 4, 201
+    sel = rng.integers(-1, n_pad, size=(n_pad, m)).astype(np.int32)
+    # quantized distances force score ties; mutual pairs arise by chance
+    sel_d = (rng.integers(0, 6, size=(n_pad, m)) / 8.0).astype(np.float32)
+    a = np.asarray(_symmetrize(jnp.asarray(sel), jnp.asarray(sel_d),
+                               n_real, 8, two_pass=False))
+    b = np.asarray(_symmetrize(jnp.asarray(sel), jnp.asarray(sel_d),
+                               n_real, 8, two_pass=True))
+    np.testing.assert_array_equal(a, b)
+
+    g3 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_two_pass=False)
+    g2 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_two_pass=True)
+    for t3, t2 in zip(g3.neighbors, g2.neighbors):
+        np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
