@@ -66,6 +66,11 @@ def main(argv=None) -> int:
                     help="xplane-trace the allpairs stage and print the "
                          "top device ops (leaf events; see CLAUDE.md for "
                          "the while/cond attribution caveat)")
+    ap.add_argument("--symm", choices=["auto", "sort", "two_pass",
+                                       "chunked"],
+                    default="auto",
+                    help="symmetrization form for the 'build' stage "
+                         "(compile-service probes at large n)")
     args = ap.parse_args(argv)
 
     import jax
@@ -159,6 +164,7 @@ def main(argv=None) -> int:
 
     if "build" in args.stages:
         from rad_tpu.build.exact import build_hnsw_exact
+        symm = None if args.symm == "auto" else args.symm
 
         def barrier(g):
             # neighbors stay DEVICE-resident (the traversal consumes them
@@ -169,11 +175,13 @@ def main(argv=None) -> int:
                     np.asarray(t[-1:])
 
         t0 = time.perf_counter()
-        g = build_hnsw_exact(fps, connectivity=m, seed=0)
+        g = build_hnsw_exact(fps, connectivity=m, seed=0,
+                             symm_mode=symm)
         barrier(g)
         dt0 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        g = build_hnsw_exact(fps, connectivity=m, seed=0)
+        g = build_hnsw_exact(fps, connectivity=m, seed=0,
+                             symm_mode=symm)
         barrier(g)
         dt = time.perf_counter() - t0
         results["build_total"] = min(dt0, dt)

@@ -259,6 +259,82 @@ def _symmetrize(sel, sel_d, n_real, cap: int, two_pass: bool = False):
     return rows[:n_pad]
 
 
+def _merge_rows(run_d, run_s, ch_d, ch_s, cap: int):
+    """Fold a chunk's [n_pad, cap] (d, src) contribution into the running
+    per-row table: row-wise 2-key sort by (d, src), adjacent same-src
+    dedup (a (dst, src) edge's two copies carry the same distance, so
+    duplicates sort together), re-sort, truncate to cap."""
+    cat_d = jnp.concatenate([run_d, ch_d], axis=1)
+    cat_s = jnp.concatenate([run_s, ch_s], axis=1)
+    cat_d, cat_s = jax.lax.sort((cat_d, cat_s), dimension=1, num_keys=2)
+    dup = jnp.concatenate([
+        jnp.zeros((cat_s.shape[0], 1), jnp.bool_),
+        (cat_s[:, 1:] == cat_s[:, :-1]) & (cat_s[:, 1:] >= 0)], axis=1)
+    cat_d = jnp.where(dup, INF, cat_d)
+    cat_s = jnp.where(dup, -1, cat_s)
+    cat_d, cat_s = jax.lax.sort((cat_d, cat_s), dimension=1, num_keys=2)
+    return cat_d[:, :cap], cat_s[:, :cap]
+
+
+@partial(jax.jit, static_argnames=("cap", "cols_per_chunk"))
+def _symmetrize_chunked(sel, sel_d, n_real, cap: int, cols_per_chunk: int):
+    """Per-destination top-cap incident edges WITHOUT a full-edge-list
+    sort: the remote compile service cannot compile any ~32M-row sort
+    (1M-node layer-0 edge list — SIGKILL on the 3-key form, a >90-min
+    park on the two-pass form), so this processes ``cols_per_chunk``
+    selection columns at a time. Each chunk is one small 3-key sort +
+    rank-limited scatter (the 100k build's known-compilable class, a few
+    million rows), folded into a running [n_pad, cap] table by
+    :func:`_merge_rows`.
+
+    Bit-identical to the global sort: a chunk's per-destination
+    dedup-then-top-``cap`` can only drop entries beaten by >= ``cap``
+    distinct entrants of the same destination within the chunk — all of
+    which beat it globally too — so truncation is lossless, and every
+    intermediate table stays sorted by the global (d, src) rank order.
+    """
+    n_pad, m = sel.shape
+    run_d = jnp.full((n_pad, cap), INF)
+    run_s = jnp.full((n_pad, cap), -1, jnp.int32)
+    for c0 in range(0, m, cols_per_chunk):
+        cc = min(cols_per_chunk, m - c0)
+        sub = sel[:, c0:c0 + cc]
+        sub_d = sel_d[:, c0:c0 + cc]
+        src = jax.lax.optimization_barrier(
+            jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), cc))
+        dst = sub.reshape(-1)
+        d = sub_d.reshape(-1)
+        ok = (dst >= 0) & (src < n_real)
+        e_dst = jnp.concatenate([jnp.where(ok, dst, n_pad),
+                                 jnp.where(ok, src, n_pad)])
+        e_src = jnp.concatenate([src, jnp.where(ok, dst, n_pad)])
+        e_d = jnp.concatenate([jnp.where(ok, d, INF)] * 2)
+        sd_key, sdist, ssrc = jax.lax.sort((e_dst, e_d, e_src), num_keys=3)
+        dup = jnp.concatenate([
+            jnp.zeros((1,), jnp.bool_),
+            (sd_key[1:] == sd_key[:-1]) & (ssrc[1:] == ssrc[:-1])])
+        valid = (sd_key < n_pad) & jnp.isfinite(sdist) & ~dup
+        first = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_), sd_key[1:] != sd_key[:-1]])
+        c = jnp.cumsum(valid.astype(jnp.int32))
+        base_at_start = jnp.where(first, c - valid.astype(jnp.int32),
+                                  jnp.int32(-1))
+        base = jax.lax.associative_scan(jnp.maximum, base_at_start)
+        rank = c - 1 - base
+        keep = valid & (rank < cap)
+        ch_s = jnp.full((n_pad + 1, cap), -1, jnp.int32)
+        ch_s = ch_s.at[jnp.where(keep, sd_key, n_pad),
+                       jnp.where(keep, rank, 0)].set(
+            jnp.where(keep, ssrc, -1), mode="drop")
+        ch_d = jnp.full((n_pad + 1, cap), INF)
+        ch_d = ch_d.at[jnp.where(keep, sd_key, n_pad),
+                       jnp.where(keep, rank, 0)].set(
+            jnp.where(keep, sdist, INF), mode="drop")
+        run_d, run_s = _merge_rows(run_d, run_s, ch_d[:n_pad], ch_s[:n_pad],
+                                   cap)
+    return run_s
+
+
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
@@ -278,7 +354,7 @@ def build_hnsw_exact(
     use_pallas: bool | None = None,
     approx_recall: float | None = 0.99,
     block_bucket: int | None = 64,
-    symm_two_pass: bool | None = None,
+    symm_mode: str | None = None,
     interpret: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
@@ -298,11 +374,16 @@ def build_hnsw_exact(
     ``_allpairs_topk``), so the dominant layer-0 reduction never
     materializes distance blocks in HBM. Smaller layers (and
     ``use_pallas=False``) keep the ``approx_recall`` reduction; ``None``
-    disables. ``symm_two_pass`` picks the symmetrization sort form
-    (``None`` = auto: decomposed two-pass stable sort past ~16M edges,
-    where the fused 3-key sort's remote compile was killed; bit-identical
-    either way). ``interpret`` runs the Pallas kernels in interpreter
-    mode (CPU testing).
+    disables. ``symm_mode`` picks the symmetrization form — ``"sort"``
+    (one global 3-key sort), ``"two_pass"`` (lexsort-decomposed stable
+    sorts), ``"chunked"`` (column-chunked small sorts + row-wise merges;
+    no sort exceeds ~4M rows), or ``None`` = auto: ``"chunked"`` past
+    ~8M edges. All three are bit-identical; the remote compile service
+    cannot compile EITHER whole-edge-list sort at the 1M-node shape
+    (32M rows: SIGKILL on the 3-key form, a >90-min park on the
+    two-pass form), which is what the chunked form is for.
+    ``interpret`` runs the Pallas kernels in interpreter mode (CPU
+    testing).
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -397,10 +478,19 @@ def build_hnsw_exact(
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
                                    n_l, min(m, cap), heuristic_k, sb,
                                    mxu_pairs=use_pallas)
-        # two-pass sort past ~16M edges (see _symmetrize) unless forced
-        two_pass = (symm_two_pass if symm_two_pass is not None
-                    else 2 * n_pad * min(m, cap) >= 1 << 24)
-        rows = _symmetrize(sel, sel_d, n_l, cap, two_pass=two_pass)
+        n_edges = 2 * n_pad * min(m, cap)
+        mode = symm_mode or ("chunked" if n_edges >= 1 << 23 else "sort")
+        if mode == "chunked":
+            # chunk so no per-chunk sort exceeds ~4M rows (the known
+            # remote-compilable class; see _symmetrize_chunked)
+            cpc = max(1, (1 << 22) // (2 * n_pad))
+            rows = _symmetrize_chunked(sel, sel_d, n_l, cap,
+                                       cols_per_chunk=cpc)
+        elif mode in ("sort", "two_pass"):
+            rows = _symmetrize(sel, sel_d, n_l, cap,
+                               two_pass=(mode == "two_pass"))
+        else:
+            raise ValueError(f"unknown symm_mode {mode!r}")
         neighbors.append(rows[:n_l])
 
     return HNSWGraph(

@@ -186,12 +186,15 @@ def test_int64_keys_preserved():
     assert int(np.asarray(g.keys)[nid]) == int(big[7])
 
 
-def test_symmetrize_two_pass_identical(fps):
-    """The decomposed (two stable sorts) symmetrization — the compile
-    fallback for >16M-edge layers — is bit-identical to the fused 3-key
-    sort, both at the stage level (random directed selections, ties and
-    mutual pairs included) and through a full build."""
-    from rad_tpu.build.exact import _symmetrize
+def test_symmetrize_modes_identical(fps):
+    """The compile-fallback symmetrizations — two-pass (lexsort-decomposed
+    stable sorts) and chunked (column-chunked small sorts + row-wise
+    merges, for the 1M-node shape whose whole-edge-list sorts the remote
+    compile service cannot compile) — are bit-identical to the fused
+    3-key sort, at the stage level (random directed selections, ties and
+    mutual pairs included, several chunk widths) and through full
+    builds."""
+    from rad_tpu.build.exact import _symmetrize, _symmetrize_chunked
 
     rng = np.random.default_rng(5)
     n_pad, m, n_real = 256, 4, 201
@@ -203,8 +206,14 @@ def test_symmetrize_two_pass_identical(fps):
     b = np.asarray(_symmetrize(jnp.asarray(sel), jnp.asarray(sel_d),
                                n_real, 8, two_pass=True))
     np.testing.assert_array_equal(a, b)
+    for cpc in (1, 2, 3, 4):
+        c = np.asarray(_symmetrize_chunked(
+            jnp.asarray(sel), jnp.asarray(sel_d), n_real, 8,
+            cols_per_chunk=cpc))
+        np.testing.assert_array_equal(a, c), cpc
 
-    g3 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_two_pass=False)
-    g2 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_two_pass=True)
-    for t3, t2 in zip(g3.neighbors, g2.neighbors):
-        np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
+    g3 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode="sort")
+    for mode in ("two_pass", "chunked"):
+        g = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode=mode)
+        for t3, t2 in zip(g3.neighbors, g.neighbors):
+            np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
