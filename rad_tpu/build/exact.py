@@ -68,40 +68,12 @@ def _dist_block(q_packed, db_packed, use_pallas: bool,
     return tanimoto_matrix(q_packed, db_packed)
 
 
-@partial(jax.jit,
-         static_argnames=("k", "q_block", "col_block", "use_pallas",
-                          "approx_recall", "bucket", "interpret"))
-def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
-                   use_pallas: bool, approx_recall: float | None,
-                   bucket: int | None = None, interpret: bool = False):
-    """Top-k neighbor ids+dists for every row of ``packed`` against all
-    rows (self excluded), blocked in both dimensions.
-
-    packed: [N_pad, W] (rows >= n_real are zero padding). Returns
-    (dists [N_pad, k], ids [N_pad, k]) — padded query rows return junk.
-
-    Per-block reduction: ``approx_recall`` (default 0.99 at the caller)
-    uses ``lax.approx_max_k`` — the TPU PartialReduce the hardware has an
-    instruction path for. The r3 profile of the exact variant showed
-    ``lax.top_k`` over the [4096, 8192] distance blocks at 8.4 s of a
-    10.3 s 100k build (the MXU distances were 83 ms): the full sort-based
-    top-k is the builder's wall, not the distances. The cross-block merge
-    of per-block winners stays EXACT (a [*, 2k] top_k). ``None`` restores
-    the fully exact reduction.
-
-    ``bucket`` (TPU default at large layers) switches the per-block
-    reduction to :func:`rad_tpu.fp.kernels.tanimoto_bucketmin_pallas` —
-    the PartialReduce fused INTO the distance kernel, so the [q_block,
-    col_block] f32 distance block never reaches HBM (the r3 stage
-    ablation measured that round-trip + XLA reduction fusion at 6.6 s of
-    the 9.7 s layer-0 allpairs; the MXU distances were 83 ms). One winner
-    per ``bucket`` columns; a query's self-bucket winner is the query
-    itself (dist 0), so that bucket's runner-up is lost — the same class
-    of approximation as ``approx_max_k``, and the cross-block merge of
-    winners is still exact.
-    """
+def _make_one_qblock(packed, n_real, k: int, q_block: int, col_block: int,
+                     use_pallas: bool, approx_recall: float | None,
+                     bucket: int | None, interpret: bool):
+    """The shared per-q-block body of the all-pairs top-k (see
+    :func:`_allpairs_topk` for the reduction semantics)."""
     n_pad, w = packed.shape
-    nq = n_pad // q_block
     nc = n_pad // col_block
 
     def one_qblock(qi):
@@ -156,9 +128,127 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
                                    jnp.arange(nc, dtype=jnp.int32))
         return bd, bi
 
+    return one_qblock
+
+
+@partial(jax.jit,
+         static_argnames=("k", "q_block", "col_block", "use_pallas",
+                          "approx_recall", "bucket", "interpret"))
+def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
+                   use_pallas: bool, approx_recall: float | None,
+                   bucket: int | None = None, interpret: bool = False):
+    """Top-k neighbor ids+dists for every row of ``packed`` against all
+    rows (self excluded), blocked in both dimensions.
+
+    packed: [N_pad, W] (rows >= n_real are zero padding). Returns
+    (dists [N_pad, k], ids [N_pad, k]) — padded query rows return junk.
+
+    Per-block reduction: ``approx_recall`` (default 0.99 at the caller)
+    uses ``lax.approx_max_k`` — the TPU PartialReduce the hardware has an
+    instruction path for. The r3 profile of the exact variant showed
+    ``lax.top_k`` over the [4096, 8192] distance blocks at 8.4 s of a
+    10.3 s 100k build (the MXU distances were 83 ms): the full sort-based
+    top-k is the builder's wall, not the distances. The cross-block merge
+    of per-block winners stays EXACT (a [*, 2k] top_k). ``None`` restores
+    the fully exact reduction.
+
+    ``bucket`` (TPU default at large layers) switches the per-block
+    reduction to :func:`rad_tpu.fp.kernels.tanimoto_bucketmin_pallas` —
+    the PartialReduce fused INTO the distance kernel, so the [q_block,
+    col_block] f32 distance block never reaches HBM (the r3 stage
+    ablation measured that round-trip + XLA reduction fusion at 6.6 s of
+    the 9.7 s layer-0 allpairs; the MXU distances were 83 ms). One winner
+    per ``bucket`` columns; a query's self-bucket winner is the query
+    itself (dist 0), so that bucket's runner-up is lost — the same class
+    of approximation as ``approx_max_k``, and the cross-block merge of
+    winners is still exact.
+    """
+    n_pad, w = packed.shape
+    nq = n_pad // q_block
+    one_qblock = _make_one_qblock(packed, n_real, k, q_block, col_block,
+                                  use_pallas, approx_recall, bucket,
+                                  interpret)
     dists, ids = jax.lax.map(one_qblock,
                              jnp.arange(nq, dtype=jnp.int32))
     return dists.reshape(n_pad, k), ids.reshape(n_pad, k)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "q_block", "col_block", "use_pallas",
+                          "approx_recall", "bucket", "interpret", "q_span"))
+def _allpairs_topk_span(packed, n_real, q0, k: int, q_block: int,
+                        col_block: int, use_pallas: bool,
+                        approx_recall: float | None,
+                        bucket: int | None, interpret: bool, q_span: int):
+    """:func:`_allpairs_topk` restricted to ``q_span`` q-blocks starting
+    at q-block index ``q0`` (traced). One host-dispatched span = one
+    bounded device program — see :func:`_allpairs_topk_chunked`."""
+    one_qblock = _make_one_qblock(packed, n_real, k, q_block, col_block,
+                                  use_pallas, approx_recall, bucket,
+                                  interpret)
+    dists, ids = jax.lax.map(
+        one_qblock, q0 + jnp.arange(q_span, dtype=jnp.int32))
+    return dists.reshape(q_span * q_block, k), ids.reshape(
+        q_span * q_block, k)
+
+
+# One device program per ~this many distance evaluations in the chunked
+# all-pairs driver. MEASURED (r3s12 watchdog probe, ROUND3.md): the
+# tunneled TPU worker crashes mid-execution on ANY single program running
+# long enough — a trivial 17.5k-iteration bf16 matmul fori_loop (~110 s)
+# reproduces the crash with no Pallas/gather/sort op, while the same loop
+# at 12.6 s is fine. 1.5e11 pairs ~= 12 s at the measured 1.26e10
+# effective pairs/s (100k stage ablation, merges included), comfortably
+# under the deadline while keeping dispatch overhead (~26 ms RTT)
+# negligible.
+PAIRS_PER_DISPATCH = 1.5e11
+
+
+def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
+                           col_block: int, use_pallas: bool,
+                           approx_recall: float | None,
+                           bucket: int | None = None,
+                           interpret: bool = False,
+                           pairs_per_dispatch: float = PAIRS_PER_DISPATCH):
+    """All-pairs top-k as a HOST loop of bounded device programs.
+
+    Identical results to :func:`_allpairs_topk` (same per-q-block body,
+    q-blocks are independent), but no single device program exceeds
+    ~``pairs_per_dispatch`` distance evaluations: the single-program form
+    at the 1M-node layer-0 shape (~1e12 pairs, ~85 s) crashes the
+    tunneled TPU worker mid-execution (r3s12; the crash is
+    execution-TIME-dependent, not shape- or kernel-dependent — a ~110 s
+    trivial matmul fori_loop reproduces it with no Pallas/gather/sort op,
+    and a 12.6 s program is reliably fine).
+
+    Falls back to the one-program form when the whole problem fits one
+    dispatch, so sub-300k builds keep their existing compiled path.
+    """
+    n_pad, _ = packed.shape
+    nq = n_pad // q_block
+    q_span = max(1, int(pairs_per_dispatch // (q_block * n_pad)))
+    if q_span >= nq:
+        return _allpairs_topk(packed, n_real, k, q_block, col_block,
+                              use_pallas, approx_recall, bucket=bucket,
+                              interpret=interpret)
+    starts = list(range(0, nq - q_span + 1, q_span))
+    if starts[-1] + q_span < nq:
+        starts.append(nq - q_span)  # tail span overlaps; slices below dedup
+    d_parts, i_parts = [], []
+    covered = 0  # rows already emitted
+    for q0 in starts:
+        bd, bi = _allpairs_topk_span(
+            packed, n_real, jnp.int32(q0), k, q_block, col_block,
+            use_pallas, approx_recall, bucket, interpret, q_span)
+        # serialize: dispatches run ahead of buffer frees through the
+        # tunnel (CLAUDE.md) — force each span before launching the next
+        np.asarray(bi[-1:, -1:])
+        skip = covered - q0 * q_block
+        d_parts.append(bd[skip:] if skip else bd)
+        i_parts.append(bi[skip:] if skip else bi)
+        covered = (q0 + q_span) * q_block
+    return (jnp.concatenate(d_parts, axis=0),
+            jnp.concatenate(i_parts, axis=0))
 
 
 @partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block",
@@ -355,6 +445,7 @@ def build_hnsw_exact(
     approx_recall: float | None = 0.99,
     block_bucket: int | None = 64,
     symm_mode: str | None = None,
+    pairs_per_dispatch: float = PAIRS_PER_DISPATCH,
     interpret: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
@@ -382,8 +473,12 @@ def build_hnsw_exact(
     cannot compile EITHER whole-edge-list sort at the 1M-node shape
     (32M rows: SIGKILL on the 3-key form, a >90-min park on the
     two-pass form), which is what the chunked form is for.
-    ``interpret`` runs the Pallas kernels in interpreter mode (CPU
-    testing).
+    ``pairs_per_dispatch`` bounds the distance evaluations per device
+    program in the all-pairs stage (the tunneled worker crashes on any
+    single program running much past ~13 s — see
+    :data:`PAIRS_PER_DISPATCH`); builds that fit one dispatch keep the
+    single-program path. ``interpret`` runs the Pallas kernels in
+    interpreter mode (CPU testing).
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -472,9 +567,10 @@ def build_hnsw_exact(
         # big layers have a reduction wall to trim)
         bkt = (block_bucket if use_pallas and block_bucket and n_l >= big
                else None)
-        cand_d, cand_id = _allpairs_topk(packed_l, n_l, k, qb, cb,
-                                         use_pallas, approx_recall,
-                                         bucket=bkt, interpret=interpret)
+        cand_d, cand_id = _allpairs_topk_chunked(
+            packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
+            bucket=bkt, interpret=interpret,
+            pairs_per_dispatch=pairs_per_dispatch)
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
                                    n_l, min(m, cap), heuristic_k, sb,
                                    mxu_pairs=use_pallas)

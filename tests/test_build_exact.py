@@ -217,3 +217,39 @@ def test_symmetrize_modes_identical(fps):
         g = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode=mode)
         for t3, t2 in zip(g3.neighbors, g.neighbors):
             np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
+
+
+def test_allpairs_chunked_identical(fps):
+    """The host-chunked all-pairs driver (bounded device programs — the
+    tunneled worker crashes on any single program running much past ~13 s,
+    r3s12) is bit-identical to the one-program form, including the
+    overlapping tail span when q_span does not divide nq."""
+    from rad_tpu.build.exact import _allpairs_topk, _allpairs_topk_chunked
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    packed = np.zeros((2048, fps.shape[1]), np.uint32)
+    packed[:2000] = fps
+    dev = jnp.asarray(packed)
+    kw = dict(k=16, q_block=256, col_block=512, use_pallas=False,
+              approx_recall=0.99)
+    ref_d, ref_i = _allpairs_topk(dev, 2000, **kw)
+    # q_span=3 over nq=8 -> starts [0, 3, 5]: exercises the overlap path
+    ch_d, ch_i = _allpairs_topk_chunked(dev, 2000, **kw,
+                                        pairs_per_dispatch=1.6e6)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(ch_i))
+    np.testing.assert_array_equal(np.asarray(ref_d), np.asarray(ch_d))
+    # q_span=2 divides nq=8: no overlap path
+    ch_d, ch_i = _allpairs_topk_chunked(dev, 2000, **kw,
+                                        pairs_per_dispatch=1.1e6)
+    np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(ch_i))
+
+
+def test_build_chunked_dispatch_identical(fps):
+    """A full build with a tiny pairs_per_dispatch (layer 0 split across
+    several device programs) equals the single-dispatch build."""
+    kw = dict(connectivity=8, seed=3, q_block=256, col_block=512,
+              sel_block=256)
+    g_ref = build_hnsw_exact(fps, **kw)
+    g_ch = build_hnsw_exact(fps, **kw, pairs_per_dispatch=1.6e6)
+    for a, b in zip(g_ref.neighbors, g_ch.neighbors):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
