@@ -35,6 +35,7 @@ prefetch-proxy pipeline, rad/coordination_service.py:314-347).
 from __future__ import annotations
 
 import dataclasses
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Tuple
@@ -992,7 +993,7 @@ def fused_step(
                      out["to_score"], scores)
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps", "narrow_width"),
+@partial(jax.jit, static_argnames=("batch", "narrow_width"),
          donate_argnums=(0,))
 def fused_run(
     state: TraversalState,
@@ -1003,7 +1004,7 @@ def fused_run(
     target_pop: jnp.ndarray,
     n_to_score: jnp.ndarray,
     batch: int,
-    max_steps: int = 1 << 20,
+    max_steps=1 << 20,
     narrow_width: int | None = None,
 ) -> TraversalState:
     """Run the fully device-resident traversal to ``n_to_score`` in ONE
@@ -1012,6 +1013,14 @@ def fused_run(
     This is BASELINE config 3 (device-side traversal with an on-device
     scorer): zero host round trips until termination, so throughput is pure
     device speed regardless of dispatch latency.
+
+    ``max_steps`` is TRACED (one compile serves every step budget — it
+    exists so :func:`segmented_run` can re-dispatch the same program with
+    varying bounds). CAUTION: through the tunnel, a single device program
+    running much past ~13 s crashes the TPU worker (measured r3s12, any
+    program content — ROUND3.md); budgets that imply more than a few
+    seconds of device time should go through :func:`fused_run_segmented`,
+    which is bit-identical by while-loop continuation.
 
     ``narrow_width`` (power of two, < batch*M0): exhaustive-tail
     optimization. ``to_score`` is unique unscored ids compacted to the
@@ -1071,6 +1080,94 @@ def fused_run(
     return state
 
 
+# Single device programs running much past this crash the tunneled TPU
+# worker ("TPU worker process crashed or restarted"), regardless of
+# content: a trivial 17.5k-iteration bf16 matmul fori_loop (~110 s)
+# reproduces it with no Pallas/gather/sort op, while 12.6 s is fine
+# (measured r3s12, ROUND3.md). Segment drivers aim well under it.
+TUNNEL_DEADLINE_S = 13.0
+
+
+def segmented_run(run, state: TraversalState, n_to_score,
+                  max_steps: int = 1 << 20, seg_init: int = 2048,
+                  seg_target_s: float = 8.0,
+                  seg_max: int = 1 << 20) -> TraversalState:
+    """Drive an unbounded fused traversal as a host loop of bounded
+    device programs.
+
+    ``run(state, n_to_score, step_budget) -> state`` must execute the
+    fused while-loop with a TRACED ``step_budget`` (so every segment
+    reuses one compiled program — :func:`fused_run` and
+    :func:`make_device_run`'s runner qualify). Results are bit-identical
+    to a single unbounded call: the loop body is deterministic in the
+    carried state, so stopping at a step bound and re-entering continues
+    the exact same trajectory.
+
+    Why: through the tunnel, ANY single device program running much past
+    ~13 s crashes the TPU worker (:data:`TUNNEL_DEADLINE_S`) — this is
+    the measured root cause of the "big fused runs fault the worker"
+    hazard class. The driver times each segment and resizes toward
+    ``seg_target_s`` seconds (first segment ``seg_init`` steps; a
+    compile-polluted first measurement just shrinks segment 2 to the
+    floor and the rate re-estimates there). Per-segment cost is one
+    scalar readback (~26 ms RTT), negligible at the default target.
+    """
+    n_to_score = jnp.asarray(n_to_score, jnp.int32)
+    # Loop iterations executed in a segment = max over campaign lanes of
+    # the PER-LANE n_steps delta (scalar for the single engine, [T] for
+    # multi states). NOT the delta of the max: a frozen max lane would
+    # stall the global max while other lanes still step, and the driver
+    # would break with work remaining.
+    prev_steps = np.asarray(state.n_steps)
+    done = 0
+    seg = max(1, min(seg_init, max_steps, seg_max))
+    while done < max_steps:
+        t0 = time.perf_counter()
+        state = run(state, n_to_score, jnp.int32(seg))
+        n_steps = np.asarray(state.n_steps)  # readback: forces+serializes
+        dt = time.perf_counter() - t0
+        stepped = int(np.max(n_steps - prev_steps))
+        prev_steps = n_steps
+        done += stepped
+        if stepped < seg:
+            break  # terminated inside the segment (budget / dead frontier);
+            # a budget landing exactly on a segment boundary just costs one
+            # further ~ms no-op dispatch before this fires
+        per_step = dt / max(stepped, 1)
+        # rate-floor of 256 steps/segment, but never past the remaining
+        # budget or the caller's ceiling
+        seg = min(max(256, int(seg_target_s / max(per_step, 1e-7))),
+                  seg_max, max_steps - done)
+        if seg <= 0:
+            break
+    return state
+
+
+def fused_run_segmented(
+    state: TraversalState,
+    dg: DeviceGraph,
+    packed: jnp.ndarray,
+    pops: jnp.ndarray,
+    target_packed: jnp.ndarray,
+    target_pop: jnp.ndarray,
+    n_to_score,
+    batch: int,
+    max_steps: int = 1 << 20,
+    narrow_width: int | None = None,
+    seg_init: int = 2048,
+    seg_target_s: float = 8.0,
+    seg_max: int = 1 << 20,
+) -> TraversalState:
+    """:func:`fused_run` behind :func:`segmented_run` — the deadline-safe
+    default for budgets implying more than a few seconds of device time."""
+    return segmented_run(
+        lambda st, nts, sb: fused_run(st, dg, packed, pops, target_packed,
+                                      target_pop, nts, batch, max_steps=sb,
+                                      narrow_width=narrow_width),
+        state, n_to_score, max_steps=max_steps, seg_init=seg_init,
+        seg_target_s=seg_target_s, seg_max=seg_max)
+
+
 def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
                     scorer, batch: int, max_steps: int = 1 << 20,
                     narrow_width: int | None = None):
@@ -1090,19 +1187,22 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
     and for an MLP surrogate the scorer itself also shrinks 8x). Opt-in;
     costs ~5-10% in the screening regime.
 
-    Returns ``run(state, n_to_score) -> state``.
+    Returns ``run(state, n_to_score, step_budget=None) -> state``. The
+    step budget is TRACED (defaults to ``max_steps``), so
+    ``segmented_run(run, ...)`` can drive it deadline-safely with one
+    compiled program.
     """
 
     # graph arrays enter as ARGUMENTS, not closure constants: a closed-over
     # [N, W] matrix gets baked into the program as a literal (128 MB at 1M
     # molecules), which bloats/overflows compile payloads.
     @partial(jax.jit, donate_argnums=(0,))
-    def _run(state: TraversalState, n_to_score, dg_a: DeviceGraph,
-             packed_a, pops_a) -> TraversalState:
+    def _run(state: TraversalState, n_to_score, step_budget,
+             dg_a: DeviceGraph, packed_a, pops_a) -> TraversalState:
         def cond(carry):
             st, steps = carry
             return ((st.n_scored < n_to_score)
-                    & (steps < max_steps)
+                    & (steps < step_budget)
                     & (frontier_live(st) > 0))
 
         def score_integrate(st, out, ts):
@@ -1134,8 +1234,11 @@ def make_device_run(dg: DeviceGraph, packed: jnp.ndarray, pops: jnp.ndarray,
         state, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
         return state
 
-    def run(state: TraversalState, n_to_score) -> TraversalState:
-        return _run(state, n_to_score, dg, packed, pops)
+    def run(state: TraversalState, n_to_score,
+            step_budget=None) -> TraversalState:
+        if step_budget is None:
+            step_budget = jnp.int32(max_steps)
+        return _run(state, n_to_score, step_budget, dg, packed, pops)
 
     return run
 

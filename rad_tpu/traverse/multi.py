@@ -217,7 +217,7 @@ def _multi_loop(states, dg, budgets, batch, max_steps, vm_expand_score):
     return states
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps", "allow_hazard"),
+@partial(jax.jit, static_argnames=("batch", "allow_hazard"),
          donate_argnums=(0,))
 def fused_run_multi(
     states: TraversalState,
@@ -228,7 +228,7 @@ def fused_run_multi(
     t_pops: jnp.ndarray,        # [T]
     n_to_score: jnp.ndarray,    # scalar or [T]
     batch: int,
-    max_steps: int = 1 << 20,
+    max_steps=1 << 20,  # TRACED: one compile serves every step budget
     allow_hazard: bool = False,
 ) -> TraversalState:
     """Run all campaigns to their budgets in one `lax.while_loop`."""
@@ -255,7 +255,7 @@ def fused_run_multi(
                        vm_expand_score)
 
 
-@partial(jax.jit, static_argnames=("batch", "max_steps", "allow_hazard"),
+@partial(jax.jit, static_argnames=("batch", "allow_hazard"),
          donate_argnums=(0,))
 def fused_run_multi_tables(
     states: TraversalState,
@@ -263,7 +263,7 @@ def fused_run_multi_tables(
     score_tables: jnp.ndarray,  # [T, N] float32 — per-campaign node scores
     n_to_score: jnp.ndarray,    # scalar or [T]
     batch: int,
-    max_steps: int = 1 << 20,
+    max_steps=1 << 20,  # TRACED: one compile serves every step budget
     allow_hazard: bool = False,
 ) -> TraversalState:
     """Multi-campaign sweep with per-campaign score TABLES.
