@@ -120,9 +120,13 @@ def main(argv=None) -> int:
                                 head_capacity=args.head)
             states = prime_multi(states, dg, ids, t_tab[:, :n_top])
         t0 = time.perf_counter()
-        states = fused_run_multi_tables(states, dg, t_tab,
-                                        jnp.int32(budget),
-                                        batch=args.batch)
+        # segmented driving: bit-identical to one unbounded call, but no
+        # single device program can hit the tunnel's ~60-80 s execution
+        # deadline (TUNNEL_DEADLINE_S) at large T/budget
+        states = dev.segmented_run(
+            lambda st, nts, sb: fused_run_multi_tables(
+                st, dg, t_tab, nts, batch=args.batch, max_steps=sb),
+            states, budget)
         total = int(np.asarray(states.n_scored).sum())
         t_sweep = min(t_sweep, time.perf_counter() - t0)
 

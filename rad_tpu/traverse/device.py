@@ -1017,10 +1017,11 @@ def fused_run(
     ``max_steps`` is TRACED (one compile serves every step budget — it
     exists so :func:`segmented_run` can re-dispatch the same program with
     varying bounds). CAUTION: through the tunnel, a single device program
-    running much past ~13 s crashes the TPU worker (measured r3s12, any
-    program content — ROUND3.md); budgets that imply more than a few
-    seconds of device time should go through :func:`fused_run_segmented`,
-    which is bit-identical by while-loop continuation.
+    executing past ~60-80 s crashes the TPU worker (bisected r3s12, any
+    program content — :data:`TUNNEL_DEADLINE_S`); budgets that imply tens
+    of seconds of device time should go through
+    :func:`fused_run_segmented`, which is bit-identical by while-loop
+    continuation.
 
     ``narrow_width`` (power of two, < batch*M0): exhaustive-tail
     optimization. ``to_score`` is unique unscored ids compacted to the
@@ -1080,12 +1081,15 @@ def fused_run(
     return state
 
 
-# Single device programs running much past this crash the tunneled TPU
+# Single device programs executing past this crash the tunneled TPU
 # worker ("TPU worker process crashed or restarted"), regardless of
-# content: a trivial 17.5k-iteration bf16 matmul fori_loop (~110 s)
-# reproduces it with no Pallas/gather/sort op, while 12.6 s is fine
-# (measured r3s12, ROUND3.md). Segment drivers aim well under it.
-TUNNEL_DEADLINE_S = 13.0
+# content: a trivial bf16 matmul fori_loop reproduces it with no
+# Pallas/gather/sort op. Bisected r3s12 (/tmp/probe_deadline.py):
+# 20/30/45/60 s single programs all survive, 80 s and 110 s crash — the
+# kill threshold is in (60, 80] s per program. Segment drivers aim WELL
+# under it: the default 8 s target costs ~0.3% in readback RTT and also
+# buys progress visibility + checkpointing granularity.
+TUNNEL_DEADLINE_S = 60.0
 
 
 def segmented_run(run, state: TraversalState, n_to_score,
@@ -1103,8 +1107,8 @@ def segmented_run(run, state: TraversalState, n_to_score,
     carried state, so stopping at a step bound and re-entering continues
     the exact same trajectory.
 
-    Why: through the tunnel, ANY single device program running much past
-    ~13 s crashes the TPU worker (:data:`TUNNEL_DEADLINE_S`) — this is
+    Why: through the tunnel, ANY single device program executing past
+    ~60-80 s crashes the TPU worker (:data:`TUNNEL_DEADLINE_S`) — this is
     the measured root cause of the "big fused runs fault the worker"
     hazard class. The driver times each segment and resizes toward
     ``seg_target_s`` seconds (first segment ``seg_init`` steps; a
