@@ -60,6 +60,11 @@ def main(argv=None) -> int:
     ap.add_argument("--bucket", type=int, default=64,
                     help="bucket size for the 'bucket' stage (fused "
                          "in-kernel reduction)")
+    ap.add_argument("--q-block", type=int, default=4096)
+    ap.add_argument("--col-block", type=int, default=1 << 13,
+                    help="columns per all-pairs kernel call; wider = "
+                         "fewer cross-block merges (one [q, k + "
+                         "col_block/bucket] top_k per call)")
     ap.add_argument("--exact-topk", action="store_true",
                     help="also time the approx_recall=None reduction")
     ap.add_argument("--profile", metavar="DIR",
@@ -99,7 +104,7 @@ def main(argv=None) -> int:
 
     # layer-0 shapes
     n_l = n
-    big = max(4096, 1 << 13, 2048)
+    big = max(args.q_block, args.col_block, 2048)
     n_pad = ex._round_up(n_l, big)
     pad = np.zeros((n_pad - n_l, w), np.uint32)
     packed_l = jnp.asarray(np.concatenate([packed[:n_l], pad]))
@@ -112,14 +117,30 @@ def main(argv=None) -> int:
 
     if "bucket" in args.stages:
         dt, (cand_d, cand_id) = timeit(
-            lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+            lambda: ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
+                                      args.col_block,
                                       True, 0.99, bucket=args.bucket))
         results[f"allpairs_bucket{args.bucket}"] = dt
         log(f"allpairs (bucket={args.bucket} fused): {dt:.2f}s")
+        if args.profile:
+            import jax.profiler
+            from rad_tpu.utils.profiling import aggregate_xla_ops
+            with jax.profiler.trace(args.profile):
+                out = ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
+                                      args.col_block,
+                                        True, 0.99, bucket=args.bucket)
+                np.asarray(out[0])
+            ops, n_ev = aggregate_xla_ops(args.profile)
+            total = sum(ops.values())
+            log(f"profile (bucket path): {n_ev} events, "
+                f"{total/1e6:.1f} ms device")
+            for name, ns in sorted(ops.items(), key=lambda kv: -kv[1])[:20]:
+                log(f"  {ns/1e6:10.2f} ms  {name}")
 
     if "allpairs" in args.stages:
         dt, (cand_d, cand_id) = timeit(
-            lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+            lambda: ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
+                                      args.col_block,
                                       True, 0.99))
         results["allpairs_approx"] = dt
         log(f"allpairs (approx_max_k): {dt:.2f}s")
@@ -127,7 +148,8 @@ def main(argv=None) -> int:
             import jax.profiler
             from rad_tpu.utils.profiling import aggregate_xla_ops
             with jax.profiler.trace(args.profile):
-                out = ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                out = ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
+                                      args.col_block,
                                         True, 0.99)
                 np.asarray(out[0])
             ops, n_ev = aggregate_xla_ops(args.profile)
@@ -137,7 +159,8 @@ def main(argv=None) -> int:
                 log(f"  {ns/1e6:10.2f} ms  {name}")
         if args.exact_topk:
             dt, _ = timeit(
-                lambda: ex._allpairs_topk(packed_l, n_l, kk, 4096, 1 << 13,
+                lambda: ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
+                                      args.col_block,
                                           True, None))
             results["allpairs_exact"] = dt
             log(f"allpairs (exact top_k): {dt:.2f}s")
