@@ -51,10 +51,17 @@ logger = logging.getLogger(__name__)
 
 # Measured TPU-kernel hazards (v5e via Mosaic; BENCHMARKS.md "multi"
 # section, CLAUDE.md): a vmapped merge sort at [43, 2M] keys hard-faults
-# the worker, and the vmapped engine at batch 8 on 1M-node real graphs
-# hard-faults. Safe measured operating points: per-campaign frontier+buffer
-# <= ~2^20 keys, and batch >= 512 on >= 1M-row graphs. These guards raise
-# at call/trace time instead of letting a library user fault the chip.
+# the worker — a genuine shape hazard; per-campaign frontier+buffer must
+# stay <= ~2^20 keys. The OTHER historical fault ("batch 8 on 1M-node
+# real graphs crashes the worker") was re-probed r3s13 and is NOT a
+# shape hazard: it is the tunnel's 60-80 s single-program deadline
+# (device.TUNNEL_DEADLINE_S) — small batches make tiny per-step progress,
+# so a typical budget runs past the deadline inside ONE fused program.
+# The identical batch=8 / T=4 / 1M config completes through
+# :func:`rad_tpu.traverse.device.segmented_run` with ~5 s segments
+# (2.5k nodes/s aggregate). The batch guard below therefore protects the
+# DIRECT (non-segmented) call path; segmented drivers may pass
+# allow_hazard=True.
 MULTI_MAX_SORT_KEYS = 1 << 20
 MULTI_MIN_BATCH_BIG_GRAPH = 512
 MULTI_BIG_GRAPH_ROWS = 1 << 20
@@ -67,12 +74,15 @@ def _check_multi_batch(dg: DeviceGraph, batch: int, n_campaigns: int,
     if dg.n_rows >= MULTI_BIG_GRAPH_ROWS and batch < MULTI_MIN_BATCH_BIG_GRAPH:
         raise ValueError(
             f"vmapped multi-campaign engine with batch={batch} on a "
-            f"{dg.n_rows}-row graph: batches < "
-            f"{MULTI_MIN_BATCH_BIG_GRAPH} hard-fault the TPU worker at "
-            f"this scale (measured at batch=8 on 1M-node real graphs; "
-            f"BENCHMARKS.md). Use batch >= "
-            f"{MULTI_MIN_BATCH_BIG_GRAPH}, or pass allow_hazard=True to "
-            f"override on toolchains where the fault is fixed.")
+            f"{dg.n_rows}-row graph: small batches make so little "
+            f"per-step progress that typical budgets exceed the tunneled "
+            f"worker's ~60-80 s single-program deadline inside one fused "
+            f"program and crash it (measured at batch=8 on 1M-node real "
+            f"graphs; the same config completes when driven as bounded "
+            f"segments — BENCHMARKS.md). Use batch >= "
+            f"{MULTI_MIN_BATCH_BIG_GRAPH}, or drive this call through "
+            f"rad_tpu.traverse.device.segmented_run (bounded ~8 s "
+            f"programs) with allow_hazard=True.")
 
 
 def init_multi(dg: DeviceGraph, n_campaigns: int,

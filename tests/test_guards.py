@@ -62,7 +62,7 @@ def test_multi_batch_guard_fires(small_dg, monkeypatch):
                         frontier_capacity=1 << 10,
                         buffer_capacity=1 << 8)
     tables = jnp.ones((2, small_dg.n_nodes), jnp.float32)
-    with pytest.raises(ValueError, match="hard-fault the TPU worker"):
+    with pytest.raises(ValueError, match="single-program deadline"):
         fused_run_multi_tables(states, small_dg, tables,
                                jnp.int32(10), batch=8)
 
@@ -135,7 +135,7 @@ def test_sharded_multi_batch_guard_fires(monkeypatch):
     states = prime_multi(states, dg, jnp.arange(n_top, dtype=jnp.int32),
                          jnp.zeros((2, n_top), jnp.float32))
     step = make_sharded_step_multi(sg, mesh, batch=8)
-    with pytest.raises(ValueError, match="hard-fault the TPU worker"):
+    with pytest.raises(ValueError, match="single-program deadline"):
         step(states, targets_j, t_pops, jnp.asarray([10, 10], jnp.int32))
     # allow_hazard overrides (trace only needs to start; run one step)
     step_ok = make_sharded_step_multi(sg, mesh, batch=8, allow_hazard=True)
