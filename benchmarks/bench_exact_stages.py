@@ -65,6 +65,11 @@ def main(argv=None) -> int:
                     help="columns per all-pairs kernel call; wider = "
                          "fewer cross-block merges (one [q, k + "
                          "col_block/bucket] top_k per call)")
+    ap.add_argument("--bucket-approx", action="store_true",
+                    help="bucket kernel: approximate-reciprocal epilogue "
+                         "(drops the exact f32 divide)")
+    ap.add_argument("--bucket-q-tile", type=int, default=None)
+    ap.add_argument("--bucket-n-tile", type=int, default=None)
     ap.add_argument("--exact-topk", action="store_true",
                     help="also time the approx_recall=None reduction")
     ap.add_argument("--profile", metavar="DIR",
@@ -115,13 +120,19 @@ def main(argv=None) -> int:
     results = {}
     cand_d = cand_id = sel = sel_d = None
 
+    b_opts = ((args.bucket_approx, args.bucket_q_tile, args.bucket_n_tile)
+              if (args.bucket_approx or args.bucket_q_tile
+                  or args.bucket_n_tile) else None)
+
     if "bucket" in args.stages:
         dt, (cand_d, cand_id) = timeit(
             lambda: ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
                                       args.col_block,
-                                      True, 0.99, bucket=args.bucket))
+                                      True, 0.99, bucket=args.bucket,
+                                      bucket_opts=b_opts))
         results[f"allpairs_bucket{args.bucket}"] = dt
-        log(f"allpairs (bucket={args.bucket} fused): {dt:.2f}s")
+        log(f"allpairs (bucket={args.bucket} fused, opts={b_opts}): "
+            f"{dt:.2f}s")
         if args.profile:
             import jax.profiler
             from rad_tpu.utils.profiling import aggregate_xla_ops
@@ -197,14 +208,16 @@ def main(argv=None) -> int:
                 if t.shape[0]:
                     np.asarray(t[-1:])
 
+        bkw = dict(symm_mode=symm, bucket_approx=args.bucket_approx,
+                   bucket_q_tile=args.bucket_q_tile,
+                   bucket_n_tile=args.bucket_n_tile,
+                   q_block=args.q_block, col_block=args.col_block)
         t0 = time.perf_counter()
-        g = build_hnsw_exact(fps, connectivity=m, seed=0,
-                             symm_mode=symm)
+        g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)
         dt0 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        g = build_hnsw_exact(fps, connectivity=m, seed=0,
-                             symm_mode=symm)
+        g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)
         dt = time.perf_counter() - t0
         results["build_total"] = min(dt0, dt)

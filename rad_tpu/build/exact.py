@@ -70,11 +70,17 @@ def _dist_block(q_packed, db_packed, use_pallas: bool,
 
 def _make_one_qblock(packed, n_real, k: int, q_block: int, col_block: int,
                      use_pallas: bool, approx_recall: float | None,
-                     bucket: int | None, interpret: bool):
+                     bucket: int | None, interpret: bool,
+                     bucket_opts: tuple | None = None):
     """The shared per-q-block body of the all-pairs top-k (see
-    :func:`_allpairs_topk` for the reduction semantics)."""
+    :func:`_allpairs_topk` for the reduction semantics).
+
+    ``bucket_opts``: optional ``(approx, q_tile, n_tile)`` tuning for the
+    fused bucket kernel — approximate-reciprocal epilogue and tile
+    overrides (None entries keep the defaults)."""
     n_pad, w = packed.shape
     nc = n_pad // col_block
+    b_approx, b_qt, b_nt = bucket_opts or (False, None, None)
 
     def one_qblock(qi):
         q = jax.lax.dynamic_slice(packed, (qi * q_block, 0), (q_block, w))
@@ -88,8 +94,10 @@ def _make_one_qblock(packed, n_real, k: int, q_block: int, col_block: int,
                 from rad_tpu.fp.kernels import (decode_bucket_keys,
                                                 tanimoto_bucketmin_pallas)
                 keys = tanimoto_bucketmin_pallas(
-                    q, db, bucket=bucket, q_tile=min(512, q_block),
-                    n_tile=min(1024, col_block), interpret=interpret)
+                    q, db, bucket=bucket,
+                    q_tile=min(b_qt or 512, q_block),
+                    n_tile=min(b_nt or 1024, col_block),
+                    interpret=interpret, approx=b_approx)
                 blk_d, local = decode_bucket_keys(keys, bucket)
                 blk_i = ci * col_block + local
                 bad = (blk_i >= n_real) | (blk_i == q_ids[:, None])
@@ -133,10 +141,12 @@ def _make_one_qblock(packed, n_real, k: int, q_block: int, col_block: int,
 
 @partial(jax.jit,
          static_argnames=("k", "q_block", "col_block", "use_pallas",
-                          "approx_recall", "bucket", "interpret"))
+                          "approx_recall", "bucket", "interpret",
+                          "bucket_opts"))
 def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
                    use_pallas: bool, approx_recall: float | None,
-                   bucket: int | None = None, interpret: bool = False):
+                   bucket: int | None = None, interpret: bool = False,
+                   bucket_opts: tuple | None = None):
     """Top-k neighbor ids+dists for every row of ``packed`` against all
     rows (self excluded), blocked in both dimensions.
 
@@ -167,7 +177,7 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
     nq = n_pad // q_block
     one_qblock = _make_one_qblock(packed, n_real, k, q_block, col_block,
                                   use_pallas, approx_recall, bucket,
-                                  interpret)
+                                  interpret, bucket_opts)
     dists, ids = jax.lax.map(one_qblock,
                              jnp.arange(nq, dtype=jnp.int32))
     return dists.reshape(n_pad, k), ids.reshape(n_pad, k)
@@ -175,17 +185,19 @@ def _allpairs_topk(packed, n_real, k: int, q_block: int, col_block: int,
 
 @partial(jax.jit,
          static_argnames=("k", "q_block", "col_block", "use_pallas",
-                          "approx_recall", "bucket", "interpret", "q_span"))
+                          "approx_recall", "bucket", "interpret", "q_span",
+                          "bucket_opts"))
 def _allpairs_topk_span(packed, n_real, q0, k: int, q_block: int,
                         col_block: int, use_pallas: bool,
                         approx_recall: float | None,
-                        bucket: int | None, interpret: bool, q_span: int):
+                        bucket: int | None, interpret: bool, q_span: int,
+                        bucket_opts: tuple | None = None):
     """:func:`_allpairs_topk` restricted to ``q_span`` q-blocks starting
     at q-block index ``q0`` (traced). One host-dispatched span = one
     bounded device program — see :func:`_allpairs_topk_chunked`."""
     one_qblock = _make_one_qblock(packed, n_real, k, q_block, col_block,
                                   use_pallas, approx_recall, bucket,
-                                  interpret)
+                                  interpret, bucket_opts)
     dists, ids = jax.lax.map(
         one_qblock, q0 + jnp.arange(q_span, dtype=jnp.int32))
     return dists.reshape(q_span * q_block, k), ids.reshape(
@@ -209,7 +221,8 @@ def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
                            approx_recall: float | None,
                            bucket: int | None = None,
                            interpret: bool = False,
-                           pairs_per_dispatch: float = PAIRS_PER_DISPATCH):
+                           pairs_per_dispatch: float = PAIRS_PER_DISPATCH,
+                           bucket_opts: tuple | None = None):
     """All-pairs top-k as a HOST loop of bounded device programs.
 
     Identical results to :func:`_allpairs_topk` (same per-q-block body,
@@ -230,7 +243,7 @@ def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
     if q_span >= nq:
         return _allpairs_topk(packed, n_real, k, q_block, col_block,
                               use_pallas, approx_recall, bucket=bucket,
-                              interpret=interpret)
+                              interpret=interpret, bucket_opts=bucket_opts)
     starts = list(range(0, nq - q_span + 1, q_span))
     if starts[-1] + q_span < nq:
         starts.append(nq - q_span)  # tail span overlaps; slices below dedup
@@ -239,7 +252,8 @@ def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
     for q0 in starts:
         bd, bi = _allpairs_topk_span(
             packed, n_real, jnp.int32(q0), k, q_block, col_block,
-            use_pallas, approx_recall, bucket, interpret, q_span)
+            use_pallas, approx_recall, bucket, interpret, q_span,
+            bucket_opts=bucket_opts)
         # serialize: dispatches run ahead of buffer frees through the
         # tunnel (CLAUDE.md) — force each span before launching the next
         np.asarray(bi[-1:, -1:])
@@ -444,6 +458,9 @@ def build_hnsw_exact(
     use_pallas: bool | None = None,
     approx_recall: float | None = 0.99,
     block_bucket: int | None = 64,
+    bucket_approx: bool = False,
+    bucket_q_tile: int | None = None,
+    bucket_n_tile: int | None = None,
     symm_mode: str | None = None,
     pairs_per_dispatch: float = PAIRS_PER_DISPATCH,
     interpret: bool = False,
@@ -465,7 +482,12 @@ def build_hnsw_exact(
     ``_allpairs_topk``), so the dominant layer-0 reduction never
     materializes distance blocks in HBM. Smaller layers (and
     ``use_pallas=False``) keep the ``approx_recall`` reduction; ``None``
-    disables. ``symm_mode`` picks the symmetrization form — ``"sort"``
+    disables. ``bucket_approx`` swaps the bucket kernel's exact f32
+    divide for the VPU approximate reciprocal (~2^-13 relative sim
+    error — candidate ORDER can differ at near-ties; the selected
+    neighbors' distances are recomputed exactly by the selection stage);
+    ``bucket_q_tile``/``bucket_n_tile`` override the kernel tiling.
+    ``symm_mode`` picks the symmetrization form — ``"sort"``
     (one global 3-key sort), ``"two_pass"`` (lexsort-decomposed stable
     sorts), ``"chunked"`` (column-chunked small sorts + row-wise merges;
     no sort exceeds ~4M rows), or ``None`` = auto: ``"chunked"`` past
@@ -567,10 +589,13 @@ def build_hnsw_exact(
         # big layers have a reduction wall to trim)
         bkt = (block_bucket if use_pallas and block_bucket and n_l >= big
                else None)
+        b_opts = ((bucket_approx, bucket_q_tile, bucket_n_tile)
+                  if (bucket_approx or bucket_q_tile or bucket_n_tile)
+                  else None)
         cand_d, cand_id = _allpairs_topk_chunked(
             packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
             bucket=bkt, interpret=interpret,
-            pairs_per_dispatch=pairs_per_dispatch)
+            pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
                                    n_l, min(m, cap), heuristic_k, sb,
                                    mxu_pairs=use_pallas)

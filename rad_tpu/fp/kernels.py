@@ -145,7 +145,7 @@ def tanimoto_matrix_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
 
 def _bucketmin_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
                       out_ref, scratch, *, nbytes: int, n_tile: int,
-                      bucket: int, q_tile: int):
+                      bucket: int, q_tile: int, approx: bool):
     """One packed winner per ``bucket`` db rows — in-VMEM PartialReduce.
 
     The r3 builder profile (ROUND3.md item 1): the Pallas distances cost
@@ -184,7 +184,18 @@ def _bucketmin_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc).astype(jnp.float32)    # [NT, QT]
         union = db_pops + q_pops - inter
-        sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
+        if approx:
+            # the exact-epilogue probes (BENCHMARKS kernel table) split the
+            # epilogue cost roughly half divide / half reduction — the VPU
+            # approximate reciprocal removes the divide half. sim stays
+            # >= 0 (bitcast ordering holds); ~2^-13 relative error merely
+            # reorders near-ties among bucket winners (the selected
+            # neighbors' distances are recomputed exactly downstream).
+            sim = inter * pl.reciprocal(jnp.maximum(union, 1.0),
+                                        approx=True)
+            sim = jnp.where(union > 0, sim, 1.0)
+        else:
+            sim = jnp.where(union > 0, inter / jnp.maximum(union, 1.0), 1.0)
         bits = jax.lax.bitcast_convert_type(sim, jnp.int32)
         keys = (bits & ~jnp.int32(bucket - 1)) | local
         win = jnp.max(keys.reshape(n_tile // bucket, bucket, q_tile),
@@ -194,11 +205,12 @@ def _bucketmin_kernel(q_bits_ref, q_pops_ref, db_ref, db_pops_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("bucket", "q_tile", "n_tile",
-                                    "interpret", "compute_dtype"))
+                                    "interpret", "compute_dtype", "approx"))
 def tanimoto_bucketmin_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
                               bucket: int = 64, q_tile: int = 512,
                               n_tile: int = 1024, interpret: bool = False,
-                              compute_dtype=jnp.int8) -> jnp.ndarray:
+                              compute_dtype=jnp.int8,
+                              approx: bool = False) -> jnp.ndarray:
     """Distance-min winner per ``bucket`` db rows, as packed int32 keys.
 
     Returns ``keys [Q, N/bucket]``; decode with :func:`decode_bucket_keys`.
@@ -210,6 +222,13 @@ def tanimoto_bucketmin_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
     This is ``lax.approx_max_k``'s PartialReduce algorithm fused into the
     distance kernel: expected candidate recall for a top-k query against N
     columns is ~1 - k/(2*N/bucket) (birthday collisions among winners).
+
+    ``approx=True`` swaps the exact f32 divide for the VPU approximate
+    reciprocal (~2^-13 relative sim error, same order trick) — the
+    throughput epilogue of :func:`tanimoto_nn_pallas`'s fast path. Winner
+    choice can differ among near-ties; downstream consumers that need
+    exact distances must recompute them for the selected ids (the exact
+    builder does — ``_select_layer`` re-derives ``sel_d`` exactly).
     """
     q, w = q_packed.shape
     n, _ = db_packed.shape
@@ -229,7 +248,8 @@ def tanimoto_bucketmin_pallas(q_packed: jnp.ndarray, db_packed: jnp.ndarray,
 
     grid = (n // n_tile,)
     kernel = functools.partial(_bucketmin_kernel, nbytes=nbytes,
-                               n_tile=n_tile, bucket=bucket, q_tile=q_tile)
+                               n_tile=n_tile, bucket=bucket, q_tile=q_tile,
+                               approx=approx)
     keys_t = pl.pallas_call(
         kernel,
         grid=grid,

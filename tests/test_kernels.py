@@ -104,6 +104,31 @@ def test_bucketmin_kernel_matches_model(data):
         del win, col
 
 
+def test_bucketmin_approx_epilogue(data):
+    """approx=True (VPU reciprocal epilogue): winner ids land on a
+    near-minimal bucket entry (within ~2^-13 relative sim), decoded
+    distances track the true bucket minimum."""
+    from rad_tpu.fp.kernels import (decode_bucket_keys,
+                                    tanimoto_bucketmin_pallas)
+    q, db = data
+    ref = np.asarray(tanimoto_matrix(q, db))
+    bucket = 64
+    keys = tanimoto_bucketmin_pallas(q, db, bucket=bucket, q_tile=128,
+                                     n_tile=256, interpret=True,
+                                     approx=True)
+    d, gid = decode_bucket_keys(keys, bucket)
+    d, gid = np.asarray(d), np.asarray(gid)
+    bucket_d = ref.reshape(ref.shape[0], -1, bucket).min(axis=2)
+    chosen_d = ref[np.arange(ref.shape[0])[:, None], gid]
+    # the chosen entry's TRUE distance is within approx-reciprocal noise
+    # of the bucket minimum, and the decoded key distance tracks it
+    np.testing.assert_allclose(chosen_d, bucket_d, atol=2e-3)
+    np.testing.assert_allclose(d, chosen_d, atol=2e-3)
+    # ids stay in-bucket
+    col = np.arange(keys.shape[1]) * bucket
+    assert ((gid >= col) & (gid < col + bucket)).all()
+
+
 def test_bucketmin_self_query(data):
     """Self rows win their own bucket at distance ~0 with exact identity."""
     from rad_tpu.fp.kernels import (decode_bucket_keys,
