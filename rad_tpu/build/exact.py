@@ -541,20 +541,32 @@ def build_hnsw_exact(
     else:
         n_pad0 = 1
 
+    # Small-layer shared compile unit, INDEPENDENT of the big-layer column
+    # blocking: a wide col_block (the measured 100k sweet spot is 32768 —
+    # BENCHMARKS.md) must not inflate every upper layer's padded shape
+    # 16x. Capped at 8192 — the historical unit, so default-block builds
+    # compile the exact same shapes as before.
+    small_unit = min(big, 8192)
+
     def _pad_for(n_l: int):
         """Padded size + block sizes for an n_l-node layer.
 
-        Every small layer (n_l < the largest block) gets the SAME padded
-        shape — one block of the big-layer blocking, capped at the whole
-        buffer — so all upper layers of every build share a single
+        Every small layer (n_l < ``small_unit``) gets the SAME padded
+        shape so all upper layers of every build share a single
         compile unit. That matters twice: remote-compile services charge
         minutes per new shape (the r3 1M build spent >1 h compiling its
-        per-layer shapes), and the wasted distance block (<= big² evals,
-        ~2 ms of MXU) is far cheaper than a compile."""
+        per-layer shapes), and the wasted distance block (<= small_unit²
+        evals, ~2 ms of MXU) is far cheaper than a compile. Mid layers
+        (small_unit <= n_l < big — rare at geometric level sizes) round
+        to small_unit multiples with correspondingly capped blocks."""
         if n_l >= big:
             return _round_up(n_l, big), q_block, col_block, sel_block
-        n_pad = min(big, n_pad0)
-        return n_pad, n_pad, n_pad, min(sel_block, n_pad)
+        if n_l <= small_unit:
+            n_pad = min(small_unit, n_pad0)
+            return n_pad, n_pad, n_pad, min(sel_block, n_pad)
+        n_pad = min(_round_up(n_l, small_unit), n_pad0)
+        return (n_pad, min(q_block, n_pad), min(col_block, n_pad),
+                min(sel_block, n_pad))
 
     # ONE host->device upload, zero-padded to the largest (layer-0) padded
     # size; every layer slices a prefix on-device. Upper-layer prefixes
