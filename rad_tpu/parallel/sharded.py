@@ -427,15 +427,20 @@ def _sharded_topk_impl(packed, pops, queries, q_pops, n_nodes, k, mesh, axis):
         d = (1.0 - sim).astype(jnp.float32)
         gids = me * shard + jnp.arange(shard, dtype=jnp.int32)[None, :]
         d = jnp.where(gids < n_nodes, d, jnp.inf)
-        neg, idx = jax.lax.top_k(-d, k)
-        local_ids = jnp.take_along_axis(
-            jnp.broadcast_to(gids, d.shape), idx, axis=1)
+        # smallest-k via ONE stable variadic sort (ids ride as payload):
+        # bit-identical to top_k(-d) + take_along_axis (stable ascending
+        # sort = top_k's smaller-index tie preference) without the id
+        # gather XLA's top_k lowering emits (build/exact._merge_topk)
+        sd, sids = jax.lax.sort(
+            (d, jnp.broadcast_to(gids, d.shape)), num_keys=1,
+            is_stable=True)
         # all-gather each shard's top-k and reduce to the global top-k
-        all_d = jax.lax.all_gather(-neg, axis, axis=1).reshape(q.shape[0], -1)
-        all_i = jax.lax.all_gather(local_ids, axis, axis=1).reshape(
+        all_d = jax.lax.all_gather(sd[:, :k], axis, axis=1).reshape(
             q.shape[0], -1)
-        neg2, idx2 = jax.lax.top_k(-all_d, k)
-        return -neg2, jnp.take_along_axis(all_i, idx2, axis=1)
+        all_i = jax.lax.all_gather(sids[:, :k], axis, axis=1).reshape(
+            q.shape[0], -1)
+        gd, gi = jax.lax.sort((all_d, all_i), num_keys=1, is_stable=True)
+        return gd[:, :k], gi[:, :k]
 
     # check_vma=False: the outputs *are* replicated (both sides of the final
     # top_k come from an all_gather), but varying-mesh-axis inference cannot
