@@ -65,6 +65,9 @@ def main(argv=None) -> int:
                     help="columns per all-pairs kernel call; wider = "
                          "fewer cross-block merges (one [q, k + "
                          "col_block/bucket] top_k per call)")
+    ap.add_argument("--sel-block", type=int, default=2048,
+                    help="selection-stage row chunk (the 'select' stages "
+                         "and the 'build' stage)")
     ap.add_argument("--bucket-approx", action="store_true",
                     help="bucket kernel: approximate-reciprocal epilogue "
                          "(drops the exact f32 divide)")
@@ -179,14 +182,14 @@ def main(argv=None) -> int:
     if "select" in args.stages and cand_d is not None:
         dt, (sel, sel_d) = timeit(
             lambda: ex._select_layer(packed_l, pops_l, cand_d, cand_id,
-                                     n_l, m, heuristic_k, 2048))
+                                     n_l, m, heuristic_k, args.sel_block))
         results["select"] = dt
         log(f"select: {dt:.2f}s")
 
     if "select-mxu" in args.stages and cand_d is not None:
         dt, (sel, sel_d) = timeit(
             lambda: ex._select_layer(packed_l, pops_l, cand_d, cand_id,
-                                     n_l, m, heuristic_k, 2048,
+                                     n_l, m, heuristic_k, args.sel_block,
                                      mxu_pairs=True))
         results["select_mxu"] = dt
         log(f"select (mxu pairs): {dt:.2f}s")
@@ -211,7 +214,8 @@ def main(argv=None) -> int:
         bkw = dict(symm_mode=symm, bucket_approx=args.bucket_approx,
                    bucket_q_tile=args.bucket_q_tile,
                    bucket_n_tile=args.bucket_n_tile,
-                   q_block=args.q_block, col_block=args.col_block)
+                   q_block=args.q_block, col_block=args.col_block,
+                   sel_block=args.sel_block)
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)
