@@ -79,6 +79,14 @@ def main(argv=None) -> int:
                     help="xplane-trace the allpairs stage and print the "
                          "top device ops (leaf events; see CLAUDE.md for "
                          "the while/cond attribution caveat)")
+    ap.add_argument("--probes", type=int, default=None,
+                    help="cluster-probed candidate stage: probe this many "
+                         "clusters per query block (subquadratic; None = "
+                         "exact). Adds a 'probed' stage and routes the "
+                         "'build' stage through probes=")
+    ap.add_argument("--probe-csize", type=int, default=None,
+                    help="probe cluster size (default: --col-block)")
+    ap.add_argument("--probe-sample", type=int, default=16)
     ap.add_argument("--symm", choices=["auto", "sort", "two_pass",
                                        "chunked"],
                     default="auto",
@@ -151,7 +159,21 @@ def main(argv=None) -> int:
             for name, ns in sorted(ops.items(), key=lambda kv: -kv[1])[:20]:
                 log(f"  {ns/1e6:10.2f} ms  {name}")
 
-    if "allpairs" in args.stages:
+    if "probed" in args.stages or (args.probes and
+                                   "allpairs" in args.stages):
+        csz = args.probe_csize or args.col_block
+        p = args.probes or 16
+        dt, (cand_d, cand_id) = timeit(
+            lambda: ex._allpairs_topk_probed(
+                packed_l, n_l, kk, args.q_block, csz, True, 0.99,
+                bucket=args.bucket, interpret=False, probes=p,
+                probe_sample=args.probe_sample, seed=1,
+                pairs_per_dispatch=ex.PAIRS_PER_DISPATCH,
+                bucket_opts=b_opts), runs=2)
+        results[f"allpairs_probed{p}"] = dt
+        log(f"allpairs (probed p={p}, csize={csz}): {dt:.2f}s")
+
+    if "allpairs" in args.stages and not args.probes:
         dt, (cand_d, cand_id) = timeit(
             lambda: ex._allpairs_topk(packed_l, n_l, kk, args.q_block,
                                       args.col_block,
@@ -215,7 +237,9 @@ def main(argv=None) -> int:
                    bucket_q_tile=args.bucket_q_tile,
                    bucket_n_tile=args.bucket_n_tile,
                    q_block=args.q_block, col_block=args.col_block,
-                   sel_block=args.sel_block)
+                   sel_block=args.sel_block, probes=args.probes,
+                   probe_csize=args.probe_csize,
+                   probe_sample=args.probe_sample)
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)

@@ -275,6 +275,176 @@ def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
             jnp.concatenate(i_parts, axis=0))
 
 
+def _make_one_qblock_probed(packed_cl, perm_cl, scan_cols, k: int,
+                            q_block: int, csize: int, use_pallas: bool,
+                            approx_recall: float | None, bucket: int | None,
+                            interpret: bool, bucket_opts: tuple | None):
+    """Per-q-block body of the cluster-probed top-k (see
+    :func:`_allpairs_topk_probed`). Operates entirely in PERMUTED space:
+    ``packed_cl`` is the cluster-contiguous copy of the layer rows,
+    ``perm_cl[p]`` the layer id at permuted position ``p`` (−1 pads), and
+    candidate ids carried through the merges are permuted positions
+    (mapped back by the caller). ``scan_cols[c]`` lists cluster ``c``'s
+    probe targets ascending (−1 pads skipped via masking)."""
+    n_tot, w = packed_cl.shape
+    qpc = csize // q_block
+    p = scan_cols.shape[1]
+    b_approx, b_qt, b_nt = bucket_opts or (False, None, None)
+
+    def one_qblock(qi):
+        q = jax.lax.dynamic_slice(packed_cl, (qi * q_block, 0),
+                                  (q_block, w))
+        q_pos = qi * q_block + jnp.arange(q_block, dtype=jnp.int32)
+        cols = jax.lax.dynamic_slice(scan_cols, (qi // qpc, 0), (1, p))[0]
+
+        def body(carry, ci):
+            best_d, best_i = carry
+            live = ci >= 0
+            cs = jnp.maximum(ci, 0)
+            db = jax.lax.dynamic_slice(packed_cl, (cs * csize, 0),
+                                       (csize, w))
+            blk_perm = jax.lax.dynamic_slice(perm_cl, (cs * csize,),
+                                             (csize,))
+            if bucket is not None:
+                from rad_tpu.fp.kernels import (decode_bucket_keys,
+                                                tanimoto_bucketmin_pallas)
+                keys = tanimoto_bucketmin_pallas(
+                    q, db, bucket=bucket,
+                    q_tile=min(b_qt or 512, q_block),
+                    n_tile=min(b_nt or 1024, csize),
+                    interpret=interpret, approx=b_approx)
+                blk_d, local = decode_bucket_keys(keys, bucket)
+                blk_pos = cs * csize + local
+                wperm = blk_perm[local]
+                bad = (~live) | (wperm < 0) | (blk_pos == q_pos[:, None])
+                blk_d = jnp.where(bad, INF, blk_d)
+                blk_i = jnp.where(bad, -1, blk_pos)
+            else:
+                d = _dist_block(q, db, use_pallas, interpret)
+                pos = cs * csize + jnp.arange(csize,
+                                              dtype=jnp.int32)[None, :]
+                bad = ((~live) | (blk_perm[None, :] < 0)
+                       | (pos == q_pos[:, None]))
+                d = jnp.where(bad, INF, d)
+                if approx_recall is not None:
+                    neg_blk, arg_blk = jax.lax.approx_max_k(
+                        -d, k, recall_target=approx_recall)
+                    blk_d = -neg_blk
+                    blk_i = cs * csize + arg_blk.astype(jnp.int32)
+                    blk_i = jnp.where(jnp.isfinite(blk_d), blk_i, -1)
+                else:
+                    blk_d, blk_i = _merge_topk(
+                        d, jnp.broadcast_to(pos, d.shape), k)
+            cat_d = jnp.concatenate([best_d, blk_d], axis=1)
+            cat_i = jnp.concatenate([best_i, blk_i], axis=1)
+            return _merge_topk(cat_d, cat_i, k), None
+
+        init = (jnp.full((q_block, k), INF),
+                jnp.full((q_block, k), -1, jnp.int32))
+        (bd, bi), _ = jax.lax.scan(body, init, cols)
+        return bd, bi
+
+    return one_qblock
+
+
+@partial(jax.jit,
+         static_argnames=("k", "q_block", "csize", "use_pallas",
+                          "approx_recall", "bucket", "interpret", "q_span",
+                          "bucket_opts"))
+def _probed_topk_span(packed_cl, perm_cl, scan_cols, q0, k: int,
+                      q_block: int, csize: int, use_pallas: bool,
+                      approx_recall: float | None, bucket: int | None,
+                      interpret: bool, q_span: int,
+                      bucket_opts: tuple | None = None):
+    one = _make_one_qblock_probed(packed_cl, perm_cl, scan_cols, k,
+                                  q_block, csize, use_pallas,
+                                  approx_recall, bucket, interpret,
+                                  bucket_opts)
+    d, i = jax.lax.map(one, q0 + jnp.arange(q_span, dtype=jnp.int32))
+    return (d.reshape(q_span * q_block, k),
+            i.reshape(q_span * q_block, k))
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _probed_scatter_span(out_d, out_i, perm_span, span_d, span_pos,
+                         perm_cl):
+    """Scatter a permuted-space span's results into layer-id order and
+    map the winner positions to layer ids; pad rows (perm −1) drop."""
+    n_pad = out_d.shape[0]
+    ids_true = jnp.where(span_pos >= 0,
+                         jnp.take(perm_cl, jnp.maximum(span_pos, 0)),
+                         jnp.int32(-1))
+    rows = jnp.where(perm_span >= 0, perm_span, n_pad)
+    return (out_d.at[rows].set(span_d, mode="drop"),
+            out_i.at[rows].set(ids_true, mode="drop"))
+
+
+def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
+                          csize: int, use_pallas: bool,
+                          approx_recall: float | None, bucket: int | None,
+                          interpret: bool, probes: int, probe_sample: int,
+                          seed: int, pairs_per_dispatch: float,
+                          bucket_opts: tuple | None = None,
+                          packed_host: np.ndarray | None = None):
+    """Cluster-probed top-k: the subquadratic form of
+    :func:`_allpairs_topk_chunked`.
+
+    Partitions the layer into ``C = ceil(n_real / csize)`` balanced
+    clusters (:func:`rad_tpu.build.probe.bisect_clusters`), gives each
+    cluster a ``probes``-long probe list by sampled min member distance
+    (:func:`rad_tpu.build.probe.cluster_probes`), and evaluates each
+    query block only against its cluster's probed clusters —
+    O(N·probes·csize) distance evaluations instead of O(N²), every block
+    still a full-width MXU kernel call. Candidates are exact *within the
+    probed set*; quality is governed by ``probes`` (recall measurements
+    in BENCHMARKS.md). Same return convention as the exact driver:
+    ([n_pad, k] dists, [n_pad, k] layer ids), ascending, −1/INF pads.
+    """
+    from rad_tpu.build.probe import bisect_clusters, cluster_probes
+
+    n_pad, w = packed_l.shape
+    if csize % q_block:
+        raise ValueError(f"probe csize {csize} must be a multiple of "
+                         f"q_block {q_block}")
+    if k > csize:
+        raise ValueError(f"candidates k={k} exceeds probe csize {csize}")
+    if packed_host is None:
+        packed_host = np.asarray(packed_l[:n_real])
+    perm = bisect_clusters(packed_host, csize, seed=seed,
+                           dev_rows=packed_l)
+    probe_tab = cluster_probes(packed_host, perm, csize, probes,
+                               sample=probe_sample, seed=seed + 1,
+                               use_pallas=use_pallas, interpret=interpret)
+    c = perm.size // csize
+    n_tot = c * csize
+    perm_cl = jnp.asarray(perm)
+    ext = jnp.concatenate([packed_l, jnp.zeros((1, w), jnp.uint32)])
+    packed_cl = jnp.take(ext, jnp.where(perm_cl < 0, n_pad, perm_cl),
+                         axis=0)
+    scan_cols = jnp.asarray(probe_tab)
+    p = probe_tab.shape[1]
+    nq = n_tot // q_block
+    # pads occupy the tail of permuted space — skip all-pad q-blocks
+    nq_real = (n_real + q_block - 1) // q_block
+    q_span = max(1, int(pairs_per_dispatch // (q_block * p * csize)))
+    q_span = min(q_span, nq)
+    out_d = jnp.full((n_pad, k), INF)
+    out_i = jnp.full((n_pad, k), -1, jnp.int32)
+    for q0 in range(0, nq_real, q_span):
+        q0c = min(q0, nq - q_span)  # overlap re-computes; scatter idempotent
+        bd, bi = _probed_topk_span(
+            packed_cl, perm_cl, scan_cols, jnp.int32(q0c), k, q_block,
+            csize, use_pallas, approx_recall, bucket, interpret, q_span,
+            bucket_opts=bucket_opts)
+        perm_span = jax.lax.dynamic_slice(
+            perm_cl, (q0c * q_block,), (q_span * q_block,))
+        out_d, out_i = _probed_scatter_span(out_d, out_i, perm_span,
+                                            bd, bi, perm_cl)
+        # serialize: dispatches run ahead of buffer frees (CLAUDE.md)
+        np.asarray(out_i[-1:, -1:])
+    return out_d, out_i
+
+
 @partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block",
                                    "mxu_pairs"))
 def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
@@ -473,6 +643,9 @@ def build_hnsw_exact(
     bucket_n_tile: int | None = None,
     symm_mode: str | None = None,
     pairs_per_dispatch: float = PAIRS_PER_DISPATCH,
+    probes: int | None = None,
+    probe_csize: int | None = None,
+    probe_sample: int = 16,
     interpret: bool = False,
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
@@ -511,6 +684,17 @@ def build_hnsw_exact(
     :data:`PAIRS_PER_DISPATCH`); builds that fit one dispatch keep the
     single-program path. ``interpret`` runs the Pallas kernels in
     interpreter mode (CPU testing).
+
+    ``probes`` switches large layers to the SUBQUADRATIC cluster-probed
+    candidate stage (:func:`_allpairs_topk_probed`): the layer is
+    partitioned into balanced ``probe_csize``-row clusters (default: the
+    layer's column block) by two-anchor median bisection, and each query
+    block scans only its cluster's ``probes`` most-proximate clusters
+    (min distance over ``probe_sample`` sampled members per cluster) —
+    O(N·probes·csize) distance evaluations instead of O(N²). Candidates
+    are exact within the probed set; ``None`` (default) keeps the fully
+    exact candidate stage. Layers too small to profit (fewer than
+    4×``probes`` clusters) keep the exact stage automatically.
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -614,10 +798,26 @@ def build_hnsw_exact(
         b_opts = ((bucket_approx, bucket_q_tile, bucket_n_tile)
                   if (bucket_approx or bucket_q_tile or bucket_n_tile)
                   else None)
-        cand_d, cand_id = _allpairs_topk_chunked(
-            packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
-            bucket=bkt, interpret=interpret,
-            pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
+        csz = probe_csize or cb
+        use_probe = (probes is not None
+                     and -(-n_l // csz) >= 4 * probes
+                     and k <= csz)
+        if use_probe:
+            logger.info("layer %d: cluster-probed candidates "
+                        "(%d clusters of %d, %d probes)",
+                        l, -(-n_l // csz), csz, probes)
+            cand_d, cand_id = _allpairs_topk_probed(
+                packed_l, n_l, k, qb, csz, use_pallas, approx_recall,
+                bucket=bkt, interpret=interpret, probes=probes,
+                probe_sample=probe_sample,
+                seed=seed * 1_000_003 + 7919 * (l + 1),
+                pairs_per_dispatch=pairs_per_dispatch,
+                bucket_opts=b_opts, packed_host=packed[:n_l])
+        else:
+            cand_d, cand_id = _allpairs_topk_chunked(
+                packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
+                bucket=bkt, interpret=interpret,
+                pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
         sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
                                    n_l, min(m, cap), heuristic_k, sb,
                                    mxu_pairs=use_pallas)

@@ -1,0 +1,207 @@
+"""Cluster-probed candidate generation for the exact builder.
+
+The exact builder's all-pairs stage is O(N²) distance evaluations — the
+right trade at 1e5 nodes (seconds of MXU time) but the wall at 1e6+ (the
+measured 1M build spends ~15 s of its 23 s there, and 10M would be ~1e14
+evaluations). This module makes the candidate stage subquadratic the
+TPU-first way: instead of pruning with a sequential beam search (the
+CPU/usearch answer, measured latency-bound at ~765 nodes/s on this
+hardware), it partitions the library into balanced, physically contiguous
+clusters and lets every query block scan only its P most-proximate
+clusters — each scan still a full-width Pallas MXU block, so the machine
+keeps running at kernel rate while evaluating an O(N·P·csize) subset.
+
+Two pieces:
+
+* :func:`bisect_clusters` — balanced two-anchor median bisection
+  (Annoy-style: score = d(x, a) − d(x, b) for two random members a, b of
+  the current group, split at the median). Every split is exact, so the
+  final clusters all have exactly ``csize`` members (the last few carry
+  the <csize padding). Anchor distances are computed on device (one
+  compiled program reused across all levels); the per-level median
+  ordering is one host lexsort. Deterministic given (data, seed).
+* :func:`cluster_probes` — per-cluster probe lists: sample ``sample``
+  members per cluster, evaluate the sampled cross-cluster distance matrix
+  on device, and take each cluster's ``probes`` nearest clusters by
+  MIN sampled member distance (self always first). Min-linkage is the
+  right proximity for candidate recall: a single close pair of members
+  means the boundary region between the clusters holds true neighbors.
+
+The probed all-pairs driver itself lives in :mod:`rad_tpu.build.exact`
+(``probes=`` on :func:`~rad_tpu.build.exact.build_hnsw_exact`); it scans
+clusters in ascending id order so results are deterministic, and maps the
+permuted winner positions back to layer ids at the end.
+
+Reference parity note: usearch has no equivalent — its insert-time beam
+IS its pruning (reference examples/DUDEZ_example.ipynb:183-192). This is
+the TPU replacement for that pruning at scales where exact all-pairs
+stops being free.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rad_tpu.fp.pack import popcount
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["bisect_clusters", "cluster_probes"]
+
+
+@jax.jit
+def _bisect_scores(rows, anchors_a, anchors_b, group_id):
+    """Median-split score per row: d(x, a_g) − d(x, b_g) for the row's
+    group anchors. rows [n, W] uint32, anchors [C, W], group_id [n] int32
+    (values < C). One compile serves every bisection level (anchor rows
+    past the level's live group count are unused zeros)."""
+    a = jnp.take(anchors_a, group_id, axis=0)
+    b = jnp.take(anchors_b, group_id, axis=0)
+    pops = jnp.sum(popcount(rows), axis=-1).astype(jnp.float32)
+
+    def dist(t):
+        inter = jnp.sum(popcount(rows & t), axis=-1).astype(jnp.float32)
+        t_pop = jnp.sum(popcount(t), axis=-1).astype(jnp.float32)
+        union = pops + t_pop - inter
+        return 1.0 - inter / jnp.maximum(union, 1.0)
+
+    return dist(a) - dist(b)
+
+
+def bisect_clusters(packed: np.ndarray, csize: int, seed: int = 0,
+                    dev_rows=None) -> np.ndarray:
+    """Partition ``n`` fingerprint rows into ``C = ceil(n / csize)``
+    balanced clusters of exactly ``csize`` members each.
+
+    Returns ``perm`` [C * csize] int32: ``perm[p]`` is the original row at
+    permuted position ``p``; positions ``p // csize`` index clusters; the
+    ``C*csize − n`` pad entries are −1 and always occupy the tail of the
+    last cluster(s) (pad scores sort to +inf at every split).
+
+    ``dev_rows``: optional pre-uploaded device array whose first ``n``
+    rows are ``packed`` (avoids re-uploading when the caller already holds
+    the layer on device — extra rows beyond ``n`` are ignored because pads
+    never become anchors and pad scores are overridden on host).
+    """
+    n, w = packed.shape
+    c = max(1, -(-n // csize))
+    n_tot = c * csize
+    rng = np.random.default_rng(seed)
+    if c == 1:
+        return np.concatenate(
+            [np.arange(n, dtype=np.int32),
+             np.full(n_tot - n, -1, np.int32)])
+    if dev_rows is None:
+        dev_rows = jnp.asarray(packed)
+    n_dev = dev_rows.shape[0]
+
+    ord_ = np.concatenate([np.arange(n, dtype=np.int64),
+                           np.full(n_tot - n, -1, np.int64)])
+    # groups as (start, n_clusters) spans over ord_; every split keeps
+    # cluster-aligned boundaries so leaves are exactly csize
+    groups = [(0, c)]
+    # anchors padded to one FIXED shape across all levels: the scores
+    # program compiles once per layer, not once per bisection level
+    # (remote compiles cost minutes per shape — CLAUDE.md)
+    a_pad = max(1024, 1 << max(c - 1, 1).bit_length())
+    while any(t > 1 for _, t in groups):
+        live = [(s, t) for s, t in groups if t > 1]
+        anchors_a = np.zeros((a_pad, w), np.uint32)
+        anchors_b = np.zeros((a_pad, w), np.uint32)
+        gid = np.zeros(n_dev, np.int32)
+        for gi, (s, t) in enumerate(live):
+            members = ord_[s * csize:(s + t) * csize]
+            real = members[members >= 0]
+            gid[real] = gi
+            if real.size >= 2:
+                ai, bi = rng.choice(real.size, size=2, replace=False)
+                anchors_a[gi] = packed[real[ai]]
+                anchors_b[gi] = packed[real[bi]]
+            elif real.size == 1:
+                anchors_a[gi] = packed[real[0]]
+        scores = np.asarray(_bisect_scores(
+            dev_rows, jnp.asarray(anchors_a), jnp.asarray(anchors_b),
+            jnp.asarray(gid)))[:n]
+        gid_ord = np.empty(n_tot, np.int64)
+        s_ord = np.full(n_tot, np.inf, np.float32)
+        pos = np.arange(n_tot)
+        for gi, (s, t) in enumerate(groups):
+            gid_ord[s * csize:(s + t) * csize] = gi
+        valid = ord_ >= 0
+        s_ord[valid] = scores[ord_[valid]]
+        # one stable sort: (group, score, position) — pads (+inf) fall to
+        # each group's tail, and position keeps ties deterministic
+        order = np.lexsort((pos, s_ord, gid_ord))
+        ord_ = ord_[order]
+        nxt = []
+        for s, t in groups:
+            if t == 1:
+                nxt.append((s, t))
+            else:
+                tl = t // 2
+                nxt.append((s, tl))
+                nxt.append((s + tl, t - tl))
+        groups = nxt
+    return ord_.astype(np.int32)
+
+
+def cluster_probes(packed: np.ndarray, perm: np.ndarray, csize: int,
+                   probes: int, sample: int = 16, seed: int = 0,
+                   use_pallas: bool = False,
+                   interpret: bool = False) -> np.ndarray:
+    """Per-cluster probe lists over a :func:`bisect_clusters` partition.
+
+    Returns [C, probes] int32: cluster ``c``'s probe targets, ascending
+    cluster id (deterministic scan order for the merge), −1-padded. The
+    own cluster is always present. Proximity = MIN distance over
+    ``sample``×``sample`` sampled member pairs, evaluated on device in one
+    kernel call (C·sample ≤ a few tens of thousands rows → trivial MXU
+    work).
+    """
+    n, w = packed.shape
+    c = perm.size // csize
+    probes = min(probes, c)
+    rng = np.random.default_rng(seed)
+    reps = np.zeros((c, sample, w), np.uint32)
+    empty = np.zeros(c, np.bool_)
+    for ci in range(c):
+        members = perm[ci * csize:(ci + 1) * csize]
+        real = members[members >= 0]
+        if real.size == 0:
+            empty[ci] = True
+            continue
+        take = rng.choice(real.size, size=sample, replace=real.size < sample)
+        reps[ci] = packed[real[take]]
+    flat = jnp.asarray(reps.reshape(c * sample, w))
+    if use_pallas:
+        from rad_tpu.fp.kernels import tanimoto_matrix_pallas
+        nr = c * sample
+        pad = (-nr) % 1024
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, w), jnp.uint32)])
+        d = tanimoto_matrix_pallas(
+            flat, flat, q_tile=min(512, flat.shape[0]),
+            n_tile=min(1024, flat.shape[0]),
+            interpret=interpret)[:nr, :nr]
+    else:
+        from rad_tpu.fp.tanimoto import tanimoto_matrix
+        d = tanimoto_matrix(flat, flat)
+    # min over the sample axes → [C, C] before readback
+    dcc = np.array(jnp.min(
+        d.reshape(c, sample, c, sample), axis=(1, 3)))
+    dcc[empty, :] = np.inf
+    dcc[:, empty] = np.inf
+    np.fill_diagonal(dcc, -1.0)  # self is always the first probe
+    order = np.argsort(dcc, axis=1, kind="stable")[:, :probes]
+    chosen_d = np.take_along_axis(dcc, order, axis=1)
+    out = np.where(np.isfinite(chosen_d), order, -1).astype(np.int32)
+    # ascending cluster id per row (−1 pads last) → deterministic merges
+    key = np.where(out >= 0, out, np.iinfo(np.int32).max)
+    out = np.sort(key, axis=1)
+    return np.where(out == np.iinfo(np.int32).max, -1, out).astype(np.int32)
