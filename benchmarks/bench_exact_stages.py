@@ -88,7 +88,7 @@ def main(argv=None) -> int:
                     help="probe cluster size (default: --col-block)")
     ap.add_argument("--probe-sample", type=int, default=16)
     ap.add_argument("--symm", choices=["auto", "sort", "two_pass",
-                                       "chunked"],
+                                       "chunked", "spanned"],
                     default="auto",
                     help="symmetrization form for the 'build' stage "
                          "(compile-service probes at large n)")
@@ -103,8 +103,14 @@ def main(argv=None) -> int:
     log(f"device: {jax.devices()[0]}")
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "examples"))
-    from enrichment_example import make_library
-    fps, _, _ = make_library(args.n, args.n_bits, seed=0)
+    if args.n > 2_000_000:
+        # the sequential generator costs ~1 min/100k rows; batched is the
+        # same manifold statistics, vectorized
+        from enrichment_example import make_library_batched
+        fps, _ = make_library_batched(args.n, args.n_bits, seed=0)
+    else:
+        from enrichment_example import make_library
+        fps, _, _ = make_library(args.n, args.n_bits, seed=0)
 
     n, w = fps.shape
     m = args.connectivity

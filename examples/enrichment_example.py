@@ -64,6 +64,65 @@ def make_library(n: int = 4000, n_bits: int = 512, mutation: float = 0.06,
     return packed, scores.astype(np.float64), smiles
 
 
+def make_library_batched(n: int, n_bits: int = 1024, mutation: float = 0.06,
+                         seed: int = 0, batch: int = 1 << 20):
+    """Vectorized :func:`make_library` for multi-million-row benchmarks.
+
+    Same statistical shape — every molecule is a mutated copy of an
+    earlier one, so similarity decays smoothly with tree distance — but
+    children are generated a ``batch`` at a time with parents drawn from
+    a capped reservoir of earlier rows instead of one sequential Python
+    loop per row (the loop form costs ~1 min per 100k rows on this host;
+    10M would be hours). Scores are the same smooth
+    distance-to-pharmacophore function, computed on packed rows.
+
+    Returns (packed_fps [n, n_bits/32], true_scores [n]) — no SMILES list
+    (10M strings is ~1 GB of host RAM; build/traversal benchmarks never
+    read it).
+    """
+    from rad_tpu.fp import pack_fingerprints
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    rng = np.random.default_rng(seed)
+    density = 0.12
+    seed_n = min(n, 4096)
+    bits = np.zeros((seed_n, n_bits), dtype=np.uint8)
+    bits[0] = rng.random(n_bits) < density
+    for i in range(1, seed_n):
+        parent = rng.integers(0, i)
+        child = bits[parent].copy()
+        flip = rng.random(n_bits) < mutation
+        child[flip] = rng.random(int(flip.sum())) < density
+        if not child.any():
+            child[rng.integers(0, n_bits)] = 1
+        bits[i] = child
+    parts = [pack_fingerprints(bits)]
+    pool = bits  # parent reservoir (refreshed per batch, capped)
+    done = seed_n
+    while done < n:
+        b = min(batch, n - done)
+        parents = rng.integers(0, pool.shape[0], size=b)
+        child = pool[parents]
+        flip = rng.random((b, n_bits)) < mutation
+        child = np.where(flip, rng.random((b, n_bits)) < density,
+                         child).astype(np.uint8)
+        empty = np.flatnonzero(~child.any(axis=1))
+        if empty.size:
+            child[empty, rng.integers(0, n_bits, size=empty.size)] = 1
+        parts.append(pack_fingerprints(child))
+        keep = rng.choice(b, size=min(b, 8192), replace=False)
+        pool = np.concatenate([pool, child[keep]])[-65536:]
+        done += b
+    packed = np.concatenate(parts)
+    target = packed[rng.integers(n // 2, n)]
+    pops = popcount_rows_np(packed).astype(np.float64)
+    t_pop = float(popcount_rows_np(target[None])[0])
+    inter = popcount_rows_np(packed & target[None]).astype(np.float64)
+    tani_dist = 1.0 - inter / np.maximum(pops + t_pop - inter, 1)
+    scores = 50.0 * tani_dist - 40.0 + rng.normal(0, 0.25, n)
+    return packed, scores.astype(np.float64)
+
+
 def run_enrichment(n: int = 4000, n_bits: int = 512, frac_score: float = 0.1,
                    connectivity: int = 12, expansion_add: int = 80,
                    n_top: int = 100, seed: int = 0, backend: str = "auto",

@@ -480,6 +480,75 @@ def _select_layer(packed, pops, cand_d, cand_id, n_real, m: int,
     return sel.reshape(n_pad, -1), sel_d.reshape(n_pad, -1)
 
 
+@partial(jax.jit, static_argnames=("m", "heuristic_k", "sel_block", "span",
+                                   "mxu_pairs"))
+def _select_layer_span(packed, pops, cand_d, cand_id, r0, n_real, m: int,
+                       heuristic_k: int, sel_block: int, span: int,
+                       mxu_pairs: bool = False):
+    """:func:`_select_layer` restricted to ``span`` rows starting at
+    ``r0`` (traced) — one bounded device program per host dispatch (the
+    single-program form at 10M rows would run ~40 s+, over the tunneled
+    worker's execution deadline; see :data:`PAIRS_PER_DISPATCH`)."""
+    from rad_tpu.build.device import _dist_rows, _select_neighbors
+
+    n_pad, k = cand_d.shape
+    cd_s = jax.lax.dynamic_slice(cand_d, (r0, 0), (span, k))
+    ci_s = jax.lax.dynamic_slice(cand_id, (r0, 0), (span, k))
+    q_ids = r0 + jnp.arange(span, dtype=jnp.int32)
+    nch = span // sel_block
+
+    def one(chunk):
+        cd, ci, qi = chunk
+        active = qi < n_real
+        safe_q = jnp.minimum(qi, n_real - 1)
+        sel = _select_neighbors(packed, pops, safe_q, cd, ci, m,
+                                heuristic_k, active, mxu_pairs=mxu_pairs)
+        sel_d = _dist_rows(packed, pops, safe_q, sel,
+                           (sel >= 0) & active[:, None])
+        return sel, sel_d
+
+    sel, sel_d = jax.lax.map(one, (cd_s.reshape(nch, sel_block, k),
+                                   ci_s.reshape(nch, sel_block, k),
+                                   q_ids.reshape(nch, sel_block)))
+    return sel.reshape(span, -1), sel_d.reshape(span, -1)
+
+
+# Selection rows per host-dispatched device program: measured 4.3 s per
+# 1M rows on the v5e (BENCHMARKS.md build notes), so 2M rows ≈ 9 s —
+# comfortably under the 60-80 s tunnel execution deadline (r3s12).
+SELECT_ROWS_PER_DISPATCH = 1 << 21
+
+
+def _select_layer_chunked(packed, pops, cand_d, cand_id, n_real, m: int,
+                          heuristic_k: int, sel_block: int,
+                          mxu_pairs: bool = False,
+                          rows_per_dispatch: int = SELECT_ROWS_PER_DISPATCH):
+    """Diversity selection as a host loop of bounded device programs.
+    Identical results to :func:`_select_layer` (rows are independent);
+    layers that fit one dispatch keep the existing compiled path."""
+    n_pad, k = cand_d.shape
+    if n_pad <= rows_per_dispatch:
+        return _select_layer(packed, pops, cand_d, cand_id, n_real, m,
+                             heuristic_k, sel_block, mxu_pairs=mxu_pairs)
+    span = max(sel_block, (rows_per_dispatch // sel_block) * sel_block)
+    starts = list(range(0, n_pad - span + 1, span))
+    if starts[-1] + span < n_pad:
+        starts.append(n_pad - span)  # tail span overlaps; slices dedup
+    s_parts, d_parts = [], []
+    covered = 0
+    for r0 in starts:
+        s, d = _select_layer_span(packed, pops, cand_d, cand_id,
+                                  jnp.int32(r0), n_real, m, heuristic_k,
+                                  sel_block, span, mxu_pairs=mxu_pairs)
+        # serialize dispatches (tunnel runs ahead of frees — CLAUDE.md)
+        np.asarray(s[-1:, -1:])
+        skip = covered - r0
+        s_parts.append(s[skip:] if skip else s)
+        d_parts.append(d[skip:] if skip else d)
+        covered = r0 + span
+    return jnp.concatenate(s_parts), jnp.concatenate(d_parts)
+
+
 @partial(jax.jit, static_argnames=("cap", "two_pass"))
 def _symmetrize(sel, sel_d, n_real, cap: int, two_pass: bool = False):
     """Rows = distance-best ``cap`` incident edges (forward + reverse).
@@ -619,6 +688,89 @@ def _symmetrize_chunked(sel, sel_d, n_real, cap: int, cols_per_chunk: int):
     return run_s
 
 
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap",))
+def _symm_fold_step(run_d, run_s, sel_sub, sel_d_sub, r0, n_real,
+                    cap: int):
+    """Fold one (row-span × column-chunk) slice of the selections into
+    the running per-destination tables — the host-dispatched form of
+    :func:`_symmetrize_chunked`'s loop body. Sources are rows
+    ``r0..r0+b``; destinations are global. Idempotent under re-folds
+    (a re-seen (dst, src, d) entrant sorts adjacent to its copy and is
+    dropped by :func:`_merge_rows`' same-src dedup), so overlapping tail
+    spans are safe."""
+    n_pad = run_d.shape[0]
+    b, cc = sel_sub.shape
+    src = jax.lax.optimization_barrier(
+        jnp.repeat(r0 + jnp.arange(b, dtype=jnp.int32), cc))
+    dst = sel_sub.reshape(-1)
+    d = sel_d_sub.reshape(-1)
+    ok = (dst >= 0) & (src < n_real)
+    e_dst = jnp.concatenate([jnp.where(ok, dst, n_pad),
+                             jnp.where(ok, src, n_pad)])
+    e_src = jnp.concatenate([src, jnp.where(ok, dst, n_pad)])
+    e_d = jnp.concatenate([jnp.where(ok, d, INF)] * 2)
+    sd_key, sdist, ssrc = jax.lax.sort((e_dst, e_d, e_src), num_keys=3)
+    dup = jnp.concatenate([
+        jnp.zeros((1,), jnp.bool_),
+        (sd_key[1:] == sd_key[:-1]) & (ssrc[1:] == ssrc[:-1])])
+    valid = (sd_key < n_pad) & jnp.isfinite(sdist) & ~dup
+    first = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), sd_key[1:] != sd_key[:-1]])
+    c = jnp.cumsum(valid.astype(jnp.int32))
+    base_at_start = jnp.where(first, c - valid.astype(jnp.int32),
+                              jnp.int32(-1))
+    base = jax.lax.associative_scan(jnp.maximum, base_at_start)
+    rank = c - 1 - base
+    keep = valid & (rank < cap)
+    ch_s = jnp.full((n_pad + 1, cap), -1, jnp.int32)
+    ch_s = ch_s.at[jnp.where(keep, sd_key, n_pad),
+                   jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, ssrc, -1), mode="drop")
+    ch_d = jnp.full((n_pad + 1, cap), INF)
+    ch_d = ch_d.at[jnp.where(keep, sd_key, n_pad),
+                   jnp.where(keep, rank, 0)].set(
+        jnp.where(keep, sdist, INF), mode="drop")
+    return _merge_rows(run_d, run_s, ch_d[:n_pad], ch_s[:n_pad], cap)
+
+
+# Edge rows per symmetrization sort: the remote compile service handles
+# ~4M-row 3-key sorts (the 100k class) but SIGKILLs the 32M-row form —
+# and a sort inside one unrolled program at 10M-node shapes would also
+# blow the worker execution deadline. 2^22 keeps every dispatched sort
+# in the known-good class.
+SYMM_EDGES_PER_SORT = 1 << 22
+
+
+def _symmetrize_spanned(sel, sel_d, n_real, cap: int,
+                        edges_per_sort: int = SYMM_EDGES_PER_SORT):
+    """Per-destination top-``cap`` incident edges as a HOST loop of
+    bounded fold steps — the ≥10M-node form of the symmetrization
+    (where even a single selection COLUMN's edge list exceeds the
+    per-sort budget, so :func:`_symmetrize_chunked`'s column chunks
+    cannot bound the program). Bit-identical to the global sort by the
+    same losslessness argument (truncation to ``cap`` within a fold only
+    drops globally-beaten entrants; every intermediate table stays in
+    global (d, src) rank order)."""
+    n_pad, m = sel.shape
+    run_d = jnp.full((n_pad, cap), INF)
+    run_s = jnp.full((n_pad, cap), -1, jnp.int32)
+    cc = max(1, min(m, edges_per_sort // (2 * n_pad)))
+    b = max(1, min(n_pad, edges_per_sort // (2 * cc)))
+    row_starts = list(range(0, n_pad - b + 1, b))
+    if row_starts[-1] + b < n_pad:
+        row_starts.append(n_pad - b)  # overlap is idempotent (see step)
+    for c0 in range(0, m, cc):
+        ccc = min(cc, m - c0)
+        c0c = c0 if ccc == cc else m - cc  # overlap re-folds, idempotent
+        for r0 in row_starts:
+            sub = jax.lax.dynamic_slice(sel, (r0, c0c), (b, cc))
+            sub_d = jax.lax.dynamic_slice(sel_d, (r0, c0c), (b, cc))
+            run_d, run_s = _symm_fold_step(run_d, run_s, sub, sub_d,
+                                           jnp.int32(r0), n_real, cap)
+            np.asarray(run_s[-1:, -1:])  # serialize dispatches
+    return run_s
+
+
 def _round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
@@ -673,11 +825,14 @@ def build_hnsw_exact(
     ``symm_mode`` picks the symmetrization form — ``"sort"``
     (one global 3-key sort), ``"two_pass"`` (lexsort-decomposed stable
     sorts), ``"chunked"`` (column-chunked small sorts + row-wise merges;
-    no sort exceeds ~4M rows), or ``None`` = auto: ``"chunked"`` past
-    ~8M edges. All three are bit-identical; the remote compile service
-    cannot compile EITHER whole-edge-list sort at the 1M-node shape
-    (32M rows: SIGKILL on the 3-key form, a >90-min park on the
-    two-pass form), which is what the chunked form is for.
+    no sort exceeds ~4M rows), ``"spanned"`` (host-dispatched
+    row-span × column folds — the ≥10M-node form, where one column's
+    edge list alone exceeds the sort budget), or ``None`` = auto:
+    ``"spanned"`` past 2M rows, ``"chunked"`` past ~8M edges. All four
+    are bit-identical; the remote compile service cannot compile EITHER
+    whole-edge-list sort at the 1M-node shape (32M rows: SIGKILL on the
+    3-key form, a >90-min park on the two-pass form), which is what the
+    chunked/spanned forms are for.
     ``pairs_per_dispatch`` bounds the distance evaluations per device
     program in the all-pairs stage (the tunneled worker crashes on any
     single program running much past ~13 s — see
@@ -818,12 +973,22 @@ def build_hnsw_exact(
                 packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
                 bucket=bkt, interpret=interpret,
                 pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
-        sel, sel_d = _select_layer(packed_l, pops_l, cand_d, cand_id,
-                                   n_l, min(m, cap), heuristic_k, sb,
-                                   mxu_pairs=use_pallas)
+        sel, sel_d = _select_layer_chunked(packed_l, pops_l, cand_d,
+                                           cand_id, n_l, min(m, cap),
+                                           heuristic_k, sb,
+                                           mxu_pairs=use_pallas)
         n_edges = 2 * n_pad * min(m, cap)
-        mode = symm_mode or ("chunked" if n_edges >= 1 << 23 else "sort")
-        if mode == "chunked":
+        if symm_mode is not None:
+            mode = symm_mode
+        elif 2 * n_pad > SYMM_EDGES_PER_SORT:
+            mode = "spanned"   # one column already exceeds the sort budget
+        elif n_edges >= 1 << 23:
+            mode = "chunked"
+        else:
+            mode = "sort"
+        if mode == "spanned":
+            rows = _symmetrize_spanned(sel, sel_d, n_l, cap)
+        elif mode == "chunked":
             # chunk so no per-chunk sort exceeds ~4M rows (the known
             # remote-compilable class; see _symmetrize_chunked)
             cpc = max(1, (1 << 22) // (2 * n_pad))

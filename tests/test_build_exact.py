@@ -278,3 +278,56 @@ def test_merge_topk_matches_lax_topk_on_ties():
     ref_i = jnp.take_along_axis(jnp.asarray(ids), sel, axis=1)
     np.testing.assert_array_equal(np.asarray(sd), np.asarray(ref_d))
     np.testing.assert_array_equal(np.asarray(si), np.asarray(ref_i))
+
+
+def test_symmetrize_spanned_identical(fps):
+    """The host-dispatched row-span fold (the >=10M-node symmetrization)
+    is bit-identical to the fused 3-key sort — several edge budgets,
+    including ones forcing overlapping tail spans and column re-folds."""
+    from rad_tpu.build.exact import _symmetrize, _symmetrize_spanned
+
+    rng = np.random.default_rng(5)
+    n_pad, m, n_real = 256, 4, 201
+    sel = rng.integers(-1, n_pad, size=(n_pad, m)).astype(np.int32)
+    # distances must be a SYMMETRIC pair function (d(a->b) == d(b->a)) —
+    # true of every real selection (both directions recompute the same
+    # pair distance); the fold-level same-src dedup relies on it. Keep
+    # heavy quantization so rank/dedup ties are exercised.
+    src_ids = np.arange(n_pad)[:, None]
+    lo = np.minimum(src_ids, np.maximum(sel, 0))
+    hi = np.maximum(src_ids, np.maximum(sel, 0))
+    sel_d = (((lo * 31 + hi * 7) % 6) / 8.0).astype(np.float32)
+    a = np.asarray(_symmetrize(jnp.asarray(sel), jnp.asarray(sel_d),
+                               n_real, 8))
+    for eps in (1 << 7, 1 << 8, 300, 1 << 9, 1 << 20):
+        got = np.asarray(_symmetrize_spanned(
+            jnp.asarray(sel), jnp.asarray(sel_d), n_real, 8,
+            edges_per_sort=eps))
+        np.testing.assert_array_equal(a, got), eps
+
+    g3 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode="sort")
+    g = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode="spanned")
+    for t3, t2 in zip(g3.neighbors, g.neighbors):
+        np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
+
+
+def test_select_chunked_identical(fps):
+    """The host-chunked selection driver is bit-identical to the
+    one-program form, including the overlapping tail span."""
+    from rad_tpu.build.exact import (_allpairs_topk, _select_layer,
+                                     _select_layer_chunked)
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    packed = np.zeros((2048, fps.shape[1]), np.uint32)
+    packed[:2000] = fps
+    dev = jnp.asarray(packed)
+    pops = jnp.asarray(popcount_rows_np(packed))
+    cand_d, cand_id = _allpairs_topk(dev, 2000, 16, 256, 512,
+                                     use_pallas=False, approx_recall=None)
+    ref_s, ref_d = _select_layer(dev, pops, cand_d, cand_id, 2000, 8, 16,
+                                 256)
+    for rpd in (512, 768, 1024, 4096):
+        s, d = _select_layer_chunked(dev, pops, cand_d, cand_id, 2000, 8,
+                                     16, 256, rows_per_dispatch=rpd)
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(s))
+        np.testing.assert_array_equal(np.asarray(ref_d), np.asarray(d))
