@@ -75,6 +75,10 @@ def main(argv=None) -> int:
     ap.add_argument("--bucket-n-tile", type=int, default=None)
     ap.add_argument("--exact-topk", action="store_true",
                     help="also time the approx_recall=None reduction")
+    ap.add_argument("--recall", type=int, default=0, metavar="NQ",
+                    help="after the 'build' stage: recall@10 of the built "
+                         "graph over NQ sampled library queries vs blocked "
+                         "exact ground truth (device search, ef=32)")
     ap.add_argument("--profile", metavar="DIR",
                     help="xplane-trace the allpairs stage and print the "
                          "top device ops (leaf events; see CLAUDE.md for "
@@ -257,6 +261,28 @@ def main(argv=None) -> int:
         results["build_total"] = min(dt0, dt)
         log(f"full build: {min(dt0, dt):.2f}s "
             f"({args.n / min(dt0, dt):.0f} nodes/s)")
+
+        if args.recall:
+            import jax.numpy as jnp
+            from rad_tpu.fp.tanimoto import bruteforce_topk_blocked
+            from rad_tpu.search.knn import search_device
+            rng = np.random.default_rng(17)
+            qidx = rng.choice(args.n, size=args.recall, replace=False)
+            q = np.ascontiguousarray(fps[qidx])
+            d_t, i_t = bruteforce_topk_blocked(jnp.asarray(q), g.packed,
+                                               10)
+            # ground truth over the graph's LEVEL-SORTED row order; map
+            # back through keys (= original indices for default keys)
+            keys = np.asarray(g.keys)
+            i_t = keys[np.maximum(np.asarray(i_t), 0)]
+            _, i_s = search_device(g, q, k=10, expansion_search=32)
+            i_s = np.asarray(i_s)
+            i_s = np.where(i_s >= 0, keys[np.maximum(i_s, 0)], -1)
+            rec = np.mean([
+                len(set(i_s[r].tolist()) & set(i_t[r].tolist())) / 10.0
+                for r in range(args.recall)])
+            results["recall_at_10"] = float(rec)
+            log(f"recall@10 over {args.recall} queries: {rec:.4f}")
 
     print(json.dumps({"metric": "exact_build_stages", "n": args.n,
                       "results": results}))
