@@ -954,9 +954,14 @@ def build_hnsw_exact(
                   if (bucket_approx or bucket_q_tile or bucket_n_tile)
                   else None)
         csz = probe_csize or cb
+        # csz % qb: a small/mid layer's shared compile unit can set a
+        # q-block wider than the probe cluster — such layers keep the
+        # exact stage (they are far below the subquadratic break-even
+        # anyway) instead of raising in the probed driver
         use_probe = (probes is not None
                      and -(-n_l // csz) >= 4 * probes
-                     and k <= csz)
+                     and k <= csz
+                     and csz % qb == 0)
         if use_probe:
             logger.info("layer %d: cluster-probed candidates "
                         "(%d clusters of %d, %d probes)",

@@ -203,6 +203,7 @@ def build_hnsw_partitioned(
     stitch_ef: int | None = None,
     heuristic: bool = True,
     search_chunk: int = 4096,
+    builder_kwargs: dict | None = None,
 ) -> HNSWGraph:
     """Build an HNSW graph by partitioning, independent sub-builds, and a
     cross-shard stitch. Same parameter semantics as
@@ -221,6 +222,11 @@ def build_hnsw_partitioned(
                 (default: ``max(64, 2*stitch_k)``).
     heuristic:  re-select stitched rows with the HNSW diversity heuristic
                 (default) instead of a plain distance-top-cap merge.
+    builder_kwargs: extra kwargs forwarded verbatim to every per-shard
+                builder call — e.g. ``{"probes": 16}`` routes 'exact'
+                shards through the subquadratic cluster-probed candidate
+                stage (:func:`rad_tpu.build.exact.build_hnsw_exact`).
+                Must match the chosen builder's signature.
 
     Deterministic given (packed, seed, n_shards, builder, stitch params).
     """
@@ -237,7 +243,8 @@ def build_hnsw_partitioned(
     build = _resolve_builder(builder)
     if n_shards == 1:
         return build(packed, keys=keys, connectivity=m,
-                     expansion_add=expansion_add, ndim=ndim, seed=seed)
+                     expansion_add=expansion_add, ndim=ndim, seed=seed,
+                     **(builder_kwargs or {}))
     stitch_k = stitch_k or m
     stitch_ef = stitch_ef or max(64, 2 * stitch_k)
 
@@ -251,7 +258,7 @@ def build_hnsw_partitioned(
         # sub keys = ORIGINAL row indices, so local ids map back exactly
         g = build(packed[idx], keys=idx.astype(np.int64), connectivity=m,
                   expansion_add=expansion_add, ndim=ndim,
-                  seed=seed * 1_000_003 + s)
+                  seed=seed * 1_000_003 + s, **(builder_kwargs or {}))
         sub_graphs.append(g)
 
     # -------------------------------------------------------------- merge

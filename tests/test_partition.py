@@ -153,3 +153,33 @@ def test_partitioned_exact_builder(fps):
     queries = random_fingerprints(24, n_bits=256, density=0.2, seed=71)
     r = _recall(g, queries)
     assert r >= 0.9, r
+
+
+def test_partitioned_exact_probed_builder():
+    """builder_kwargs forwards probes= to the exact shard builds: the
+    subquadratic cluster-probed candidate stage composes with the stitch
+    (the >=10M-per-shard pod recipe) at recall parity with the exact
+    partitioned build on clustered data (probing is a manifold method —
+    uniform-random data is the distance-concentration regime)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples"))
+    from enrichment_example import make_library
+
+    fps = make_library(3000, 128, seed=11)[0]
+    kw = dict(n_shards=2, connectivity=8, expansion_add=48, seed=3,
+              builder="exact")
+    g_ex = build_hnsw_partitioned(fps, **kw)
+    # per shard: 1500 rows / csize 128 = 12 clusters; probes=3 passes the
+    # >=4*probes engagement gate
+    g_pr = build_hnsw_partitioned(
+        fps, **kw,
+        builder_kwargs=dict(probes=3, probe_csize=128, q_block=128,
+                            col_block=128, sel_block=128))
+    assert len(g_pr) == 3000
+    rng = np.random.default_rng(5)
+    queries = fps[rng.choice(fps.shape[0], 24, replace=False)]
+    r_ex, r_pr = _recall(g_ex, queries), _recall(g_pr, queries)
+    assert r_pr >= r_ex - 0.05, f"probed {r_pr:.3f} vs exact {r_ex:.3f}"
