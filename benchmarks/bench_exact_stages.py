@@ -107,14 +107,24 @@ def main(argv=None) -> int:
     log(f"device: {jax.devices()[0]}")
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "examples"))
-    if args.n > 2_000_000:
+    # library cache: generation is host-bound (~10 min sequential at 1M,
+    # ~10 min batched at 10M on the one shared core) and deterministic
+    # given (n, n_bits, seed=0) — probes/recall sweeps re-run this script
+    # at identical n many times
+    cache = f"/tmp/bes_lib_n{args.n}_b{args.n_bits}_s0.npy"
+    if os.path.exists(cache):
+        fps = np.load(cache)
+        log(f"library loaded from {cache}")
+    elif args.n > 2_000_000:
         # the sequential generator costs ~1 min/100k rows; batched is the
         # same manifold statistics, vectorized
         from enrichment_example import make_library_batched
         fps, _ = make_library_batched(args.n, args.n_bits, seed=0)
+        np.save(cache, fps)
     else:
         from enrichment_example import make_library
         fps, _, _ = make_library(args.n, args.n_bits, seed=0)
+        np.save(cache, fps)
 
     n, w = fps.shape
     m = args.connectivity
