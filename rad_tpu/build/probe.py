@@ -177,24 +177,36 @@ def cluster_probes(packed: np.ndarray, perm: np.ndarray, csize: int,
             continue
         take = rng.choice(real.size, size=sample, replace=real.size < sample)
         reps[ci] = packed[real[take]]
-    flat = jnp.asarray(reps.reshape(c * sample, w))
-    if use_pallas:
-        from rad_tpu.fp.kernels import tanimoto_matrix_pallas
-        nr = c * sample
-        pad = (-nr) % 1024
-        if pad:
-            flat = jnp.concatenate(
-                [flat, jnp.zeros((pad, w), jnp.uint32)])
-        d = tanimoto_matrix_pallas(
-            flat, flat, q_tile=min(512, flat.shape[0]),
-            n_tile=min(1024, flat.shape[0]),
-            interpret=interpret)[:nr, :nr]
-    else:
-        from rad_tpu.fp.tanimoto import tanimoto_matrix
-        d = tanimoto_matrix(flat, flat)
-    # min over the sample axes → [C, C] before readback
-    dcc = np.array(jnp.min(
-        d.reshape(c, sample, c, sample), axis=(1, 3)))
+    nr = c * sample
+    pad = ((-nr) % 1024) if use_pallas else 0
+    flat = jnp.asarray(np.concatenate(
+        [reps.reshape(nr, w), np.zeros((pad, w), np.uint32)])
+        if pad else reps.reshape(nr, w))
+    # [C, C] min-linkage matrix in bounded query chunks: the one-shot
+    # [C*sample, C*sample] form is ~1.5 GB of f32 at C~1200 on a device
+    # already holding the layer (measured ResourceExhausted at 10M), and
+    # O(C²·sample²) beyond — each fixed-shape chunk is ≤ a few hundred MB
+    # and compiles once
+    qcb = max(1, min(c, (1 << 26) // max(nr, 1) // sample))
+    dcc = np.empty((c, c), np.float32)
+    for c0 in range(0, c, qcb):
+        c0c = min(c0, c - qcb)  # fixed shape; overlap re-computes, idempotent
+        q = jax.lax.dynamic_slice(flat, (c0c * sample, 0),
+                                  (qcb * sample, w))
+        q_tile = next((t for t in (512, 256, 128, 64, 32, 16, 8)
+                       if q.shape[0] % t == 0), None)
+        if use_pallas and q_tile:
+            from rad_tpu.fp.kernels import tanimoto_matrix_pallas
+            d = tanimoto_matrix_pallas(
+                q, flat, q_tile=q_tile,
+                n_tile=min(1024, flat.shape[0]),
+                interpret=interpret)[:, :nr]
+        else:
+            from rad_tpu.fp.tanimoto import tanimoto_matrix
+            d = tanimoto_matrix(q, flat[:nr])
+        blk = np.array(jnp.min(
+            d.reshape(qcb, sample, c, sample), axis=(1, 3)))
+        dcc[c0c:c0c + qcb] = blk
     dcc[empty, :] = np.inf
     dcc[:, empty] = np.inf
     np.fill_diagonal(dcc, -1.0)  # self is always the first probe
