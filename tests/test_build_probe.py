@@ -203,3 +203,39 @@ def test_probes_gate_small_layer(fps):
     g_ex = build_hnsw_exact(fps, connectivity=8, seed=3)
     for a, b in zip(g_pr.neighbors, g_ex.neighbors):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cluster_probes_matches_dense_oracle(fps):
+    """The chunked min-linkage matrix (bounded device blocks, r3: the
+    one-shot [C*sample, C*sample] form ResourceExhausted at 10M) must
+    reproduce the dense numpy computation exactly — same sampled reps,
+    same min reduction, same probe ordering."""
+    from rad_tpu.fp.pack import popcount_rows_np
+
+    csize = 256
+    perm = bisect_clusters(fps, csize, seed=2)
+    c = perm.size // csize
+    probes, sample, seed = 5, 8, 7
+    tab = cluster_probes(fps, perm, csize, probes=probes, sample=sample,
+                         seed=seed)
+
+    # oracle: identical sampling protocol, dense distance matrix
+    rng = np.random.default_rng(seed)
+    reps = np.zeros((c, sample, fps.shape[1]), np.uint32)
+    for ci in range(c):
+        members = perm[ci * csize:(ci + 1) * csize]
+        real = members[members >= 0]
+        take = rng.choice(real.size, size=sample,
+                          replace=real.size < sample)
+        reps[ci] = fps[real[take]]
+    flat = reps.reshape(c * sample, -1)
+    pops = popcount_rows_np(flat).astype(np.float64)
+    inter = popcount_rows_np(
+        flat[:, None, :] & flat[None, :, :]).astype(np.float64)
+    union = pops[:, None] + pops[None, :] - inter
+    d = 1.0 - inter / np.maximum(union, 1.0)
+    dcc = d.reshape(c, sample, c, sample).min(axis=(1, 3))
+    np.fill_diagonal(dcc, -1.0)
+    order = np.argsort(dcc, axis=1, kind="stable")[:, :probes]
+    expect = np.sort(order, axis=1)
+    assert np.array_equal(tab, expect)
