@@ -385,7 +385,8 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
                           interpret: bool, probes: int, probe_sample: int,
                           seed: int, pairs_per_dispatch: float,
                           bucket_opts: tuple | None = None,
-                          packed_host: np.ndarray | None = None):
+                          packed_host: np.ndarray | None = None,
+                          mesh=None, mesh_axis: str = "graph"):
     """Cluster-probed top-k: the subquadratic form of
     :func:`_allpairs_topk_chunked`.
 
@@ -426,10 +427,26 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
     nq = n_tot // q_block
     # pads occupy the tail of permuted space — skip all-pad q-blocks
     nq_real = (n_real + q_block - 1) // q_block
-    q_span = max(1, int(pairs_per_dispatch // (q_block * p * csize)))
-    q_span = min(q_span, nq)
     out_d = jnp.full((n_pad, k), INF)
     out_i = jnp.full((n_pad, k), -1, jnp.int32)
+    if mesh is not None:
+        # sharded: every device scans its own span of permuted q-blocks
+        # in ONE program (no tunnel deadline off the single-chip path);
+        # clamped tail blocks re-compute and the scatter dedups them
+        from rad_tpu.build.exact_sharded import (probed_topk_sharded,
+                                                 replicate)
+        packed_cl = replicate(packed_cl, mesh)
+        perm_cl = replicate(perm_cl, mesh)
+        scan_cols = replicate(scan_cols, mesh)
+        bd, bi, pos = probed_topk_sharded(
+            packed_cl, perm_cl, scan_cols, k, q_block, csize, use_pallas,
+            approx_recall, bucket, interpret, mesh, mesh_axis,
+            bucket_opts=bucket_opts)
+        perm_span = jnp.take(perm_cl, pos)
+        return _probed_scatter_span(out_d, out_i, perm_span, bd, bi,
+                                    perm_cl)
+    q_span = max(1, int(pairs_per_dispatch // (q_block * p * csize)))
+    q_span = min(q_span, nq)
     for q0 in range(0, nq_real, q_span):
         q0c = min(q0, nq - q_span)  # overlap re-computes; scatter idempotent
         bd, bi = _probed_topk_span(
@@ -688,16 +705,11 @@ def _symmetrize_chunked(sel, sel_d, n_real, cap: int, cols_per_chunk: int):
     return run_s
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap",))
-def _symm_fold_step(run_d, run_s, sel_sub, sel_d_sub, r0, n_real,
-                    cap: int):
-    """Fold one (row-span × column-chunk) slice of the selections into
-    the running per-destination tables — the host-dispatched form of
-    :func:`_symmetrize_chunked`'s loop body. Sources are rows
-    ``r0..r0+b``; destinations are global. Idempotent under re-folds
-    (a re-seen (dst, src, d) entrant sorts adjacent to its copy and is
-    dropped by :func:`_merge_rows`' same-src dedup), so overlapping tail
-    spans are safe."""
+def _fold_edges(run_d, run_s, sel_sub, sel_d_sub, r0, n_real, cap: int):
+    """Traceable core of :func:`_symm_fold_step` — fold one row-span ×
+    column-chunk slice of the selections into the running
+    per-destination tables. Shared by the host-dispatched spanned form
+    and the mesh-sharded form (rad_tpu.build.exact_sharded)."""
     n_pad = run_d.shape[0]
     b, cc = sel_sub.shape
     src = jax.lax.optimization_barrier(
@@ -731,6 +743,19 @@ def _symm_fold_step(run_d, run_s, sel_sub, sel_d_sub, r0, n_real,
                    jnp.where(keep, rank, 0)].set(
         jnp.where(keep, sdist, INF), mode="drop")
     return _merge_rows(run_d, run_s, ch_d[:n_pad], ch_s[:n_pad], cap)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap",))
+def _symm_fold_step(run_d, run_s, sel_sub, sel_d_sub, r0, n_real,
+                    cap: int):
+    """Fold one (row-span × column-chunk) slice of the selections into
+    the running per-destination tables — the host-dispatched form of
+    :func:`_symmetrize_chunked`'s loop body. Sources are rows
+    ``r0..r0+b``; destinations are global. Idempotent under re-folds
+    (a re-seen (dst, src, d) entrant sorts adjacent to its copy and is
+    dropped by :func:`_merge_rows`' same-src dedup), so overlapping tail
+    spans are safe."""
+    return _fold_edges(run_d, run_s, sel_sub, sel_d_sub, r0, n_real, cap)
 
 
 # Edge rows per symmetrization sort: the remote compile service handles
@@ -799,6 +824,8 @@ def build_hnsw_exact(
     probe_csize: int | None = None,
     probe_sample: int = 16,
     interpret: bool = False,
+    mesh=None,
+    mesh_axis: str = "graph",
 ) -> HNSWGraph:
     """Build an HNSW graph from exact per-layer top-K neighbor lists.
 
@@ -850,6 +877,16 @@ def build_hnsw_exact(
     are exact within the probed set; ``None`` (default) keeps the fully
     exact candidate stage. Layers too small to profit (fewer than
     4×``probes`` clusters) keep the exact stage automatically.
+
+    ``mesh`` (a 1-D :class:`jax.sharding.Mesh` with axis ``mesh_axis``)
+    distributes the build: every big layer's three stages run sharded
+    over the mesh (rad_tpu.build.exact_sharded — q-block/row spans per
+    device, one ``all_to_all`` in the symmetrization), producing the
+    exact same graph edge for edge as the single-device build (pinned
+    by tests/test_build_sharded.py). The fingerprint matrix is
+    replicated per device; layers below the mesh's padding unit (and
+    any forced ``symm_mode``, which the sharded merge supersedes) keep
+    the single-device path.
     """
     packed = np.ascontiguousarray(packed, dtype=np.uint32)
     n, w = packed.shape
@@ -881,6 +918,12 @@ def build_hnsw_exact(
     pops_np = popcount_rows_np(packed)
 
     big = max(q_block, col_block, sel_block)
+    if mesh is not None:
+        d_mesh = mesh.shape[mesh_axis]
+        # sharded layers need their q-blocks and sel-chunks to split
+        # evenly over the mesh; folding the unit into `big` reuses the
+        # existing padding (reductions already mask rows >= n_real)
+        big = max(big, d_mesh * q_block, d_mesh * sel_block)
     if n >= big:
         n_pad0 = _round_up(n, big)
     elif n > 1:
@@ -922,10 +965,17 @@ def build_hnsw_exact(
     # carry real rows of non-members past n_l instead of zeros — harmless,
     # all reductions mask by id >= n_real (the bucket path can lose at most
     # the one boundary bucket's winner per layer to such a row).
-    dev_packed = jnp.asarray(np.concatenate(
-        [packed, np.zeros((n_pad0 - n, w), np.uint32)]))
-    dev_pops = jnp.asarray(np.concatenate(
-        [pops_np, np.zeros(n_pad0 - n, pops_np.dtype)]))
+    packed_pad = np.concatenate(
+        [packed, np.zeros((n_pad0 - n, w), np.uint32)])
+    pops_pad = np.concatenate(
+        [pops_np, np.zeros(n_pad0 - n, pops_np.dtype)])
+    if mesh is not None:
+        from rad_tpu.build.exact_sharded import replicate
+        dev_packed = replicate(packed_pad, mesh)
+        dev_pops = replicate(pops_pad, mesh)
+    else:
+        dev_packed = jnp.asarray(packed_pad)
+        dev_pops = jnp.asarray(pops_pad)
 
     neighbors = []
     for l in range(max_level + 1):
@@ -962,6 +1012,7 @@ def build_hnsw_exact(
                      and -(-n_l // csz) >= 4 * probes
                      and k <= csz
                      and csz % qb == 0)
+        sharded_layer = mesh is not None and n_l >= big
         if use_probe:
             logger.info("layer %d: cluster-probed candidates "
                         "(%d clusters of %d, %d probes)",
@@ -972,16 +1023,34 @@ def build_hnsw_exact(
                 probe_sample=probe_sample,
                 seed=seed * 1_000_003 + 7919 * (l + 1),
                 pairs_per_dispatch=pairs_per_dispatch,
-                bucket_opts=b_opts, packed_host=packed[:n_l])
+                bucket_opts=b_opts, packed_host=packed[:n_l],
+                mesh=mesh if sharded_layer else None,
+                mesh_axis=mesh_axis)
+        elif sharded_layer:
+            from rad_tpu.build.exact_sharded import allpairs_topk_sharded
+            cand_d, cand_id = allpairs_topk_sharded(
+                packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
+                bkt, interpret, mesh, mesh_axis, bucket_opts=b_opts)
         else:
             cand_d, cand_id = _allpairs_topk_chunked(
                 packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
                 bucket=bkt, interpret=interpret,
                 pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
-        sel, sel_d = _select_layer_chunked(packed_l, pops_l, cand_d,
-                                           cand_id, n_l, min(m, cap),
-                                           heuristic_k, sb,
-                                           mxu_pairs=use_pallas)
+        if sharded_layer:
+            from rad_tpu.build.exact_sharded import select_layer_sharded
+            sel, sel_d = select_layer_sharded(
+                packed_l, pops_l, cand_d, cand_id, n_l, min(m, cap),
+                heuristic_k, sb, mesh, mesh_axis, mxu_pairs=use_pallas)
+        else:
+            sel, sel_d = _select_layer_chunked(packed_l, pops_l, cand_d,
+                                               cand_id, n_l, min(m, cap),
+                                               heuristic_k, sb,
+                                               mxu_pairs=use_pallas)
+        if sharded_layer:
+            from rad_tpu.build.exact_sharded import symmetrize_sharded
+            neighbors.append(symmetrize_sharded(
+                sel, sel_d, n_l, cap, mesh, mesh_axis)[:n_l])
+            continue
         n_edges = 2 * n_pad * min(m, cap)
         if symm_mode is not None:
             mode = symm_mode
