@@ -98,6 +98,11 @@ def main(argv=None) -> int:
                          "(compile-service probes at large n)")
     args = ap.parse_args(argv)
 
+    import logging
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stderr,
+        format="%(asctime)s %(name)s %(message)s")
+
     import jax
     import jax.numpy as jnp
     from rad_tpu.build import exact as ex
@@ -264,6 +269,7 @@ def main(argv=None) -> int:
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)
         dt0 = time.perf_counter() - t0
+        log(f"build run1 (cold, incl. compiles): {dt0:.2f}s")
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)
