@@ -12,6 +12,7 @@ Tanimoto-comparable.
 
 from rad_tpu.chem.morgan import (
     MolGraph,
+    initial_invariant_tuples,
     parse_smiles,
     morgan_fingerprint,
     morgan_fingerprints_packed,
@@ -19,6 +20,7 @@ from rad_tpu.chem.morgan import (
 
 __all__ = [
     "MolGraph",
+    "initial_invariant_tuples",
     "parse_smiles",
     "morgan_fingerprint",
     "morgan_fingerprints_packed",

@@ -10,7 +10,10 @@ implements the same algorithm family from the primary sources:
   drug-like molecules — organic-subset atoms, bracket atoms with charge/
   isotope/explicit H, aromatic lowercase forms, branches, ring-closure
   digits (incl. ``%nn``), bond symbols ``- = # : / \\`` and dot
-  disconnects. No kekulization: aromaticity is taken as written.
+  disconnects. Kekulized ring systems are aromatized by a Hückel 4n+2
+  perception pass over 5-7-membered rings (:func:`_perceive_aromaticity`),
+  so ``C1=CC=CC=C1`` and ``c1ccccc1`` produce identical fingerprints
+  (pinned by tests/test_chem.py golden/kekulized cases).
 * ECFP (Rogers & Hahn 2010): per-atom initial invariants (heavy-atom
   degree, non-H valence, atomic number, charge, attached H count,
   in-ring flag), then ``radius`` rounds of neighborhood hashing over
@@ -32,7 +35,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ["MolGraph", "parse_smiles", "morgan_fingerprint",
-           "morgan_fingerprints_packed"]
+           "morgan_fingerprints_packed", "initial_invariant_tuples"]
 
 _ORGANIC = {"B": 3, "C": 4, "N": 3, "O": 2, "P": 3, "S": 2,
             "F": 1, "Cl": 1, "Br": 1, "I": 1}
@@ -194,16 +197,21 @@ def parse_smiles(smiles: str) -> MolGraph:
         raise SmilesError("empty SMILES")
 
     mol = MolGraph(atoms, bonds)
-    _mark_rings(mol)
+    ring_edges = _mark_rings(mol)
     _assign_hydrogens(mol)
+    _perceive_aromaticity(mol, ring_edges)
     return mol
 
 
-def _mark_rings(mol: MolGraph) -> None:
+def _mark_rings(mol: MolGraph) -> set:
     """Exact ring membership: an atom is in a ring iff it touches a
     non-bridge edge (Tarjan bridge finding, iterative DFS). Ring-closure
     bonds alone under-mark (only the closure pair), which would make
-    invariants depend on how the SMILES was written."""
+    invariants depend on how the SMILES was written.
+
+    Returns the set of ring (non-bridge) bond indices — tree edges with
+    ``low[child] <= disc[parent]`` plus every back edge — consumed by the
+    aromaticity perception pass."""
     n = mol.n_atoms
     adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
     for ei, (a, b, _) in enumerate(mol.bonds):
@@ -212,6 +220,7 @@ def _mark_rings(mol: MolGraph) -> None:
     disc = [-1] * n
     low = [0] * n
     in_ring = [False] * n
+    ring_edges: set = set()
     timer = 0
     for root in range(n):
         if disc[root] >= 0:
@@ -232,6 +241,7 @@ def _mark_rings(mol: MolGraph) -> None:
                     advanced = True
                     break
                 low[u] = min(low[u], disc[v])
+                ring_edges.add(ei)  # back edge: always on a cycle
             if advanced:
                 continue
             stack.pop()
@@ -242,8 +252,133 @@ def _mark_rings(mol: MolGraph) -> None:
                     # edge (p, u) is in a cycle (not a bridge)
                     in_ring[p] = True
                     in_ring[u] = True
+                    ring_edges.add(pe)
     for i, a in enumerate(mol.atoms):
         a.in_ring = in_ring[i]
+    return ring_edges
+
+
+def _small_rings(mol: MolGraph, ring_edges: set) -> List[frozenset]:
+    """Smallest rings (SSSR-style): for each ring bond, the shortest cycle
+    through it found by BFS over ring bonds only; deduplicated."""
+    n = mol.n_atoms
+    adj: List[List[Tuple[int, int]]] = [[] for _ in range(n)]
+    for ei in ring_edges:
+        a, b, _ = mol.bonds[ei]
+        adj[a].append((b, ei))
+        adj[b].append((a, ei))
+    rings = []
+    seen = set()
+    for ei in ring_edges:
+        a, b, _ = mol.bonds[ei]
+        # BFS a -> b avoiding edge ei
+        parent = {a: (-1, -1)}
+        frontier = [a]
+        found = False
+        while frontier and not found:
+            nxt = []
+            for u in frontier:
+                for v, ej in adj[u]:
+                    if ej == ei or v in parent:
+                        continue
+                    parent[v] = (u, ej)
+                    if v == b:
+                        found = True
+                        break
+                    nxt.append(v)
+                if found:
+                    break
+            frontier = nxt
+        if not found:
+            continue
+        path = [b]
+        u = b
+        while u != a:
+            u = parent[u][0]
+            path.append(u)
+        ring = frozenset(path)
+        if ring not in seen:
+            seen.add(ring)
+            rings.append(ring)
+    return rings
+
+
+def _perceive_aromaticity(mol: MolGraph, ring_edges: set) -> None:
+    """Hückel 4n+2 aromatization of kekulized rings, so aromatic-written
+    and kekulized SMILES of the same ring system fingerprint identically
+    (RDKit re-perceives aromaticity the same way; the reference pipeline
+    therefore never sees kekulized forms downstream).
+
+    Per 5-7-membered smallest ring, each atom contributes to the π count:
+    1 for a double bond whose partner is a ring atom (in-ring or fused),
+    2 for a lone pair on an otherwise-saturated N/O/S/Se/P (pyrrole-type)
+    or a carbanion, 0 for a carbocation or an exocyclic double bond to a
+    non-ring atom (quinones stay non-aromatic). A saturated neutral carbon
+    or any triple bond disqualifies the ring. Qualifying rings have their
+    in-ring bonds set to order 1.5, atoms flagged aromatic, and H counts
+    frozen from the kekulized structure (pyrrole-type N keeps its H)."""
+    if not ring_edges:
+        return
+    rings = [r for r in _small_rings(mol, ring_edges) if 5 <= len(r) <= 7]
+    if not rings:
+        return
+    in_any_ring = {i for i, a in enumerate(mol.atoms) if a.in_ring}
+    bond_of = {}
+    for ei, (a, b, o) in enumerate(mol.bonds):
+        bond_of[(a, b)] = ei
+        bond_of[(b, a)] = ei
+
+    nbrs: List[List[Tuple[int, float]]] = [[] for _ in range(mol.n_atoms)]
+    for a, b, o in mol.bonds:
+        nbrs[a].append((b, o))
+        nbrs[b].append((a, o))
+
+    def pi_contribution(idx: int, ring: frozenset) -> Optional[int]:
+        atom = mol.atoms[idx]
+        doubles = [j for j, o in nbrs[idx] if o == 2.0]
+        if any(o == 3.0 for _, o in nbrs[idx]):
+            return None
+        if atom.aromatic:
+            return 1  # already-aromatic fused neighbor ring
+        if doubles:
+            if any(j in in_any_ring for j in doubles):
+                return 1
+            return 0  # exocyclic C=O etc.
+        if atom.element in ("N", "O", "S", "Se", "P"):
+            return 2  # lone pair (pyrrole/furan/thiophene-type)
+        if atom.element == "C":
+            if atom.charge < 0:
+                return 2
+            if atom.charge > 0:
+                return 0
+            return None  # saturated neutral carbon breaks conjugation
+        return None
+
+    for ring in rings:
+        if all(mol.atoms[i].aromatic for i in ring):
+            continue  # written aromatic already
+        total = 0
+        ok = True
+        for idx in ring:
+            c = pi_contribution(idx, ring)
+            if c is None:
+                ok = False
+                break
+            total += c
+        if not ok or total not in (2, 6, 10, 14):
+            continue
+        for idx in ring:
+            atom = mol.atoms[idx]
+            # freeze the kekulized H count before flipping flags: the
+            # aromatic-H rule must not re-derive (pyrrole N keeps its H)
+            atom.explicit_h = atom.h_count
+            atom.aromatic = True
+        for idx in ring:
+            for j, _o in nbrs[idx]:
+                if j in ring:
+                    ei = bond_of[(idx, j)]
+                    a, b, _ = mol.bonds[ei]
+                    mol.bonds[ei] = (a, b, 1.5)
 
 
 def _parse_bracket(body: str) -> _Atom:
@@ -312,9 +447,13 @@ def _assign_hydrogens(mol: MolGraph) -> None:
             continue
         used = degree_order[idx]
         if atom.aromatic:
-            # one valence slot is consumed by the aromatic system
+            # one valence slot is consumed by the aromatic system; and an
+            # aromatic atom stays in its LOWEST valence class (aromatic S
+            # in thiophene has 0 H — it must not be promoted to S(IV))
             used = max(used, sum(
                 1 for a, b, o in mol.bonds if idx in (a, b)) + 1)
+            atom.h_count = max(int(vals[0] - used), 0)
+            continue
         h = 0
         for v in vals:
             if v >= used:
@@ -335,7 +474,13 @@ def _mix(*vals: int) -> int:
     return h
 
 
-def _initial_invariants(mol: MolGraph) -> List[int]:
+def initial_invariant_tuples(mol: MolGraph) -> List[Tuple[int, ...]]:
+    """The raw per-atom ECFP round-0 invariant tuples feeding the hash —
+    the Rogers & Hahn 2010 §2 list (heavy-atom degree, heavy valence,
+    atomic number, charge, attached H count, in-ring flag) plus an
+    aromaticity flag. Exposed so tests can pin hand-computed golden values
+    for known molecules (tests/test_chem.py::test_golden_invariants)
+    without depending on the hash mix."""
     nbrs = [[] for _ in range(mol.n_atoms)]
     for a, b, o in mol.bonds:
         nbrs[a].append(o)
@@ -345,7 +490,7 @@ def _initial_invariants(mol: MolGraph) -> List[int]:
         heavy_deg = len(nbrs[idx])
         valence = int(sum(2 if o == 2 else 3 if o == 3 else 1
                           for o in nbrs[idx]))
-        out.append(_mix(
+        out.append((
             heavy_deg,
             valence,
             _ELEMENTS.get(atom.element, 0),
@@ -355,6 +500,10 @@ def _initial_invariants(mol: MolGraph) -> List[int]:
             1 if atom.aromatic else 0,
         ))
     return out
+
+
+def _initial_invariants(mol: MolGraph) -> List[int]:
+    return [_mix(*t) for t in initial_invariant_tuples(mol)]
 
 
 def morgan_fingerprint(smiles_or_mol, radius: int = 2,
@@ -378,10 +527,12 @@ def morgan_fingerprint(smiles_or_mol, radius: int = 2,
     # iteration's identifiers, Rogers & Hahn §2)
     for v in ids:
         fp[v % n_bits] = 1
-    # substructure dedup: (round, frozenset of bond set) — two identifiers
-    # describing the same circular substructure contribute once
-    seen_env = set()
+    # substructure dedup: two identifiers describing the same circular
+    # substructure (atom-set environment) contribute once — RDKit dedups
+    # by bond set the same way. Seeding with the round-0 singletons stops
+    # neighbor-less atoms (methane) emitting fresh ids every round.
     env = [frozenset([i]) for i in range(mol.n_atoms)]
+    seen_env = set(env)
 
     for r in range(1, radius + 1):
         new_ids = []

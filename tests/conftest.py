@@ -25,6 +25,26 @@ import pytest
 from rad_tpu.fp import random_fingerprints
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="run the full lane including @pytest.mark.slow tests "
+             "(16/32-device dryruns, multihost two-process tests, "
+             "billion-scale shape checks). Default lane skips them so a "
+             "dev-loop `pytest -q` stays fast; CI runs both lanes.")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full") or os.environ.get("RAD_TPU_FULL_TESTS"):
+        return
+    if "slow" in (config.getoption("-m") or ""):
+        return  # explicit -m slow / -m 'not slow' selection wins
+    skip = pytest.mark.skip(reason="slow lane: pass --full (or -m slow)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     devs = jax.devices()

@@ -121,3 +121,116 @@ def test_packed_batch():
     # non-degenerate: distinct molecules mostly distinct fingerprints
     uniq = len({p.tobytes() for p in packed})
     assert uniq > 55
+
+
+# ---------------------------------------------------------------------------
+# Golden ECFP invariants (VERDICT r3 item 7): the exact Rogers & Hahn 2010 §2
+# invariant tuples feeding the hash, hand-computed for known molecules. This
+# is the executable specification standing in for an RDKit bit-for-bit
+# comparison (impossible in this offline container): if these tuples are
+# right, the information content entering the fingerprint matches ECFP's.
+# Tuple layout (rad_tpu.chem.initial_invariant_tuples): (heavy-atom degree,
+# heavy valence, atomic number, charge & 0xFF, attached H count, in-ring,
+# aromatic). Aromatic bonds count 1 toward heavy valence.
+# ---------------------------------------------------------------------------
+
+from rad_tpu.chem import initial_invariant_tuples
+
+_C_AROM = (2, 2, 6, 0, 1, 1, 1)          # unsubstituted aromatic CH
+
+GOLDEN_INVARIANTS = [
+    ("methane", "C", [(0, 0, 6, 0, 4, 0, 0)]),
+    ("water", "O", [(0, 0, 8, 0, 2, 0, 0)]),
+    ("ethanol", "CCO", [(1, 1, 6, 0, 3, 0, 0),
+                        (2, 2, 6, 0, 2, 0, 0),
+                        (1, 1, 8, 0, 1, 0, 0)]),
+    ("ethene", "C=C", [(1, 2, 6, 0, 2, 0, 0)] * 2),
+    ("acetylene", "C#C", [(1, 3, 6, 0, 1, 0, 0)] * 2),
+    ("benzene", "c1ccccc1", [_C_AROM] * 6),
+    ("pyridine", "c1ccncc1", [_C_AROM, _C_AROM, _C_AROM,
+                              (2, 2, 7, 0, 0, 1, 1),  # aromatic N, no H
+                              _C_AROM, _C_AROM]),
+    ("phenol", "Oc1ccccc1", [(1, 1, 8, 0, 1, 0, 0),
+                             (3, 3, 6, 0, 0, 1, 1),  # ipso carbon
+                             _C_AROM, _C_AROM, _C_AROM, _C_AROM, _C_AROM]),
+    ("acetic acid", "CC(=O)O", [(1, 1, 6, 0, 3, 0, 0),
+                                (3, 4, 6, 0, 0, 0, 0),  # carboxyl C
+                                (1, 2, 8, 0, 0, 0, 0),  # carbonyl O
+                                (1, 1, 8, 0, 1, 0, 0)]),  # hydroxyl O
+    ("ammonium", "[NH4+]", [(0, 0, 7, 1, 4, 0, 0)]),
+    ("acetate anion", "CC(=O)[O-]", [(1, 1, 6, 0, 3, 0, 0),
+                                     (3, 4, 6, 0, 0, 0, 0),
+                                     (1, 2, 8, 0, 0, 0, 0),
+                                     (1, 1, 8, 255, 0, 0, 0)]),
+    ("cyclohexane", "C1CCCCC1", [(2, 2, 6, 0, 2, 1, 0)] * 6),
+    ("thiophene S", "c1ccsc1", None),  # spot-check S below
+]
+
+
+def test_golden_invariants():
+    for name, smi, expected in GOLDEN_INVARIANTS:
+        if expected is None:
+            continue
+        got = initial_invariant_tuples(parse_smiles(smi))
+        assert got == expected, f"{name}: {got} != {expected}"
+
+
+def test_golden_invariants_heteroaromatics():
+    # aromatic S keeps its lowest valence class: no H on thiophene S
+    thio = initial_invariant_tuples(parse_smiles("c1ccsc1"))
+    assert thio[3] == (2, 2, 16, 0, 0, 1, 1)
+    # pyrrole-type N carries its H; written form requires [nH]
+    pyrrole = initial_invariant_tuples(parse_smiles("c1cc[nH]c1"))
+    assert pyrrole[3] == (2, 2, 7, 0, 1, 1, 1)
+    furan = initial_invariant_tuples(parse_smiles("c1ccoc1"))
+    assert furan[3] == (2, 2, 8, 0, 0, 1, 1)
+
+
+def test_golden_distinct_environment_counts():
+    """ECFP bit counts == number of distinct circular environments, derived
+    by hand. Pyridine: round 0 has {C, N} = 2; round 1 adds {N(cc), C2/C6
+    (Nc), C3/C5/C4 (cc)} = 3; round 2 splits C3/C5 from C4 = 4. Benzene:
+    one environment per round. Ethanol r2 environments dedup against r1
+    (the whole molecule was already seen as C2's r1 environment)."""
+    cases = [
+        ("c1ccccc1", [1, 2, 3]),
+        ("c1ccncc1", [2, 5, 9]),
+        ("CCO", [3, 6, 6]),
+        ("C", [1, 1, 1]),  # no neighbors: no new environments after r0
+    ]
+    for smi, counts in cases:
+        for r, want in enumerate(counts):
+            got = int(morgan_fingerprint(smi, radius=r).sum())
+            assert got == want, (smi, r, got, want)
+
+
+KEKULE_PAIRS = [
+    ("benzene", "c1ccccc1", "C1=CC=CC=C1"),
+    ("pyridine", "c1ccncc1", "C1=CC=NC=C1"),
+    ("pyrrole", "c1cc[nH]c1", "C1=CC=CN1"),
+    ("furan", "c1ccoc1", "C1=CC=CO1"),
+    ("thiophene", "c1ccsc1", "C1=CC=CS1"),
+    ("imidazole", "c1c[nH]cn1", "C1=CN=CN1"),
+    ("naphthalene", "c1ccc2ccccc2c1", "C1=CC=C2C=CC=CC2=C1"),
+    ("toluene", "Cc1ccccc1", "CC1=CC=CC=C1"),
+    ("benzothiophene", "c1ccc2sccc2c1", "C1=CC=C2SC=CC2=C1"),
+    ("styrene", "C=Cc1ccccc1", "C=CC1=CC=CC=C1"),
+]
+
+
+def test_kekulized_equals_aromatic():
+    """Aromatic-written and kekulized SMILES of the same ring system must
+    fingerprint identically (RDKit re-perceives aromaticity; VERDICT r3
+    item 7 asks for the same invariance here)."""
+    for name, arom, kek in KEKULE_PAIRS:
+        fa, fk = morgan_fingerprint(arom), morgan_fingerprint(kek)
+        np.testing.assert_array_equal(fa, fk, err_msg=name)
+
+
+def test_antiaromatic_and_saturated_not_perceived():
+    for smi in ["C1=CC=CCC1",        # cyclohexadiene: sp3 carbons
+                "O=C1C=CC(=O)C=C1",  # quinone: exocyclic C=O, 4 pi
+                "C1CCCCC1",          # cyclohexane
+                "C1=CC=C1"]:         # cyclobutadiene: 4n
+        m = parse_smiles(smi)
+        assert not any(a.aromatic for a in m.atoms), smi
