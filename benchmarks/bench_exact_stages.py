@@ -91,6 +91,16 @@ def main(argv=None) -> int:
     ap.add_argument("--probe-csize", type=int, default=None,
                     help="probe cluster size (default: --col-block)")
     ap.add_argument("--probe-sample", type=int, default=16)
+    ap.add_argument("--probe-granularity", choices=["qblock", "cluster"],
+                    default="qblock",
+                    help="probe-list granularity: per dispatched q-block "
+                         "(finer coverage, default) or per cluster (the "
+                         "r3 form)")
+    ap.add_argument("--probe-width", type=int, default=None,
+                    help="pad probe lists to this width with dead "
+                         "clusters so a recall sweep over --probes "
+                         "reuses ONE remote compile; scan time reflects "
+                         "the padded width — never use for throughput")
     ap.add_argument("--symm", choices=["auto", "sort", "two_pass",
                                        "chunked", "spanned"],
                     default="auto",
@@ -194,7 +204,9 @@ def main(argv=None) -> int:
                 bucket=args.bucket, interpret=False, probes=p,
                 probe_sample=args.probe_sample, seed=1,
                 pairs_per_dispatch=ex.PAIRS_PER_DISPATCH,
-                bucket_opts=b_opts), runs=2)
+                bucket_opts=b_opts,
+                probe_granularity=args.probe_granularity,
+                probe_width=args.probe_width), runs=2)
         results[f"allpairs_probed{p}"] = dt
         log(f"allpairs (probed p={p}, csize={csz}): {dt:.2f}s")
 
@@ -264,7 +276,9 @@ def main(argv=None) -> int:
                    q_block=args.q_block, col_block=args.col_block,
                    sel_block=args.sel_block, probes=args.probes,
                    probe_csize=args.probe_csize,
-                   probe_sample=args.probe_sample)
+                   probe_sample=args.probe_sample,
+                   probe_granularity=args.probe_granularity,
+                   probe_width=args.probe_width)
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)

@@ -284,18 +284,24 @@ def _make_one_qblock_probed(packed_cl, perm_cl, scan_cols, k: int,
     ``packed_cl`` is the cluster-contiguous copy of the layer rows,
     ``perm_cl[p]`` the layer id at permuted position ``p`` (−1 pads), and
     candidate ids carried through the merges are permuted positions
-    (mapped back by the caller). ``scan_cols[c]`` lists cluster ``c``'s
-    probe targets ascending (−1 pads skipped via masking)."""
+    (mapped back by the caller). ``scan_cols`` holds the probe targets
+    ascending (−1 pads skipped via masking) — one row per CLUSTER
+    (cluster_probes) or one row per Q-BLOCK (qblock_probes), told apart
+    by the row count."""
     n_tot, w = packed_cl.shape
     qpc = csize // q_block
+    nq = n_tot // q_block
     p = scan_cols.shape[1]
+    # per-qblock lists index directly; per-cluster lists by qi // qpc.
+    # (nq == n_tot//csize only when csize == q_block, where they agree.)
+    sdiv = 1 if scan_cols.shape[0] == nq else qpc
     b_approx, b_qt, b_nt = bucket_opts or (False, None, None)
 
     def one_qblock(qi):
         q = jax.lax.dynamic_slice(packed_cl, (qi * q_block, 0),
                                   (q_block, w))
         q_pos = qi * q_block + jnp.arange(q_block, dtype=jnp.int32)
-        cols = jax.lax.dynamic_slice(scan_cols, (qi // qpc, 0), (1, p))[0]
+        cols = jax.lax.dynamic_slice(scan_cols, (qi // sdiv, 0), (1, p))[0]
 
         def body(carry, ci):
             best_d, best_i = carry
@@ -386,7 +392,9 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
                           seed: int, pairs_per_dispatch: float,
                           bucket_opts: tuple | None = None,
                           packed_host: np.ndarray | None = None,
-                          mesh=None, mesh_axis: str = "graph"):
+                          mesh=None, mesh_axis: str = "graph",
+                          probe_granularity: str = "qblock",
+                          probe_width: int | None = None):
     """Cluster-probed top-k: the subquadratic form of
     :func:`_allpairs_topk_chunked`.
 
@@ -400,8 +408,18 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
     probed set*; quality is governed by ``probes`` (recall measurements
     in BENCHMARKS.md). Same return convention as the exact driver:
     ([n_pad, k] dists, [n_pad, k] layer ids), ascending, −1/INF pads.
+
+    ``probe_granularity``: "qblock" (default) computes one probe list per
+    dispatched q-block (:func:`rad_tpu.build.probe.qblock_probes` —
+    strictly finer coverage at equal scan cost), "cluster" one per
+    cluster. ``probe_width`` pads the probe lists to a fixed width with
+    −1 (masked, still scanned as dead iterations): lets recall sweeps
+    over ``probes`` reuse ONE remote compile, at the cost of scanning
+    ``probe_width`` clusters' worth of kernel time — use only for
+    sweeps, never for throughput numbers.
     """
-    from rad_tpu.build.probe import bisect_clusters, cluster_probes
+    from rad_tpu.build.probe import (bisect_clusters, cluster_probes,
+                                     qblock_probes)
 
     n_pad, w = packed_l.shape
     if csize % q_block:
@@ -413,9 +431,25 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
         packed_host = np.asarray(packed_l[:n_real])
     perm = bisect_clusters(packed_host, csize, seed=seed,
                            dev_rows=packed_l)
-    probe_tab = cluster_probes(packed_host, perm, csize, probes,
-                               sample=probe_sample, seed=seed + 1,
-                               use_pallas=use_pallas, interpret=interpret)
+    if probe_granularity == "qblock":
+        probe_tab = qblock_probes(packed_host, perm, csize, q_block,
+                                  probes, sample=probe_sample,
+                                  seed=seed + 1, use_pallas=use_pallas,
+                                  interpret=interpret)
+    elif probe_granularity == "cluster":
+        probe_tab = cluster_probes(packed_host, perm, csize, probes,
+                                   sample=probe_sample, seed=seed + 1,
+                                   use_pallas=use_pallas,
+                                   interpret=interpret)
+    else:
+        raise ValueError(
+            f"unknown probe_granularity {probe_granularity!r}")
+    if probe_width is not None and probe_width > probe_tab.shape[1]:
+        probe_tab = np.concatenate(
+            [probe_tab,
+             np.full((probe_tab.shape[0],
+                      probe_width - probe_tab.shape[1]), -1, np.int32)],
+            axis=1)
     c = perm.size // csize
     n_tot = c * csize
     perm_cl = jnp.asarray(perm)
@@ -823,6 +857,8 @@ def build_hnsw_exact(
     probes: int | None = None,
     probe_csize: int | None = None,
     probe_sample: int = 16,
+    probe_granularity: str = "qblock",
+    probe_width: int | None = None,
     interpret: bool = False,
     mesh=None,
     mesh_axis: str = "graph",
@@ -877,6 +913,11 @@ def build_hnsw_exact(
     are exact within the probed set; ``None`` (default) keeps the fully
     exact candidate stage. Layers too small to profit (fewer than
     4×``probes`` clusters) keep the exact stage automatically.
+    ``probe_granularity`` ("qblock" default / "cluster") sets whether
+    each dispatched q-block picks its own probe list or inherits its
+    cluster's (qblock is strictly finer coverage at equal cost);
+    ``probe_width`` pads probe lists to a fixed width so recall sweeps
+    over ``probes`` share one compile (see _allpairs_topk_probed).
 
     ``mesh`` (a 1-D :class:`jax.sharding.Mesh` with axis ``mesh_axis``)
     distributes the build: every big layer's three stages run sharded
@@ -1025,7 +1066,9 @@ def build_hnsw_exact(
                 pairs_per_dispatch=pairs_per_dispatch,
                 bucket_opts=b_opts, packed_host=packed[:n_l],
                 mesh=mesh if sharded_layer else None,
-                mesh_axis=mesh_axis)
+                mesh_axis=mesh_axis,
+                probe_granularity=probe_granularity,
+                probe_width=probe_width)
         elif sharded_layer:
             from rad_tpu.build.exact_sharded import allpairs_topk_sharded
             cand_d, cand_id = allpairs_topk_sharded(

@@ -51,7 +51,7 @@ from rad_tpu.fp.pack import popcount
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["bisect_clusters", "cluster_probes"]
+__all__ = ["bisect_clusters", "cluster_probes", "qblock_probes"]
 
 
 @jax.jit
@@ -210,10 +210,110 @@ def cluster_probes(packed: np.ndarray, perm: np.ndarray, csize: int,
     dcc[empty, :] = np.inf
     dcc[:, empty] = np.inf
     np.fill_diagonal(dcc, -1.0)  # self is always the first probe
-    order = np.argsort(dcc, axis=1, kind="stable")[:, :probes]
-    chosen_d = np.take_along_axis(dcc, order, axis=1)
+    return _probe_lists(dcc, probes)
+
+
+def _probe_lists(dmat: np.ndarray, probes: int) -> np.ndarray:
+    """Top-``probes`` ascending-id probe lists from a proximity matrix
+    (rows = scanning groups, cols = clusters; inf = never probe)."""
+    order = np.argsort(dmat, axis=1, kind="stable")[:, :probes]
+    chosen_d = np.take_along_axis(dmat, order, axis=1)
     out = np.where(np.isfinite(chosen_d), order, -1).astype(np.int32)
     # ascending cluster id per row (−1 pads last) → deterministic merges
     key = np.where(out >= 0, out, np.iinfo(np.int32).max)
     out = np.sort(key, axis=1)
     return np.where(out == np.iinfo(np.int32).max, -1, out).astype(np.int32)
+
+
+def qblock_probes(packed: np.ndarray, perm: np.ndarray, csize: int,
+                  q_block: int, probes: int, sample: int = 16,
+                  seed: int = 0, use_pallas: bool = False,
+                  interpret: bool = False) -> np.ndarray:
+    """Per-QUERY-BLOCK probe lists: the finer-grained form of
+    :func:`cluster_probes` (VERDICT r3 item 3 — closing the probed-build
+    recall gap).
+
+    With per-cluster lists, every query in a cluster scans the same
+    ``probes`` clusters, so queries sitting near a cluster boundary lose
+    the neighbors that live just across a boundary their cluster's list
+    does not cover. Here each ``q_block``-row scan group (the granularity
+    the probed driver actually dispatches) picks its own ``probes``
+    nearest clusters by MIN distance from ``sample`` of its own members
+    to each cluster's sampled members — same scan cost at equal
+    ``probes``, strictly finer coverage (at ``csize == q_block`` the two
+    coincide). The group's own cluster is always its first probe.
+
+    Returns [NQ, probes] int32, ascending cluster ids, −1-padded, where
+    ``NQ = perm.size // q_block``. Extra device cost is one sampled
+    [NQ·sample, C·sample] distance sweep — trivial MXU work, chunked to
+    bounded blocks like :func:`cluster_probes`.
+    """
+    n, w = packed.shape
+    c = perm.size // csize
+    nq = perm.size // q_block
+    qpc = csize // q_block
+    probes = min(probes, c)
+    rng = np.random.default_rng(seed)
+
+    # db side: per-cluster sampled reps (same convention as cluster_probes)
+    reps = np.zeros((c, sample, w), np.uint32)
+    empty = np.zeros(c, np.bool_)
+    for ci in range(c):
+        members = perm[ci * csize:(ci + 1) * csize]
+        real = members[members >= 0]
+        if real.size == 0:
+            empty[ci] = True
+            continue
+        take = rng.choice(real.size, size=sample, replace=real.size < sample)
+        reps[ci] = packed[real[take]]
+    nr = c * sample
+    pad = ((-nr) % 1024) if use_pallas else 0
+    flat = jnp.asarray(np.concatenate(
+        [reps.reshape(nr, w), np.zeros((pad, w), np.uint32)])
+        if pad else reps.reshape(nr, w))
+
+    # query side: per-q-block sampled reps. At q_block == csize the scan
+    # groups ARE the clusters — reuse the same reps so the lists coincide
+    # exactly with cluster_probes (pinned by tests/test_build_probe.py)
+    if q_block == csize:
+        qreps, qempty = reps, empty
+    else:
+        qreps = np.zeros((nq, sample, w), np.uint32)
+        qempty = np.zeros(nq, np.bool_)
+        for qi in range(nq):
+            members = perm[qi * q_block:(qi + 1) * q_block]
+            real = members[members >= 0]
+            if real.size == 0:
+                qempty[qi] = True
+                continue
+            take = rng.choice(real.size, size=sample,
+                              replace=real.size < sample)
+            qreps[qi] = packed[real[take]]
+    qflat = jnp.asarray(qreps.reshape(nq * sample, w))
+
+    qcb = max(1, min(nq, (1 << 26) // max(nr, 1) // sample))
+    dqc = np.empty((nq, c), np.float32)
+    for q0 in range(0, nq, qcb):
+        q0c = min(q0, nq - qcb)  # fixed shape; overlap re-computes
+        q = jax.lax.dynamic_slice(qflat, (q0c * sample, 0),
+                                  (qcb * sample, w))
+        q_tile = next((t for t in (512, 256, 128, 64, 32, 16, 8)
+                       if q.shape[0] % t == 0), None)
+        if use_pallas and q_tile:
+            from rad_tpu.fp.kernels import tanimoto_matrix_pallas
+            d = tanimoto_matrix_pallas(
+                q, flat, q_tile=q_tile,
+                n_tile=min(1024, flat.shape[0]),
+                interpret=interpret)[:, :nr]
+        else:
+            from rad_tpu.fp.tanimoto import tanimoto_matrix
+            d = tanimoto_matrix(q, flat[:nr])
+        blk = np.array(jnp.min(
+            d.reshape(qcb, sample, c, sample), axis=(1, 3)))
+        dqc[q0c:q0c + qcb] = blk
+    dqc[qempty, :] = np.inf
+    dqc[:, empty] = np.inf
+    own = np.arange(nq) // qpc
+    live_q = ~qempty & ~empty[own]
+    dqc[np.flatnonzero(live_q), own[live_q]] = -1.0  # own cluster first
+    return _probe_lists(dqc, probes)

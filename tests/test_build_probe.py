@@ -239,3 +239,76 @@ def test_cluster_probes_matches_dense_oracle(fps):
     order = np.argsort(dcc, axis=1, kind="stable")[:, :probes]
     expect = np.sort(order, axis=1)
     assert np.array_equal(tab, expect)
+
+
+def test_qblock_probes_shape_and_self(fps):
+    from rad_tpu.build.probe import qblock_probes
+
+    csize, qb = 256, 128
+    perm = bisect_clusters(fps, csize, seed=2)
+    nq = perm.size // qb
+    tab = qblock_probes(fps, perm, csize, qb, probes=5, sample=8, seed=7)
+    assert tab.shape == (nq, 5)
+    qpc = csize // qb
+    for qi in range(nq):
+        if np.any(perm[qi * qb:(qi + 1) * qb] >= 0):
+            assert qi // qpc in tab[qi].tolist()  # own cluster present
+        row = tab[qi]
+        live = row[row >= 0]
+        assert np.array_equal(live, np.sort(live))  # ascending scan order
+
+
+def test_qblock_probes_equal_cluster_when_csize_is_qblock(fps):
+    """At csize == q_block the two granularities sample the same groups;
+    probe lists coincide given the same seed."""
+    from rad_tpu.build.probe import qblock_probes
+
+    csize = 256
+    perm = bisect_clusters(fps, csize, seed=2)
+    a = cluster_probes(fps, perm, csize, probes=4, sample=8, seed=9)
+    b = qblock_probes(fps, perm, csize, csize, probes=4, sample=8, seed=9)
+    assert np.array_equal(a, b)
+
+
+def test_qblock_granularity_candidate_recall_not_worse(fps):
+    """Per-q-block probe lists must not lose candidate recall vs
+    per-cluster lists at equal probes (they are strictly finer)."""
+    import jax.numpy as jnp
+
+    n = 2048
+    sub = np.ascontiguousarray(fps[:n])
+    packed_l = jnp.asarray(sub)
+    k, qb, csz = 16, 128, 256              # 8 clusters, 2 qblocks each
+    d_t, i_t = bruteforce_topk(packed_l, packed_l, k + 1)
+    i_t = np.asarray(i_t)
+
+    def cand_recall(gran, p):
+        _, i_pr = ex._allpairs_topk_probed(
+            packed_l, n, k, qb, csz, use_pallas=False,
+            approx_recall=None, bucket=None, interpret=False, probes=p,
+            probe_sample=8, seed=0,
+            pairs_per_dispatch=ex.PAIRS_PER_DISPATCH,
+            probe_granularity=gran)
+        i_pr = np.asarray(i_pr)
+        hits = tot = 0
+        for q in range(n):
+            truth = [j for j in i_t[q] if j != q][:8]
+            hits += len(set(truth) & set(i_pr[q].tolist()))
+            tot += len(truth)
+        return hits / tot
+
+    r_cl = cand_recall("cluster", 3)
+    r_qb = cand_recall("qblock", 3)
+    assert r_qb >= r_cl - 0.01, f"qblock {r_qb:.3f} < cluster {r_cl:.3f}"
+
+
+def test_probe_width_padding_is_bitidentical(fps):
+    """probe_width pads the scan with dead (-1) clusters: results must be
+    bit-identical to the unpadded run (only compile shape changes)."""
+    g1 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
+                          probe_csize=128, q_block=128, col_block=128)
+    g2 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
+                          probe_csize=128, q_block=128, col_block=128,
+                          probe_width=12)
+    for a, b in zip(g1.neighbors, g2.neighbors):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
