@@ -8,10 +8,12 @@ with strict oracle-budget accounting (the reference's "modern ML models
 
 import sys
 from pathlib import Path
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 
+@pytest.mark.slow
 def test_active_learning_enriches(capsys):
     from active_learning import main
 

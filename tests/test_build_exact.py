@@ -54,6 +54,7 @@ def test_structure_valid(exact_graph):
     assert (np.diff(lv) <= 0).all()
 
 
+@pytest.mark.slow
 def test_recall_parity_with_host_builder(fps, exact_graph):
     host = build_hnsw(fps, connectivity=8, expansion_add=64, seed=3)
     rng = np.random.default_rng(5)
@@ -186,6 +187,7 @@ def test_int64_keys_preserved():
     assert int(np.asarray(g.keys)[nid]) == int(big[7])
 
 
+@pytest.mark.slow
 def test_symmetrize_modes_identical(fps):
     """The compile-fallback symmetrizations — two-pass (lexsort-decomposed
     stable sorts) and chunked (column-chunked small sorts + row-wise
@@ -280,6 +282,7 @@ def test_merge_topk_matches_lax_topk_on_ties():
     np.testing.assert_array_equal(np.asarray(si), np.asarray(ref_i))
 
 
+@pytest.mark.slow
 def test_symmetrize_spanned_identical(fps):
     """The host-dispatched row-span fold (the >=10M-node symmetrization)
     is bit-identical to the fused 3-key sort — several edge budgets,
@@ -311,6 +314,7 @@ def test_symmetrize_spanned_identical(fps):
         np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
 
 
+@pytest.mark.slow
 def test_select_chunked_identical(fps):
     """The host-chunked selection driver is bit-identical to the
     one-program form, including the overlapping tail span."""

@@ -160,6 +160,7 @@ def test_probed_allpairs_candidate_recall(fps):
     assert r8 > r4, "recall must improve with probes"
 
 
+@pytest.mark.slow
 def test_probed_build_quality(fps):
     """Full build with probes= on clustered data: search recall within a
     small delta of the exact build's."""

@@ -48,12 +48,14 @@ def _assert_graphs_equal(ga, gb):
             err_msg=f"layer {l} adjacency differs")
 
 
+@pytest.mark.slow
 def test_sharded_build_bit_identical(fps, mesh8):
     g_single = build_hnsw_exact(fps, **BUILD_KW)
     g_mesh = build_hnsw_exact(fps, mesh=mesh8, **BUILD_KW)
     _assert_graphs_equal(g_single, g_mesh)
 
 
+@pytest.mark.slow
 def test_sharded_probed_build_bit_identical(fps, mesh8):
     kw = dict(BUILD_KW, probes=3, probe_csize=256)
     g_single = build_hnsw_exact(fps, **kw)
@@ -61,6 +63,7 @@ def test_sharded_probed_build_bit_identical(fps, mesh8):
     _assert_graphs_equal(g_single, g_mesh)
 
 
+@pytest.mark.slow
 def test_sharded_build_small_library_falls_back(mesh8):
     # n < the mesh padding unit: every layer keeps the single-device
     # path; mesh= must still produce the identical graph
@@ -70,6 +73,7 @@ def test_sharded_build_small_library_falls_back(mesh8):
     _assert_graphs_equal(g_single, g_mesh)
 
 
+@pytest.mark.slow
 def test_symmetrize_sharded_matches_global_sort(mesh8):
     # direct driver check against the single-sort oracle, with mutual
     # selections (the cross-device (dst, src) duplicate case) guaranteed

@@ -14,6 +14,7 @@ SCRIPT = os.path.join(ROOT, "examples", "dudez_workflow.py")
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_dudez_workflow_headline(tmp_path):
     out = tmp_path / "dudez.json"
     env = dict(os.environ, PYTHONPATH=ROOT, JAX_PLATFORMS="cpu",
@@ -36,6 +37,7 @@ def test_dudez_workflow_headline(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_dudez_workflow_morgan_chemistry(tmp_path):
     """Real-chemistry mode: combinatorial drug-like SMILES + in-tree
     Morgan/ECFP fingerprints reproduce the enrichment behavior (VERDICT r2
@@ -57,6 +59,7 @@ def test_dudez_workflow_morgan_chemistry(tmp_path):
     assert curve[0.10] > 3 * 0.10, curve
 
 
+@pytest.mark.slow
 def test_dudez_workflow_real_data_files(tmp_path):
     """The --smiles-file/--scores-file real-data path runs end-to-end
     without RDKit (falls back to the in-tree Morgan/ECFP) — README's

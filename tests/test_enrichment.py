@@ -10,8 +10,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 from enrichment_example import make_library, run_enrichment  # noqa: E402
+import pytest
 
 
+@pytest.mark.slow
 def test_enrichment_beats_random():
     res = run_enrichment(n=2000, n_bits=256, frac_score=0.1,
                          connectivity=8, expansion_add=48, n_top=50,

@@ -48,6 +48,7 @@ def _run(graph, target, frontier_capacity, n_to_score, buffer_capacity=256):
     return state
 
 
+@pytest.mark.slow
 def test_auto_capacity_never_drops(built):
     graph, target = built
     dg = dev.prepare_device_graph(graph)

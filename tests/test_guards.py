@@ -108,6 +108,7 @@ def test_traverser_rejects_unknown_engine_kwargs():
         tr.shutdown()
 
 
+@pytest.mark.slow
 def test_sharded_multi_batch_guard_fires(monkeypatch):
     """The pod multi-campaign step enforces the same small-batch hazard
     guard as the single-chip multi engine — make_sharded_step_multi must

@@ -74,6 +74,7 @@ def test_incremental_recall_parity(inc_graph, fps):
     assert r_inc >= r_mono - 0.05, f"rebuild={r_mono} incremental={r_inc}"
 
 
+@pytest.mark.slow
 def test_incremental_deterministic(fps):
     base = build_hnsw(fps[:200], connectivity=6, expansion_add=24, seed=3)
     kw = dict(new_keys=np.arange(200, 260), expansion_add=24, seed=9,

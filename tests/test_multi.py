@@ -143,6 +143,7 @@ def test_batch_depth_guidance_property(setup):
     assert deep >= 10, deep
 
 
+@pytest.mark.slow
 def test_multi_two_level_same_scored_set(setup):
     """Two-level multi (scalar-lifted refill) scores the same SET as the
     single-level multi at a lossless frontier — only equal-score pop
@@ -171,6 +172,7 @@ def test_multi_two_level_same_scored_set(setup):
         assert int(a.n_scored) == int(b.n_scored)
 
 
+@pytest.mark.slow
 def test_multi_campaign_packed_adjacency_bit_identical(setup):
     """The vmapped multi-campaign engine over a PACKED (grouped bit-field)
     adjacency table ends bit-identical to the int32 run — the packed

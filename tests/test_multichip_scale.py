@@ -16,6 +16,7 @@ import pytest
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n_devices", [16, 32])
 def test_dryrun_wide_mesh(n_devices):
     env = dict(os.environ)

@@ -112,6 +112,7 @@ CHILD = textwrap.dedent("""
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_two_process_global_mesh(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -270,6 +270,7 @@ def test_sharded_search_2d_matches_1d(built):
     assert np.asarray(i2)[:, 0].tolist() == list(range(16))
 
 
+@pytest.mark.slow
 def test_traffic_counters_match_host_recount(mesh, built):
     """traffic=True instrumentation (hub-imbalance probe, SURVEY §7 hard
     part 6): per-shard counts must equal a host recount from the
@@ -387,6 +388,7 @@ def test_traffic_counters_fully_sharded(mesh, built):
     np.testing.assert_array_equal(m_r.fp_rows, m_f.fp_rows)
 
 
+@pytest.mark.slow
 def test_multi_campaign_pod_matches_solo_pod(mesh, built):
     """Multi-campaign x pod composition: each vmapped campaign over the
     sharded graph ends bit-identical to its own solo sharded run at the
@@ -441,6 +443,7 @@ def test_multi_campaign_pod_matches_solo_pod(mesh, built):
                                    np.asarray(st.scores), atol=0)
 
 
+@pytest.mark.slow
 def test_packed_adjacency_pod_bit_identical(mesh, built):
     """Packed sharded adjacency (shard_graph packed_adjacency=True): the
     replicated-state pod step, the fully-state-sharded step, and the

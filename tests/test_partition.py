@@ -86,6 +86,7 @@ def test_partitioned_stitch_creates_cross_shard_edges(part_graph):
         assert frac > 0.15, f"layer {l}: cross-shard edge fraction {frac}"
 
 
+@pytest.mark.slow
 def test_partitioned_recall_parity(part_graph, fps):
     queries = random_fingerprints(24, n_bits=256, density=0.2, seed=71)
     mono = build_hnsw(fps, connectivity=8, expansion_add=48, seed=3)
@@ -96,6 +97,7 @@ def test_partitioned_recall_parity(part_graph, fps):
     assert r_part >= 0.9
 
 
+@pytest.mark.slow
 def test_partitioned_deterministic(fps):
     kw = dict(n_shards=3, connectivity=6, expansion_add=24, seed=9,
               builder="host")
@@ -114,6 +116,7 @@ def test_partitioned_single_shard_is_monolithic(fps):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_partitioned_topk_merge_mode(fps):
     """heuristic=False (plain distance-top-cap merge) also yields a usable
     graph."""
@@ -132,6 +135,7 @@ def test_partitioned_tiny_and_clamped_shards():
     assert (np.asarray(g.neighbors[0]) >= 0).any()
 
 
+@pytest.mark.slow
 def test_partitioned_custom_keys(fps):
     keys = (np.arange(200) * 7 + 3).astype(np.int64)
     g = build_hnsw_partitioned(fps[:200], keys=keys, n_shards=2,
@@ -144,6 +148,7 @@ def test_partitioned_custom_keys(fps):
     np.testing.assert_array_equal(got, [keys[0], keys[137]])
 
 
+@pytest.mark.slow
 def test_partitioned_exact_builder(fps):
     """builder='exact' (the MXU all-pairs shard builder): valid stitched
     graph at recall parity with the host-built partition."""
@@ -155,6 +160,7 @@ def test_partitioned_exact_builder(fps):
     assert r >= 0.9, r
 
 
+@pytest.mark.slow
 def test_partitioned_exact_probed_builder():
     """builder_kwargs forwards probes= to the exact shard builds: the
     subquadratic cluster-probed candidate stage composes with the stitch

@@ -48,6 +48,7 @@ def _run_single(graph, n_to_score, batch=16):
     return dt
 
 
+@pytest.mark.slow
 def test_pod_host_scoring_bit_identical(mesh, built):
     n_to_score = 300
     dt = _run_single(built, n_to_score)
@@ -86,6 +87,7 @@ def test_pod_host_scoring_pipelined_set_agrees(mesh, built):
     pt.shutdown()
 
 
+@pytest.mark.slow
 def test_pod_host_scoring_sharded_state_agrees(mesh, built):
     """Billion-scale layout (scored/scores/enqueued row-sharded) produces
     the same scored set as the replicated layout."""
@@ -140,6 +142,7 @@ def test_pod_deployment_mode_via_radtraverser(mesh, built):
     t.shutdown()
 
 
+@pytest.mark.slow
 def test_pod_checkpoint_resume(mesh, built, tmp_path):
     a = PodTraverser(built, scoring_fn=scoring_fn, mesh=mesh, batch_size=16)
     a.prime()

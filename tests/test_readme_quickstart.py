@@ -3,8 +3,10 @@
 import os
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_readme_quickstart(tmp_path):
     from rad_tpu import HNSWIndex, create_local_traverser
     from rad_tpu.store import SQLiteSmilesStore, create_smiles_db

@@ -46,6 +46,7 @@ def test_device_graph_generator_invariants():
         assert (rows[:, cap:] == -1).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["hash", "id", "fps"])
 def test_bench_scale_runs(mode, capsys):
     from bench_scale import main
@@ -59,6 +60,7 @@ def test_bench_scale_runs(mode, capsys):
     assert out["value"] > 0
 
 
+@pytest.mark.slow
 def test_bench_scale_packed_adj_runs(capsys):
     """--packed-adj: grouped bit-field generation + id-mode run (the
     past-180M config) at toy size, including --no-score-table."""

@@ -65,6 +65,7 @@ def test_device_matches_host_oracle_quality(built):
                float(np.mean(d_host))) < 0.02
 
 
+@pytest.mark.slow
 def test_prefix_filter_recall_and_degenerate_equivalence():
     """Two-stage prefix screen: keep=all is set-equivalent to the baseline
     search (the filter only reorders the candidate wave), and a 128-bit/
@@ -108,6 +109,7 @@ def test_prefix_filter_recall_and_degenerate_equivalence():
     assert overlap >= 0.9, f"prefix-filtered overlap with baseline {overlap}"
 
 
+@pytest.mark.slow
 def test_search_device_packed_adjacency_identical():
     """search_device(packed_adjacency=True) walks the grouped bit-field
     table and must return exactly the int32 search's results."""

@@ -83,6 +83,7 @@ def test_spilled_log_read_slicing(tmp_path):
     assert SpilledOrderLog().read().size == 0
 
 
+@pytest.mark.slow
 def test_pod_spill_on_device_scorer(setup):
     from rad_tpu.parallel.pod import PodTraverser
 

@@ -305,6 +305,7 @@ def test_device_prime_required(setup):
     tr.shutdown()
 
 
+@pytest.mark.slow
 def test_order_log_incremental_drain():
     """read_order_log_since: a host polling between steps reconstructs the
     complete insertion order even when total scored exceeds the ring."""
@@ -349,6 +350,7 @@ def test_order_log_incremental_drain():
         dev.read_order_log_since(state, 0)
 
 
+@pytest.mark.slow
 def test_frontier_live_counter_matches_scan():
     """The O(1) f_live counter is the termination signal; it must agree
     with the O(C) recount after prime, every step, and across merges."""
@@ -426,6 +428,7 @@ def test_prime_insert_if_absent():
                                   np.asarray(ref.f_row))
 
 
+@pytest.mark.slow
 def test_prime_midrun_two_level_invariant():
     """A mid-run prime on a two-level frontier folds the append buffer
     into the re-sort (review r3s9): afterwards the buffer is empty and

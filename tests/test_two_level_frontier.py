@@ -59,6 +59,7 @@ def _primed(graph, dg, **kw):
     return dev.prime(state, dg, seeds, seed_scores)
 
 
+@pytest.mark.slow
 def test_two_level_matches_classic_exactly(built):
     dg = dev.prepare_device_graph(built)
 
@@ -82,6 +83,7 @@ def test_two_level_matches_classic_exactly(built):
     assert int(two.f_live) == 0 and int(classic.f_live) == 0
 
 
+@pytest.mark.slow
 def test_two_level_fused_run_agrees_on_scored_set(built):
     """fused_run (on-device Tanimoto scorer, ties possible): the two-level
     sweep must score the same SET of nodes to exhaustion even when
@@ -158,6 +160,7 @@ def test_head_capacity_auto_rule():
     assert forced.f_score.shape[0] == 1 << 18
 
 
+@pytest.mark.slow
 def test_auto_two_level_end_to_end_scored_set_parity(built, monkeypatch):
     """ADVICE r2: exercise the AUTO-enabled two-level path end to end (not
     just explicit small heads) and pin scored-set equality against the

@@ -11,6 +11,8 @@ Pins the properties the beam engines rely on:
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from rad_tpu.search.visited import (hashset_check_insert,
                                     hashset_check_insert_batch,
                                     hashset_init, visited_capacity_for)
@@ -99,6 +101,7 @@ def _built(n=2000):
     return graph, queries
 
 
+@pytest.mark.slow
 def test_search_recall_with_bounded_visited():
     """End-to-end: device search recall with the hash-table visited holds
     against the brute-force top-k (the regime the dense [B,N] visited used
@@ -132,6 +135,7 @@ def test_search_survives_tiny_visited_capacity():
     assert len({tuple(r) for r in ids}) > 1  # not degenerate
 
 
+@pytest.mark.slow
 def test_device_build_hash_path_matches_dense(monkeypatch):
     """Force the builder's hash-visited path at test scale: the built graph
     must deliver the same search recall as the dense-visited build (the
