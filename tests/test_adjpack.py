@@ -75,6 +75,7 @@ def test_pack_numpy_rejects_overflow():
         pack_adjacency_numpy(adj, 8)
 
 
+@pytest.mark.slow
 def test_packed_engine_bit_identical():
     """Full device sweep over a packed DeviceGraph == the int32 engine:
     same scored count, same scores, same discovery order."""
@@ -123,6 +124,7 @@ def test_packed_engine_bit_identical():
                                   np.asarray(b.order_log))
 
 
+@pytest.mark.slow
 def test_driver_packed_adjacency_identical():
     """DeviceTraverser(packed_adjacency=True) — the user-facing knob —
     reproduces the unpacked engine's molecules and discovery order."""

@@ -63,6 +63,7 @@ def test_device_build_recall(fps, dev_graph):
     assert recall >= 0.8, f"device-built recall@10 = {recall}"
 
 
+@pytest.mark.slow
 def test_device_build_comparable_to_host(fps):
     """Device-built graph recall within a reasonable gap of the host
     (sequential, heuristic-exact) builder."""
@@ -93,6 +94,7 @@ def test_device_build_comparable_to_host(fps):
     assert r_dev >= r_host - 0.05, f"host={r_host} device={r_dev}"
 
 
+@pytest.mark.slow
 def test_device_build_deterministic(fps):
     g1 = build_hnsw_device(fps[:200], connectivity=6, expansion_add=24,
                            seed=9, batch_size=32)

@@ -112,6 +112,7 @@ def test_index_backend(fps):
     assert np.allclose(np.asarray(d)[:, 0], 0.0)
 
 
+@pytest.mark.slow
 def test_bucket_reduction_recall_parity(fps):
     """Fused bucket reduction (Pallas interpret): recall within noise of
     the approx_max_k path at the same parameters."""

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from rad_tpu.build.reference import build_hnsw
 from rad_tpu.fp import random_fingerprints, tanimoto_matrix
 from rad_tpu.search.knn import search_device
+import pytest
 
 
 def _recall(graph, queries, k=10, ef=96):
@@ -27,6 +28,7 @@ def _recall(graph, queries, k=10, ef=96):
                     for i in range(len(queries))])
 
 
+@pytest.mark.slow
 def test_extend_candidates_valid_and_comparable():
     fps = random_fingerprints(500, n_bits=256, density=0.2, seed=11)
     queries = random_fingerprints(16, n_bits=256, density=0.2, seed=12)

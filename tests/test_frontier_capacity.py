@@ -60,6 +60,7 @@ def test_auto_capacity_never_drops(built):
     assert state.f_score.shape[0] == auto
 
 
+@pytest.mark.slow
 def test_tight_capacity_drops_but_degrades_gracefully(built):
     graph, target = built
     n_top_eval = 100

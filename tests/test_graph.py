@@ -110,6 +110,7 @@ def test_save_load_roundtrip(tmp_path, small_graph):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_search_recall_vs_bruteforce():
     """Graph search must recover most true neighbors (recall oracle,
     BASELINE metric #1)."""

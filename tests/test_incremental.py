@@ -55,6 +55,7 @@ def test_incremental_new_nodes_linked(inc_graph):
     assert new_deg.mean() >= g.connectivity
 
 
+@pytest.mark.slow
 def test_incremental_recall_parity(inc_graph, fps):
     queries = random_fingerprints(24, n_bits=256, density=0.2, seed=71)
 
@@ -92,6 +93,7 @@ def test_incremental_duplicate_key_rejected(fps):
                           new_keys=np.arange(10))  # collide with 0..99
 
 
+@pytest.mark.slow
 def test_index_insert_api(fps):
     idx = HNSWIndex(ndim=256, connectivity=6, expansion_add=24,
                     backend="host", seed=0)

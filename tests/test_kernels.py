@@ -16,6 +16,7 @@ def data():
     return jnp.asarray(q), jnp.asarray(db)
 
 
+@pytest.mark.slow
 def test_matrix_kernel_matches_swar(data):
     q, db = data
     ref = np.asarray(tanimoto_matrix(q, db))

@@ -6,10 +6,12 @@ capability of the reference (ML scoring at scale, reference README.md:206).
 
 import sys
 from pathlib import Path
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 
+@pytest.mark.slow
 def test_mlp_surrogate_traversal_enriches():
     from ml_scorer_example import main
 
@@ -18,6 +20,7 @@ def test_mlp_surrogate_traversal_enriches():
     assert rc == 0  # >=50 of true top-100 found
 
 
+@pytest.mark.slow
 def test_make_device_run_respects_budget():
     import jax.numpy as jnp
     import numpy as np
@@ -47,6 +50,7 @@ def test_make_device_run_respects_budget():
     assert len(set(log.tolist())) == n
 
 
+@pytest.mark.slow
 def test_make_device_run_narrow_width_agrees():
     """narrow_width on the generalized scorer loop: identical scored set,
     order log, and frontier to the full-width run (exhaustive sweep,

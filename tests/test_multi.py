@@ -40,6 +40,7 @@ def _solo(dg, packed, pops, target, t_pop, budget, frontier, buffer):
                          jnp.int32(budget), batch=4)
 
 
+@pytest.mark.slow
 def test_multi_campaign_matches_solo_runs(setup):
     """Each campaign of the batched sweep ends bit-identical to running it
     alone: same scored set, same scores, same insertion order — across
@@ -91,6 +92,7 @@ def test_multi_campaign_budgets_respected(setup):
     assert (n <= np.asarray(budgets) + 4 * dg.m0).all()
 
 
+@pytest.mark.slow
 def test_panel_example_runs_and_recovers(capsys):
     """Anti-rot execution of examples/panel_screening.py + the batch-depth
     property: at batch 8 (tens of guidance rounds) every receptor recovers
@@ -111,6 +113,7 @@ def test_panel_example_runs_and_recovers(capsys):
     assert mean >= 90, out
 
 
+@pytest.mark.slow
 def test_batch_depth_guidance_property(setup):
     """The documented depth trade (docs/ARCHITECTURE.md): a batch that
     compresses the whole budget into ~1 round floods the entry region and

@@ -85,6 +85,7 @@ def test_pod_traverser_lifecycle(mesh, built):
     assert best[0][1] < np.median(all_scores)
 
 
+@pytest.mark.slow
 def test_fully_sharded_state_matches_replicated(mesh, built):
     """Graph AND state sharded (billion-molecule layout) must reproduce the
     replicated-state pod step exactly."""
@@ -200,6 +201,7 @@ def test_sharded_beam_search_matches_single_device(mesh, built):
         np.testing.assert_array_equal(i_sh[b][tie_free], i_ref[b][tie_free])
 
 
+@pytest.mark.slow
 def test_sharded_traversal_matches_single_device(mesh, built):
     """The pod step must produce bit-identical traversal state to the
     single-device fused step."""
@@ -520,6 +522,7 @@ def test_packed_adjacency_pod_bit_identical(mesh, built):
     np.testing.assert_allclose(np.asarray(d_u), np.asarray(d_p), atol=0)
 
 
+@pytest.mark.slow
 def test_shard_graph_streamed_matches_materialized(mesh, built):
     """shard_graph_streamed (per-shard host callbacks, the billion-node
     constructor) produces byte-identical device layout to shard_graph's
