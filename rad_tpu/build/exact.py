@@ -456,6 +456,8 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
     ext = jnp.concatenate([packed_l, jnp.zeros((1, w), jnp.uint32)])
     packed_cl = jnp.take(ext, jnp.where(perm_cl < 0, n_pad, perm_cl),
                          axis=0)
+    np.asarray(packed_cl[-1:, -1:])  # serialize before freeing ext
+    del ext  # [n_pad+1, w]: 1.28 GB dead weight at 10M
     scan_cols = jnp.asarray(probe_tab)
     p = probe_tab.shape[1]
     nq = n_tot // q_block
@@ -1034,8 +1036,10 @@ def build_hnsw_exact(
         # shared compile units (small-layer, big-layer) each keep one k.
         n_pad, qb, cb, sb = _pad_for(n_l)
         k = min(candidates, n_pad)
-        packed_l = dev_packed[:n_pad]
-        pops_l = dev_pops[:n_pad]
+        # layer 0 uses the whole upload: slicing would DUPLICATE the
+        # matrix on device (1.28 GB at 10M) — reuse the buffer instead
+        packed_l = dev_packed if n_pad == n_pad0 else dev_packed[:n_pad]
+        pops_l = dev_pops if n_pad == n_pad0 else dev_pops[:n_pad]
 
         # the fused bucket reduction needs full-size blocks (and only the
         # big layers have a reduction wall to trim)
@@ -1089,6 +1093,12 @@ def build_hnsw_exact(
                                                cand_id, n_l, min(m, cap),
                                                heuristic_k, sb,
                                                mxu_pairs=use_pallas)
+        # candidates are dead past selection — at 10M they are 5.1 GB of
+        # HBM ([n_pad, 64] f32 + i32) that must not overlap the
+        # symmetrization's own ~5 GB working set (measured RE at 10M:
+        # lingering host refs defer the server-side free; CLAUDE.md r3s9)
+        np.asarray(sel[-1:, -1:])  # serialize: frees lag dispatches
+        del cand_d, cand_id
         if sharded_layer:
             from rad_tpu.build.exact_sharded import symmetrize_sharded
             neighbors.append(symmetrize_sharded(
