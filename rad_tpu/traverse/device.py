@@ -525,7 +525,7 @@ def _refill_two_level(state: TraversalState) -> TraversalState:
 def expand_impl(
     state: TraversalState, dg: DeviceGraph, batch: int,
     gather_adj=None, ops: DenseStateOps = DENSE_OPS,
-    refill: str = "cond",
+    refill: str = "cond", fused_candidates: bool = False,
 ) -> Tuple[TraversalState, dict]:
     """Pop the ``batch`` best frontier entries and gather their neighbors.
 
@@ -610,19 +610,28 @@ def expand_impl(
 
     n = dg.n_nodes
     cand_flat = cand.reshape(-1)
-    cand_ok = cand_flat >= 0
-    safe_cand = jnp.where(cand_ok, cand_flat, 0)
-    unscored = cand_ok & ~ops.gather_scored(state.scored, safe_cand)
-    ids = jnp.where(unscored, cand_flat, n)
-    # Unique unscored ids, compacted to the front *preserving adjacency
-    # order* — scoring order then matches the reference's per-work-item
-    # neighbor order exactly (rad/distributed_worker.py:296-308), which the
-    # insertion-order result API exposes.
-    mask = unscored & ops.first_occurrence(ids, n)
-    k = ids.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    to_score = jnp.full((k,), -1, jnp.int32).at[
-        jnp.where(mask, pos, k)].set(cand_flat, mode="drop")
+    if fused_candidates:
+        # one Pallas scalar-loop kernel over VMEM-resident state: the
+        # progressive-mark scratch gives (unscored & first-occurrence)
+        # + compaction in a single pass — bit-identical to the chain
+        # below (tests/test_pallas_ops.py)
+        from rad_tpu.traverse.pallas_ops import candidate_filter_pallas
+        to_score = candidate_filter_pallas(cand_flat, state.scored)
+    else:
+        cand_ok = cand_flat >= 0
+        safe_cand = jnp.where(cand_ok, cand_flat, 0)
+        unscored = cand_ok & ~ops.gather_scored(state.scored, safe_cand)
+        ids = jnp.where(unscored, cand_flat, n)
+        # Unique unscored ids, compacted to the front *preserving
+        # adjacency order* — scoring order then matches the reference's
+        # per-work-item neighbor order exactly
+        # (rad/distributed_worker.py:296-308), which the insertion-order
+        # result API exposes.
+        mask = unscored & ops.first_occurrence(ids, n)
+        k = ids.shape[0]
+        pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        to_score = jnp.full((k,), -1, jnp.int32).at[
+            jnp.where(mask, pos, k)].set(cand_flat, mode="drop")
 
     new_state = dataclasses.replace(state, f_score=f_score,
                                     f_cursor=f_cursor,
@@ -641,7 +650,8 @@ def expand_impl(
     return new_state, out
 
 
-expand = jax.jit(expand_impl, static_argnames=("batch", "refill"),
+expand = jax.jit(expand_impl,
+                 static_argnames=("batch", "refill", "fused_candidates"),
                  donate_argnums=(0,))
 
 
@@ -657,6 +667,7 @@ def integrate_impl(
     new_scores: jnp.ndarray,
     ops: DenseStateOps = DENSE_OPS,
     commit: str = "cond",
+    fused_candidates: bool = False,
 ) -> TraversalState:
     """Integrate host scores and complete the traversal step.
 
@@ -677,18 +688,47 @@ def integrate_impl(
     n = dg.n_nodes
     cap = state.order_log.shape[0]
 
-    # -- scored set: insert-if-absent (reference rad/scored.py:37-48) ------
-    # With pipelined drivers the same id can arrive in two in-flight
-    # batches; the first integration wins and later ones are no-ops, so the
-    # order log never duplicates.
-    ts_ok = to_score >= 0
-    already = ops.gather_scored(state.scored,
-                                jnp.where(ts_ok, to_score, 0))
-    fresh = ts_ok & ~already
-    ts_idx = jnp.where(fresh, to_score, n)  # n = OOB -> dropped
-    scores = ops.scatter_scores(state.scores, ts_idx, new_scores)
-    scored = ops.scatter_scored(state.scored, ts_idx,
-                                jnp.ones_like(ts_ok))
+    b, m0 = cand.shape
+    cand_flat = cand.reshape(-1)
+    cand_ok = cand_flat >= 0
+    safe_cand = jnp.where(cand_ok, cand_flat, 0)
+    lev_flat = jnp.repeat(exp_level, m0)
+    row_flat = dg.offsets[lev_flat] + safe_cand
+    if fused_candidates:
+        # one Pallas kernel over VMEM-resident state replaces the whole
+        # gather/scatter chain below — bit-identical masks
+        # (tests/test_pallas_ops.py); order log + frontier push stay XLA
+        from rad_tpu.traverse.pallas_ops import integrate_candidates_pallas
+        (scored, scores, enqueued, fresh, push,
+         cand_score) = integrate_candidates_pallas(
+            to_score, new_scores, cand_flat, row_flat,
+            state.scored, state.scores, state.enqueued)
+    else:
+        # -- scored set: insert-if-absent (reference rad/scored.py:37-48)
+        # With pipelined drivers the same id can arrive in two in-flight
+        # batches; the first integration wins and later ones are no-ops,
+        # so the order log never duplicates.
+        ts_ok = to_score >= 0
+        already = ops.gather_scored(state.scored,
+                                    jnp.where(ts_ok, to_score, 0))
+        fresh = ts_ok & ~already
+        ts_idx = jnp.where(fresh, to_score, n)  # n = OOB -> dropped
+        scores = ops.scatter_scores(state.scores, ts_idx, new_scores)
+        scored = ops.scatter_scored(state.scored, ts_idx,
+                                    jnp.ones_like(ts_ok))
+
+        # -- candidate enqueue: check-and-set at the expansion level ---
+        row_key = jnp.where(cand_ok, row_flat, dg.n_rows)
+        first = ops.first_occurrence(row_key, dg.n_rows)
+        not_enq = ~ops.gather_enqueued(state.enqueued,
+                                       jnp.where(cand_ok, row_flat, 0))
+        push = cand_ok & not_enq & first
+        enq_idx = jnp.where(push, row_flat, dg.n_rows)
+        enqueued = ops.scatter_enqueued(state.enqueued, enq_idx,
+                                        jnp.ones_like(push))
+        cand_score = jnp.where(push,
+                               ops.gather_scores(scores, safe_cand), INF)
+
     k = to_score.shape[0]
     pos_in_batch = jnp.cumsum(fresh.astype(jnp.int32)) - 1
     # ring semantics: past capacity the log keeps the most recent `cap`
@@ -698,23 +738,6 @@ def integrate_impl(
     order_log = state.order_log.at[log_pos].set(to_score, mode="drop")
     n_new = jnp.sum(fresh).astype(jnp.int32)
     n_scored = state.n_scored + n_new
-
-    # -- candidate enqueue: visited check-and-set at the expansion level ---
-    b, m0 = cand.shape
-    cand_flat = cand.reshape(-1)
-    cand_ok = cand_flat >= 0
-    safe_cand = jnp.where(cand_ok, cand_flat, 0)
-    lev_flat = jnp.repeat(exp_level, m0)
-    row_flat = dg.offsets[lev_flat] + safe_cand
-    row_key = jnp.where(cand_ok, row_flat, dg.n_rows)
-    first = ops.first_occurrence(row_key, dg.n_rows)
-    not_enq = ~ops.gather_enqueued(state.enqueued,
-                                   jnp.where(cand_ok, row_flat, 0))
-    push = cand_ok & not_enq & first
-    enq_idx = jnp.where(push, row_flat, dg.n_rows)
-    enqueued = ops.scatter_enqueued(state.enqueued, enq_idx,
-                                    jnp.ones_like(push))
-    cand_score = jnp.where(push, ops.gather_scores(scores, safe_cand), INF)
     cand_row_entry = jnp.where(push, row_flat, 0)
 
     # -- descent: re-enqueue expanded node at level-1 ----------------------
@@ -853,7 +876,8 @@ def integrate_impl(
     )
 
 
-integrate = jax.jit(integrate_impl, static_argnames=("commit",),
+integrate = jax.jit(integrate_impl,
+                    static_argnames=("commit", "fused_candidates"),
                     donate_argnums=(0,))
 
 
@@ -993,7 +1017,8 @@ def fused_step(
                      out["to_score"], scores)
 
 
-@partial(jax.jit, static_argnames=("batch", "narrow_width"),
+@partial(jax.jit,
+         static_argnames=("batch", "narrow_width", "fused_candidates"),
          donate_argnums=(0,))
 def fused_run(
     state: TraversalState,
@@ -1006,6 +1031,7 @@ def fused_run(
     batch: int,
     max_steps=1 << 20,
     narrow_width: int | None = None,
+    fused_candidates: bool = False,
 ) -> TraversalState:
     """Run the fully device-resident traversal to ``n_to_score`` in ONE
     compiled program — a `lax.while_loop` over :func:`fused_step`'s body.
@@ -1059,11 +1085,13 @@ def fused_run(
             valid=ok)
         return integrate_impl(st, dg, out["exp_node"], out["exp_level"],
                               out["exp_score"], out["exp_valid"],
-                              out["cand"], ts, scores)
+                              out["cand"], ts, scores,
+                              fused_candidates=fused_candidates)
 
     def body(carry):
         st, steps = carry
-        st, out = expand_impl(st, dg, batch)
+        st, out = expand_impl(st, dg, batch,
+                              fused_candidates=fused_candidates)
         ts = out["to_score"]
         if narrow_width is None or narrow_width >= ts.shape[0]:
             st = score_integrate(st, out, ts)

@@ -48,7 +48,7 @@ __all__ = ["candidate_filter_pallas", "integrate_candidates_pallas"]
 @partial(jax.jit, static_argnames=("interpret",))
 def candidate_filter_pallas(cand_flat: jnp.ndarray,
                             scored: jnp.ndarray,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool | None = None) -> jnp.ndarray:
     """Expand-side candidate filter (K1).
 
     cand_flat: [K] int32 neighbor ids, -1 invalid.
@@ -58,6 +58,8 @@ def candidate_filter_pallas(cand_flat: jnp.ndarray,
     formulation in expand_impl (unscored & first_occurrence + cumsum
     compaction).
     """
+    if interpret is None:  # Mosaic path needs a TPU; CPU tests interpret
+        interpret = jax.default_backend() != "tpu"
     k = cand_flat.shape[0]
     n = scored.shape[0]
     scored_i8 = scored.astype(jnp.int8).reshape(n, 1)
@@ -104,7 +106,7 @@ def integrate_candidates_pallas(to_score: jnp.ndarray,
                                 scored: jnp.ndarray,
                                 scores: jnp.ndarray,
                                 enqueued: jnp.ndarray,
-                                interpret: bool = False):
+                                interpret: bool | None = None):
     """Integrate-side fused chain (K2).
 
     to_score:  [K] int32 from K1 (-1 pads).
@@ -120,7 +122,10 @@ def integrate_candidates_pallas(to_score: jnp.ndarray,
     ~enqueued_pre & first_occurrence(row)`` (the progressive set gives
     exactly that); ``cand_score = push ? scores_post_insert[cand] : INF``.
     """
-    k = to_score.shape[0]
+    if interpret is None:  # Mosaic path needs a TPU; CPU tests interpret
+        interpret = jax.default_backend() != "tpu"
+    kt = to_score.shape[0]     # may be narrower than the candidate set
+    kc = cand_flat.shape[0]    # (fused_run narrow_width slices to_score)
     n = scored.shape[0]
     r_rows = enqueued.shape[0]
     scored_i8 = scored.astype(jnp.int8).reshape(n, 1)
@@ -150,7 +155,7 @@ def integrate_candidates_pallas(to_score: jnp.ndarray,
             fresh_ref[i, 0] = fresh.astype(jnp.int8)
             return 0
 
-        jax.lax.fori_loop(0, k, body_a, 0)
+        jax.lax.fori_loop(0, kt, body_a, 0)
 
         # phase B: enqueue check-and-set + push score lookup. The
         # progressive set in enq_out makes a row's SECOND occurrence in
@@ -169,7 +174,7 @@ def integrate_candidates_pallas(to_score: jnp.ndarray,
             push_ref[i, 0] = push.astype(jnp.int8)
             return 0
 
-        jax.lax.fori_loop(0, k, body_b, 0)
+        jax.lax.fori_loop(0, kc, body_b, 0)
 
     outs = pl.pallas_call(
         kernel,
@@ -177,21 +182,21 @@ def integrate_candidates_pallas(to_score: jnp.ndarray,
             jax.ShapeDtypeStruct((n, 1), jnp.int8),
             jax.ShapeDtypeStruct((n, 1), jnp.float32),
             jax.ShapeDtypeStruct((r_rows, 1), jnp.int8),
-            jax.ShapeDtypeStruct((k, 1), jnp.int8),
-            jax.ShapeDtypeStruct((k, 1), jnp.int8),
-            jax.ShapeDtypeStruct((k, 1), jnp.float32),
+            jax.ShapeDtypeStruct((kt, 1), jnp.int8),
+            jax.ShapeDtypeStruct((kc, 1), jnp.int8),
+            jax.ShapeDtypeStruct((kc, 1), jnp.float32),
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
         input_output_aliases={4: 0, 5: 1, 6: 2},
         interpret=interpret,
-    )(to_score.reshape(k, 1), new_scores.reshape(k, 1),
-      cand_flat.reshape(k, 1), row_flat.reshape(k, 1),
+    )(to_score.reshape(kt, 1), new_scores.reshape(kt, 1),
+      cand_flat.reshape(kc, 1), row_flat.reshape(kc, 1),
       scored_i8, scores2, enq_i8)
     scored_o, scores_o, enq_o, fresh_o, push_o, cscore_o = outs
     return (scored_o.reshape(n).astype(jnp.bool_),
             scores_o.reshape(n),
             enq_o.reshape(r_rows).astype(jnp.bool_),
-            fresh_o.reshape(k).astype(jnp.bool_),
-            push_o.reshape(k).astype(jnp.bool_),
-            cscore_o.reshape(k))
+            fresh_o.reshape(kt).astype(jnp.bool_),
+            push_o.reshape(kc).astype(jnp.bool_),
+            cscore_o.reshape(kc))

@@ -125,3 +125,65 @@ def test_integrate_pipelined_duplicate_noop():
     assert float(scores_o[5]) == pytest.approx(0.25)
     assert float(scores_o[7]) == pytest.approx(0.9)
     assert bool(scored_o[5]) and bool(scored_o[7])
+
+
+def test_fused_run_engine_parity():
+    """fused_run with fused_candidates=True must produce the exact same
+    traversal state as the XLA chain (auto-interpreted on CPU)."""
+    import jax
+    from rad_tpu.build.exact import build_hnsw_exact
+    from rad_tpu.fp.pack import random_fingerprints
+    from rad_tpu.traverse import device as dev
+
+    fps = random_fingerprints(300, n_bits=128, density=0.3, seed=9)
+    g = build_hnsw_exact(fps, connectivity=4, seed=1)
+    dg = dev.prepare_device_graph(g)
+    target = g.packed[17]
+    tpop = g.popcounts[17]
+
+    def run(fused):
+        state = dev.init_state(dg)
+        n_top = g.layer_sizes[g.max_level]
+        from rad_tpu.fp.tanimoto import tanimoto_rows_to_target
+        seeds = jnp.arange(n_top, dtype=jnp.int32)
+        s0 = tanimoto_rows_to_target(g.packed[seeds], g.popcounts[seeds],
+                                     target, tpop)
+        state = dev.prime(state, dg, seeds, s0)
+        return dev.fused_run(state, dg, g.packed, g.popcounts, target,
+                             tpop, jnp.int32(250), batch=8,
+                             fused_candidates=fused)
+
+    a, b = run(False), run(True)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_fused_run_engine_parity_narrow_width():
+    import jax
+    from rad_tpu.build.exact import build_hnsw_exact
+    from rad_tpu.fp.pack import random_fingerprints
+    from rad_tpu.traverse import device as dev
+    from rad_tpu.fp.tanimoto import tanimoto_rows_to_target
+
+    fps = random_fingerprints(300, n_bits=128, density=0.3, seed=9)
+    g = build_hnsw_exact(fps, connectivity=4, seed=1)
+    dg = dev.prepare_device_graph(g)
+    target = g.packed[23]
+    tpop = g.popcounts[23]
+
+    def run(fused):
+        state = dev.init_state(dg)
+        n_top = g.layer_sizes[g.max_level]
+        seeds = jnp.arange(n_top, dtype=jnp.int32)
+        s0 = tanimoto_rows_to_target(g.packed[seeds], g.popcounts[seeds],
+                                     target, tpop)
+        state = dev.prime(state, dg, seeds, s0)
+        return dev.fused_run(state, dg, g.packed, g.popcounts, target,
+                             tpop, jnp.int32(250), batch=8,
+                             narrow_width=16, fused_candidates=fused)
+
+    a, b = run(False), run(True)
+    for la, lb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
