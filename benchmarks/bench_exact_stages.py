@@ -91,6 +91,10 @@ def main(argv=None) -> int:
     ap.add_argument("--probe-csize", type=int, default=None,
                     help="probe cluster size (default: --col-block)")
     ap.add_argument("--probe-sample", type=int, default=16)
+    ap.add_argument("--probe-min-n", type=int, default=0,
+                    help="layer-size floor for probing (bench default 0: "
+                         "probe whatever --probes asks; the library "
+                         "default gates upper layers to the exact stage)")
     ap.add_argument("--probe-granularity", choices=["qblock", "cluster"],
                     default="qblock",
                     help="probe-list granularity: per dispatched q-block "
@@ -278,7 +282,8 @@ def main(argv=None) -> int:
                    probe_csize=args.probe_csize,
                    probe_sample=args.probe_sample,
                    probe_granularity=args.probe_granularity,
-                   probe_width=args.probe_width)
+                   probe_width=args.probe_width,
+                   probe_min_n=args.probe_min_n)
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=m, seed=0, **bkw)
         barrier(g)

@@ -861,6 +861,7 @@ def build_hnsw_exact(
     probe_sample: int = 16,
     probe_granularity: str = "qblock",
     probe_width: int | None = None,
+    probe_min_n: int = 2_000_000,
     interpret: bool = False,
     mesh=None,
     mesh_axis: str = "graph",
@@ -1053,7 +1054,12 @@ def build_hnsw_exact(
         # q-block wider than the probe cluster — such layers keep the
         # exact stage (they are far below the subquadratic break-even
         # anyway) instead of raising in the probed driver
+        # probe only where the exact stage is actually the wall: at 10M
+        # the 625k layer-1 exact all-pairs is seconds of MXU time, and
+        # exact upper layers navigate better (recall) — the measured 1M
+        # crossover (BENCHMARKS "Build throughput") sets the default gate
         use_probe = (probes is not None
+                     and n_l >= probe_min_n
                      and -(-n_l // csz) >= 4 * probes
                      and k <= csz
                      and csz % qb == 0)

@@ -172,7 +172,7 @@ def test_probed_build_quality(fps):
     probed_g = build_hnsw_exact(fps, connectivity=8, seed=3,
                                 probes=8, probe_csize=128,
                                 q_block=128, col_block=128,
-                                approx_recall=None)
+                                approx_recall=None, probe_min_n=0)
     rng = np.random.default_rng(5)
     q = fps[rng.choice(fps.shape[0], 128, replace=False)]
 
@@ -190,9 +190,11 @@ def test_probed_build_quality(fps):
 
 def test_probed_build_deterministic(fps):
     g1 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
-                          probe_csize=128, q_block=128, col_block=128)
+                          probe_csize=128, q_block=128, col_block=128,
+                          probe_min_n=0)
     g2 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
-                          probe_csize=128, q_block=128, col_block=128)
+                          probe_csize=128, q_block=128, col_block=128,
+                          probe_min_n=0)
     for a, b in zip(g1.neighbors, g2.neighbors):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
@@ -307,9 +309,10 @@ def test_probe_width_padding_is_bitidentical(fps):
     """probe_width pads the scan with dead (-1) clusters: results must be
     bit-identical to the unpadded run (only compile shape changes)."""
     g1 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
-                          probe_csize=128, q_block=128, col_block=128)
+                          probe_csize=128, q_block=128, col_block=128,
+                          probe_min_n=0)
     g2 = build_hnsw_exact(fps, connectivity=8, seed=3, probes=6,
                           probe_csize=128, q_block=128, col_block=128,
-                          probe_width=12)
+                          probe_width=12, probe_min_n=0)
     for a, b in zip(g1.neighbors, g2.neighbors):
         assert np.array_equal(np.asarray(a), np.asarray(b))

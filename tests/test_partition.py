@@ -183,7 +183,8 @@ def test_partitioned_exact_probed_builder():
     g_pr = build_hnsw_partitioned(
         fps, **kw,
         builder_kwargs=dict(probes=3, probe_csize=128, q_block=128,
-                            col_block=128, sel_block=128))
+                            col_block=128, sel_block=128,
+                            probe_min_n=0))
     assert len(g_pr) == 3000
     rng = np.random.default_rng(5)
     queries = fps[rng.choice(fps.shape[0], 24, replace=False)]
