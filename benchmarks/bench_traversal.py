@@ -74,6 +74,10 @@ def main(argv=None) -> int:
     ap.add_argument("--narrow-width", type=int, default=None,
                     help="fused_run narrow_width (exhaustive-tail trim; "
                          "bit-identical results)")
+    ap.add_argument("--fused-candidates", action="store_true",
+                    help="route the [B*M0] candidate chain through the "
+                         "fused Pallas kernels (traverse.pallas_ops; "
+                         "bit-identical — VERDICT r3 item 5 measurement)")
     ap.add_argument("--synthetic-graph", action="store_true",
                     help="skip HNSW construction; use a random layered "
                          "graph of the same shape (engine-throughput-only "
@@ -148,7 +152,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     state = dev.fused_run(state, dg, packed, pops, target, t_pop,
                           jnp.int32(n_to_score), batch=args.batch,
-                          narrow_width=args.narrow_width)
+                          narrow_width=args.narrow_width,
+                          fused_candidates=args.fused_candidates)
     scored_first = int(state.n_scored)
     log(f"first run: {time.perf_counter() - t0:.1f}s, scored "
         f"{scored_first}, dropped {int(state.n_dropped)}")
@@ -159,7 +164,8 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         state = dev.fused_run(state, dg, packed, pops, target, t_pop,
                               jnp.int32(n_to_score), batch=args.batch,
-                              narrow_width=args.narrow_width)
+                              narrow_width=args.narrow_width,
+                              fused_candidates=args.fused_candidates)
         scored = int(state.n_scored)  # forces completion
         dt = time.perf_counter() - t0
         log(f"run {i}: {dt*1e3:.0f} ms, {scored} scored, "
@@ -172,6 +178,7 @@ def main(argv=None) -> int:
         "unit": "nodes/s",
         "n": args.n,
         "batch": args.batch,
+        "fused_candidates": args.fused_candidates,
         "build_nodes_per_sec": args.n / t_build,
     }))
     return 0
