@@ -145,10 +145,16 @@ def main(argv=None) -> int:
 
     def one_build(gran: str, probes: int, width: int | None):
         t0 = time.perf_counter()
-        g = build_hnsw_exact(
-            fps, connectivity=m, seed=0, probes=probes,
-            probe_csize=args.csize, probe_sample=args.probe_sample,
-            probe_granularity=gran, probe_width=width)
+        if gran == "exact":
+            # probes=None: the fully exact O(N²) candidate stage — the
+            # baseline the probed recalls are interpreted against
+            g = build_hnsw_exact(fps, connectivity=m, seed=0)
+        else:
+            g = build_hnsw_exact(
+                fps, connectivity=m, seed=0, probes=probes,
+                probe_csize=args.csize, probe_sample=args.probe_sample,
+                probe_granularity=gran, probe_width=width,
+                probe_min_n=0)
         barrier(g)
         return g, time.perf_counter() - t0
 
