@@ -73,7 +73,10 @@ def main(argv=None) -> int:
                     help="granularity:probes for the unpadded steady-"
                          "state throughput build (e.g. qblock:32)")
     ap.add_argument("--recall", type=int, default=500)
-    ap.add_argument("--ef", type=int, default=32)
+    ap.add_argument("--ef", default="32,128",
+                    help="comma list of search expansion widths; recall "
+                         "is recorded per ef (separates candidate "
+                         "quality from search-beam navigability)")
     ap.add_argument("--probe-sample", type=int, default=16)
     ap.add_argument("--save", default=None,
                     help="save the throughput build's graph here (.npz) "
@@ -124,6 +127,8 @@ def main(argv=None) -> int:
     q = np.ascontiguousarray(fps[qidx])
     truth = None  # original-index ground truth, computed on first graph
 
+    efs = [int(x) for x in str(args.ef).split(",") if x.strip()]
+
     def eval_recall(g):
         nonlocal truth
         keys = np.asarray(g.keys)
@@ -133,15 +138,19 @@ def main(argv=None) -> int:
             i_t = keys[np.maximum(np.asarray(i_t), 0)]
             truth = i_t
             log(f"ground truth: {time.perf_counter() - t0:.1f}s")
-        t0 = time.perf_counter()
-        _, i_s = search_device(g, q, k=10, expansion_search=args.ef)
-        i_s = np.asarray(i_s)
-        i_s = np.where(i_s >= 0, keys[np.maximum(i_s, 0)], -1)
-        rec = float(np.mean([
-            len(set(i_s[r].tolist()) & set(truth[r].tolist())) / 10.0
-            for r in range(args.recall)]))
-        log(f"recall eval: {time.perf_counter() - t0:.1f}s -> {rec:.4f}")
-        return rec
+        out = {}
+        for ef in efs:
+            t0 = time.perf_counter()
+            _, i_s = search_device(g, q, k=10, expansion_search=ef)
+            i_s = np.asarray(i_s)
+            i_s = np.where(i_s >= 0, keys[np.maximum(i_s, 0)], -1)
+            rec = float(np.mean([
+                len(set(i_s[r].tolist()) & set(truth[r].tolist())) / 10.0
+                for r in range(args.recall)]))
+            log(f"recall eval ef={ef}: {time.perf_counter() - t0:.1f}s "
+                f"-> {rec:.4f}")
+            out[f"recall_at_10_ef{ef}"] = rec
+        return out
 
     def one_build(gran: str, probes: int, width: int | None):
         t0 = time.perf_counter()
@@ -169,8 +178,7 @@ def main(argv=None) -> int:
         g, dt = one_build(gran, p, args.width)
         rec = eval_recall(g)
         record({"kind": "sweep", "granularity": gran, "probes": p,
-                "width": args.width, "build_s": round(dt, 2),
-                "recall_at_10": rec})
+                "width": args.width, "build_s": round(dt, 2), **rec})
         del g
         gc.collect()
         time.sleep(args.cooldown)
@@ -187,7 +195,7 @@ def main(argv=None) -> int:
         record({"kind": "throughput", "granularity": gran, "probes": p,
                 "build_s": round(best, 2),
                 "nodes_per_s": round(n / best, 1),
-                "cold_build_s": round(dt1, 2), "recall_at_10": rec})
+                "cold_build_s": round(dt1, 2), **rec})
         if args.save:
             t0 = time.perf_counter()
             g2.save(args.save)
