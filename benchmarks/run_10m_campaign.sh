@@ -24,13 +24,13 @@ sleep 90   # let the server free the dead client's buffers (CLAUDE.md)
 echo "=== stage A: exact baseline + high-probe sweep ($(date)) ===" \
   >> /tmp/campaign10m.log
 python benchmarks/bench_probe_sweep.py --n 10000000 --csize 8192 \
-  --sweep exact:0,qblock:128 --width 256 --throughput qblock:256 \
-  --save /tmp/g10m_p256.npz --recall 500 \
+  --sweep exact:0 --width 64 --throughput qblock:16 \
+  --save /tmp/g10m_p16.npz --recall 500 --ef 32,128 \
   >> /tmp/campaign10m.log 2>&1
 echo "=== stage A rc=$? ($(date)) ===" >> /tmp/campaign10m.log
 sleep 90
 
 echo "=== stage B: end-to-end artifact ($(date)) ===" >> /tmp/campaign10m.log
-python benchmarks/bench_e2e.py --n 10000000 --graph /tmp/g10m_p256.npz \
+python benchmarks/bench_e2e.py --n 10000000 --graph /tmp/g10m_p16.npz \
   >> /tmp/campaign10m.log 2>&1
 echo "=== stage B rc=$? ($(date)) ===" >> /tmp/campaign10m.log
