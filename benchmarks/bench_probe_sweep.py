@@ -139,6 +139,21 @@ def main(argv=None) -> int:
             truth = i_t
             log(f"ground truth: {time.perf_counter() - t0:.1f}s")
         out = {}
+        # edge recall: the sampled queries are library members — what
+        # fraction of their true 10-NN sit in their layer-0 adjacency
+        # row (union with self-row truth hit). Separates edge quality
+        # (candidate/selection stages) from search-beam navigation.
+        row_of = np.empty(n, np.int64)
+        row_of[keys] = np.arange(n)
+        q_rows = row_of[qidx]
+        adj = np.asarray(g.neighbors[0][jnp.asarray(q_rows)])
+        adj_orig = np.where(adj >= 0, keys[np.maximum(adj, 0)], -1)
+        edge_hits = np.mean([
+            len((set(adj_orig[r].tolist()) | {qidx[r]})
+                & set(truth[r].tolist())) / 10.0
+            for r in range(args.recall)])
+        out["edge_recall_at_10"] = round(float(edge_hits), 4)
+        log(f"edge recall: {edge_hits:.4f}")
         for ef in efs:
             t0 = time.perf_counter()
             _, i_s = search_device(g, q, k=10, expansion_search=ef)
