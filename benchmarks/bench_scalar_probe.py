@@ -112,11 +112,14 @@ def main(argv=None) -> int:
     vm = pltpu.VMEM
     common = dict(interpret=args.interpret)
 
+    # out goes to SMEM: Mosaic rejects SCALAR stores into VMEM refs
+    # ("Cannot store scalars to VMEM") — that same constraint is what
+    # makes the check-and-set kernels below unlowerable at all.
     gather = pl.pallas_call(
         gather_kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=vm)] * 2,
-        out_specs=pl.BlockSpec(memory_space=vm),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         **common)
 
     checkset = pl.pallas_call(
@@ -173,10 +176,22 @@ def main(argv=None) -> int:
         return ns
 
     results = {}
-    results["gather_ns"] = timeit(gather, idx, tab, label="gather")
-    results["checkset_ns"] = timeit(checkset, idx, bm, label="checkset")
-    results["chain_ns"] = timeit(chain, idx, scored, bm, scoresv,
-                                 label="chain")
+    try:
+        results["gather_ns"] = timeit(gather, idx, tab, label="gather")
+    except Exception as e:
+        results["gather_error"] = str(e)[:200]
+        log(f"gather unlowerable: {e}")
+    try:
+        results["checkset_ns"] = timeit(checkset, idx, bm, label="checkset")
+    except Exception as e:
+        results["checkset_error"] = str(e)[:200]
+        log(f"checkset unlowerable: {e}")
+    try:
+        results["chain_ns"] = timeit(chain, idx, scored, bm, scoresv,
+                                     label="chain")
+    except Exception as e:
+        results["chain_error"] = str(e)[:200]
+        log(f"chain unlowerable: {e}")
     results["k"] = k
     results["n"] = n
     # the XLA chain this would replace: ~1.05 ms for 8192 candidates
