@@ -132,6 +132,10 @@ def main(argv=None) -> int:
     ap.add_argument("--probes", type=int, default=32)
     ap.add_argument("--csize", type=int, default=1 << 13)
     ap.add_argument("--granularity", default="qblock")
+    ap.add_argument("--probe-min-n", type=int, default=0,
+                    help="probing size floor for the build (0 matches "
+                         "the sweep builds: probed upper layers reuse "
+                         "their compiled shapes)")
     ap.add_argument("--batch", type=int, default=512,
                     help="traversal batch for the THROUGHPUT run (the "
                          "measured efficient point)")
@@ -185,7 +189,8 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         g = build_hnsw_exact(fps, connectivity=args.connectivity, seed=0,
                              probes=args.probes, probe_csize=args.csize,
-                             probe_granularity=args.granularity)
+                             probe_granularity=args.granularity,
+                             probe_min_n=args.probe_min_n)
         for t in g.neighbors:
             if t.shape[0]:
                 np.asarray(t[-1:])
