@@ -915,7 +915,12 @@ def build_hnsw_exact(
     O(N·probes·csize) distance evaluations instead of O(N²). Candidates
     are exact within the probed set; ``None`` (default) keeps the fully
     exact candidate stage. Layers too small to profit (fewer than
-    4×``probes`` clusters) keep the exact stage automatically.
+    4×``probes`` clusters) keep the exact stage automatically, and
+    ``probe_min_n`` (default 2M — CHANGED in r4 from 0) additionally
+    gates probing to layers of at least that many nodes: upper-layer
+    exact stages are seconds of MXU and navigate better. A request
+    whose every layer is gated back to exact logs a warning; pass
+    ``probe_min_n=0`` to force probing on any eligible layer.
     ``probe_granularity`` ("qblock" default / "cluster") sets whether
     each dispatched q-block picks its own probe list or inherits its
     cluster's (qblock is strictly finer coverage at equal cost);
@@ -1022,6 +1027,7 @@ def build_hnsw_exact(
         dev_pops = jnp.asarray(pops_pad)
 
     neighbors = []
+    any_probed = False
     for l in range(max_level + 1):
         n_l = layer_sizes[l]
         cap = m0 if l == 0 else m
@@ -1063,6 +1069,12 @@ def build_hnsw_exact(
                      and -(-n_l // csz) >= 4 * probes
                      and k <= csz
                      and csz % qb == 0)
+        if probes is not None and not use_probe:
+            logger.info("layer %d (n=%d): probes=%d requested but layer "
+                        "stays exact (below probe_min_n=%d, or too few "
+                        "clusters, or k>csize)", l, n_l, probes,
+                        probe_min_n)
+        any_probed = any_probed or use_probe
         sharded_layer = mesh is not None and n_l >= big
         if use_probe:
             logger.info("layer %d: cluster-probed candidates "
@@ -1133,6 +1145,16 @@ def build_hnsw_exact(
         else:
             raise ValueError(f"unknown symm_mode {mode!r}")
         neighbors.append(rows[:n_l])
+
+    if probes is not None and not any_probed:
+        # the probed build was requested but every layer was gated back
+        # to the exact stage (probe_min_n default floor) — never silent
+        # (ADVICE r4): the caller should know they got an exact build
+        logger.warning(
+            "probes=%d requested but NO layer used the probed candidate "
+            "stage (all below probe_min_n=%d or too small) — this is a "
+            "fully exact build; pass probe_min_n=0 to force probing",
+            probes, probe_min_n)
 
     return HNSWGraph(
         packed=dev_packed[:n],

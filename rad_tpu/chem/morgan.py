@@ -25,6 +25,13 @@ POSITIONS differ from RDKit while the structural information content is
 the same: fingerprints are invariant to the SMILES writing order
 (pinned by tests/test_chem.py round-trip cases) and Tanimoto behaves as
 a real 2D chemical similarity.
+
+FINGERPRINT FORMAT VERSION: bit assignments are stable only within a
+``FP_FORMAT_VERSION``. Perception/dedup changes bump it (v2: r4's
+round-0-singleton seeding + kekulized aromatization; v3: r5's fused-ring
+π counting + Hückel fixpoint). Indexes persisted under an older version
+must be rebuilt before new query fingerprints can be matched against
+them — compare the version stamped at build time with the current one.
 """
 
 from __future__ import annotations
@@ -35,7 +42,14 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ["MolGraph", "parse_smiles", "morgan_fingerprint",
-           "morgan_fingerprints_packed", "initial_invariant_tuples"]
+           "morgan_fingerprints_packed", "initial_invariant_tuples",
+           "FP_FORMAT_VERSION"]
+
+#: bump on ANY change to perception, invariants, hashing, or dedup — a
+#: persisted index and a query fingerprinted under different versions
+#: silently mismatch (tanimoto drops, recall collapses) instead of
+#: erroring. Graph saves stamp this (graph/storage.py save metadata).
+FP_FORMAT_VERSION = 3
 
 _ORGANIC = {"B": 3, "C": 4, "N": 3, "O": 2, "P": 3, "S": 2,
             "F": 1, "Cl": 1, "Br": 1, "I": 1}
@@ -322,7 +336,6 @@ def _perceive_aromaticity(mol: MolGraph, ring_edges: set) -> None:
     rings = [r for r in _small_rings(mol, ring_edges) if 5 <= len(r) <= 7]
     if not rings:
         return
-    in_any_ring = {i for i, a in enumerate(mol.atoms) if a.in_ring}
     bond_of = {}
     for ei, (a, b, o) in enumerate(mol.bonds):
         bond_of[(a, b)] = ei
@@ -333,7 +346,8 @@ def _perceive_aromaticity(mol: MolGraph, ring_edges: set) -> None:
         nbrs[a].append((b, o))
         nbrs[b].append((a, o))
 
-    def pi_contribution(idx: int, ring: frozenset) -> Optional[int]:
+    def pi_contribution(idx: int, ring: frozenset,
+                        fused_atoms: frozenset) -> Optional[int]:
         atom = mol.atoms[idx]
         doubles = [j for j, o in nbrs[idx] if o == 2.0]
         if any(o == 3.0 for _, o in nbrs[idx]):
@@ -341,9 +355,17 @@ def _perceive_aromaticity(mol: MolGraph, ring_edges: set) -> None:
         if atom.aromatic:
             return 1  # already-aromatic fused neighbor ring
         if doubles:
-            if any(j in in_any_ring for j in doubles):
+            # a double counts toward this ring's π system only if its
+            # partner is IN the ring, already aromatic, or an atom of a
+            # ring edge-fused to this one (the kekulized-naphthalene
+            # fusion atom whose double points into the sibling ring).
+            # A double to an atom of an UNRELATED ring is exocyclic
+            # cross-conjugation (fulvalene/quinone-methide) and counts 0
+            # — matching RDKit perception.
+            if any(j in ring or mol.atoms[j].aromatic or j in fused_atoms
+                   for j in doubles):
                 return 1
-            return 0  # exocyclic C=O etc.
+            return 0  # exocyclic C=O / cross-conjugated C=C etc.
         if atom.element in ("N", "O", "S", "Se", "P"):
             return 2  # lone pair (pyrrole/furan/thiophene-type)
         if atom.element == "C":
@@ -354,31 +376,47 @@ def _perceive_aromaticity(mol: MolGraph, ring_edges: set) -> None:
             return None  # saturated neutral carbon breaks conjugation
         return None
 
+    # union of atoms in rings edge-fused (>=2 shared atoms) to each ring
+    fused_of = []
     for ring in rings:
-        if all(mol.atoms[i].aromatic for i in ring):
-            continue  # written aromatic already
-        total = 0
-        ok = True
-        for idx in ring:
-            c = pi_contribution(idx, ring)
-            if c is None:
-                ok = False
-                break
-            total += c
-        if not ok or total not in (2, 6, 10, 14):
-            continue
-        for idx in ring:
-            atom = mol.atoms[idx]
-            # freeze the kekulized H count before flipping flags: the
-            # aromatic-H rule must not re-derive (pyrrole N keeps its H)
-            atom.explicit_h = atom.h_count
-            atom.aromatic = True
-        for idx in ring:
-            for j, _o in nbrs[idx]:
-                if j in ring:
-                    ei = bond_of[(idx, j)]
-                    a, b, _ = mol.bonds[ei]
-                    mol.bonds[ei] = (a, b, 1.5)
+        f = set()
+        for other in rings:
+            if other is not ring and len(other & ring) >= 2:
+                f |= other
+        fused_of.append(frozenset(f - ring))
+
+    # iterate the per-ring Hückel pass to a fixpoint: a ring that only
+    # qualifies once a fused neighbor has aromatized (via the
+    # atom.aromatic contribution) must not depend on processing order
+    changed = True
+    while changed:
+        changed = False
+        for ring, fused_atoms in zip(rings, fused_of):
+            if all(mol.atoms[i].aromatic for i in ring):
+                continue  # written aromatic already (or done last pass)
+            total = 0
+            ok = True
+            for idx in ring:
+                c = pi_contribution(idx, ring, fused_atoms)
+                if c is None:
+                    ok = False
+                    break
+                total += c
+            if not ok or total not in (2, 6, 10, 14):
+                continue
+            changed = True
+            for idx in ring:
+                atom = mol.atoms[idx]
+                # freeze the kekulized H count before flipping flags: the
+                # aromatic-H rule must not re-derive (pyrrole N keeps its H)
+                atom.explicit_h = atom.h_count
+                atom.aromatic = True
+            for idx in ring:
+                for j, _o in nbrs[idx]:
+                    if j in ring:
+                        ei = bond_of[(idx, j)]
+                        a, b, _ = mol.bonds[ei]
+                        mol.bonds[ei] = (a, b, 1.5)
 
 
 def _parse_bracket(body: str) -> _Atom:

@@ -25,12 +25,15 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 __all__ = ["HNSWGraph", "LayerStats", "NpzStreamWriter", "ArangeKeys",
            "DerivedLevels", "neighbor_valid_mask", "host_keys_view",
@@ -214,6 +217,9 @@ class NpzStreamWriter:
 
     def close(self, meta: dict | None = None) -> None:
         if meta is not None:
+            if "fp_format_version" not in meta:
+                from rad_tpu.chem.morgan import FP_FORMAT_VERSION
+                meta = {**meta, "fp_format_version": FP_FORMAT_VERSION}
             self.write_array("meta_json", np.frombuffer(
                 json.dumps(meta).encode(), dtype=np.uint8))
         self._zip.close()
@@ -479,12 +485,17 @@ class HNSWGraph:
             arrays["popcounts"] = np.asarray(self.popcounts)
         for l, t in enumerate(self.neighbors):
             arrays[f"neighbors_{l}"] = np.asarray(t)
+        from rad_tpu.chem.morgan import FP_FORMAT_VERSION
         meta = {
             "ndim": self.ndim,
             "connectivity": self.connectivity,
             "n_layers": len(self.neighbors),
             "exclude_vectors": bool(exclude_vectors),
             "version": 2 if slim else 1,
+            # in-tree Morgan format version at save time: a load under a
+            # different current version means query fingerprints will
+            # silently mismatch this index — rebuild (chem/morgan.py)
+            "fp_format_version": FP_FORMAT_VERSION,
         }
         if slim:
             meta["identity_keys"] = True
@@ -507,6 +518,16 @@ class HNSWGraph:
         if data is None:
             data = dict(np.load(path))
         meta = json.loads(bytes(data["meta_json"]).decode())
+        saved_fpv = meta.get("fp_format_version")
+        if saved_fpv is not None:
+            from rad_tpu.chem.morgan import FP_FORMAT_VERSION
+            if saved_fpv != FP_FORMAT_VERSION:
+                logger.warning(
+                    "%s was saved under Morgan fingerprint format v%s but "
+                    "this build computes v%s — Morgan query fingerprints "
+                    "will NOT match this index; rebuild it (non-Morgan "
+                    "fingerprint sources are unaffected)",
+                    path, saved_fpv, FP_FORMAT_VERSION)
         neighbors = tuple(
             data[f"neighbors_{l}"] for l in range(meta["n_layers"])
         )

@@ -164,6 +164,11 @@ def run_supervised(
         # parked: no marker, no clean exit
         _terminate(proc, grace=2.0)
         exited_early = eof and proc.returncode not in (None, 0)
+        # a FAST non-zero exit is a deterministic crash (bad args, import
+        # error), not a park — the park sleep-and-retry cycle would just
+        # replay it a minute later (ADVICE r4). Return it immediately.
+        if exited_early and time.monotonic() - start < 30.0:
+            return proc.returncode
         budget_left = (None if budget is None
                        else budget - (time.monotonic() - overall))
         if attempt > retries or (

@@ -234,3 +234,34 @@ def test_antiaromatic_and_saturated_not_perceived():
                 "C1=CC=C1"]:         # cyclobutadiene: 4n
         m = parse_smiles(smi)
         assert not any(a.aromatic for a in m.atoms), smi
+
+
+def test_cross_conjugated_exocyclic_doubles_not_aromatic():
+    """A double bond into an UNRELATED (non-fused) ring must not count
+    toward the pi system (ADVICE r4: the old in-any-ring rule falsely
+    aromatized quinodimethane-type cross-conjugation when the exocyclic
+    partners happened to sit in other rings)."""
+    # benzoquinodimethane core with both exocyclic doubles landing on
+    # cyclohexylidene ring atoms: old rule counted 4+2=6 pi -> aromatic
+    smi = "C1=CC(=C2CCCCC2)C(=C2CCCCC2)C=C1"
+    m = parse_smiles(smi)
+    assert not any(a.aromatic for a in m.atoms), smi
+    # pentafulvalene: two cross-conjugated cyclopentadienylidene rings
+    m2 = parse_smiles("C1=CC(C=C1)=C1C=CC=C1")
+    assert not any(a.aromatic for a in m2.atoms)
+
+
+def test_alternate_kekule_forms_agree():
+    """Every Kekulé structure of a fused aromatic must fingerprint like
+    the aromatic-written form — including forms whose fusion atoms are
+    double-bonded into the sibling ring (the fused-ring pi-count rule)
+    and forms needing the Hückel fixpoint iteration (ADVICE r4)."""
+    ref = morgan_fingerprint("c1ccc2ccccc2c1")
+    for kek in ["C1=CC=C2C=CC=CC2=C1",   # fusion bond double
+                "C1=CC2=CC=CC=C2C=C1"]:  # fusion atoms double into rings
+        np.testing.assert_array_equal(
+            ref, morgan_fingerprint(kek), err_msg=kek)
+    # anthracene: middle ring's qualification depends on outer rings
+    ref3 = morgan_fingerprint("c1ccc2cc3ccccc3cc2c1")
+    kek3 = morgan_fingerprint("C1=CC=C2C=C3C=CC=CC3=CC2=C1")
+    np.testing.assert_array_equal(ref3, kek3)

@@ -110,6 +110,37 @@ def test_save_load_roundtrip(tmp_path, small_graph):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fp_format_version_stamped_and_checked(tmp_path, small_graph,
+                                               caplog):
+    """Saves stamp the Morgan fingerprint format version; loading under a
+    different current version warns (ADVICE r4: persisted indexes built
+    under an older perception must be rebuilt, not silently mismatched)."""
+    import json as _json
+    import logging as _logging
+    from rad_tpu.chem.morgan import FP_FORMAT_VERSION
+
+    path = str(tmp_path / "graph.npz")
+    small_graph.save(path)
+    with np.load(path) as z:
+        meta = _json.loads(bytes(z["meta_json"]).decode())
+    assert meta["fp_format_version"] == FP_FORMAT_VERSION
+
+    with caplog.at_level(_logging.WARNING, logger="rad_tpu.graph.storage"):
+        HNSWGraph.load(path, mmap=False)
+    assert not any("fingerprint format" in r.message for r in caplog.records)
+
+    # rewrite the meta with an older version and expect the load warning
+    meta["fp_format_version"] = FP_FORMAT_VERSION - 1
+    with np.load(path) as z:
+        arrays = {k: z[k] for k in z.files if k != "meta_json"}
+    arrays["meta_json"] = np.frombuffer(
+        _json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez(path, **arrays)
+    with caplog.at_level(_logging.WARNING, logger="rad_tpu.graph.storage"):
+        HNSWGraph.load(path, mmap=False)
+    assert any("fingerprint format" in r.message for r in caplog.records)
+
+
 @pytest.mark.slow
 def test_search_recall_vs_bruteforce():
     """Graph search must recover most true neighbors (recall oracle,
