@@ -336,3 +336,48 @@ def test_select_chunked_identical(fps):
                                      16, 256, rows_per_dispatch=rpd)
         np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(s))
         np.testing.assert_array_equal(np.asarray(ref_d), np.asarray(d))
+
+
+def test_symmetrize_bucketed_identical(fps):
+    """The destination-sharded bucketed symmetrization (the r5 >=10M
+    form) is bit-identical to the fused 3-key sort — across group
+    widths, fold budgets, tiny buffers that force overflow subdivision,
+    and a full build."""
+    from rad_tpu.build.exact import _symmetrize, _symmetrize_bucketed
+
+    rng = np.random.default_rng(5)
+    n_pad, m, n_real = 256, 4, 201
+    sel = rng.integers(-1, n_pad, size=(n_pad, m)).astype(np.int32)
+    src_ids = np.arange(n_pad)[:, None]
+    lo = np.minimum(src_ids, np.maximum(sel, 0))
+    hi = np.maximum(src_ids, np.maximum(sel, 0))
+    sel_d = (((lo * 31 + hi * 7) % 6) / 8.0).astype(np.float32)
+    a = np.asarray(_symmetrize(jnp.asarray(sel), jnp.asarray(sel_d),
+                               n_real, 8))
+    for eps, target in [(1 << 7, None), (1 << 8, 1 << 9), (300, 1200),
+                        (1 << 9, 1 << 11), (1 << 20, None),
+                        # tiny buffer target: forces overflow subdivision
+                        (1 << 7, 1 << 7)]:
+        got = np.asarray(_symmetrize_bucketed(
+            jnp.asarray(sel), jnp.asarray(sel_d), n_real, 8,
+            edges_per_sort=eps, target_buf_edges=target))
+        np.testing.assert_array_equal(a, got), (eps, target)
+
+    # pathological in-degree: EVERY node selects node 0, so node 0's
+    # group must overflow any near-uniform buffer and subdivide down to
+    # single-row groups — still bit-identical
+    sel_hub = sel.copy()
+    sel_hub[:, 0] = 0
+    d_hub = sel_d.copy()
+    a_hub = np.asarray(_symmetrize(jnp.asarray(sel_hub),
+                                   jnp.asarray(d_hub), n_real, 8))
+    got_hub = np.asarray(_symmetrize_bucketed(
+        jnp.asarray(sel_hub), jnp.asarray(d_hub), n_real, 8,
+        edges_per_sort=1 << 7, target_buf_edges=1 << 7, buf_slack=1.0))
+    np.testing.assert_array_equal(a_hub, got_hub)
+
+    g3 = build_hnsw_exact(fps, connectivity=8, seed=3, symm_mode="sort")
+    g = build_hnsw_exact(fps, connectivity=8, seed=3,
+                         symm_mode="bucketed")
+    for t3, t2 in zip(g3.neighbors, g.neighbors):
+        np.testing.assert_array_equal(np.asarray(t3), np.asarray(t2))
