@@ -154,6 +154,11 @@ def main(argv=None) -> int:
     ap.add_argument("--results", default="/tmp/e2e_results.jsonl")
     ap.add_argument("--stages", nargs="+",
                     default=["build", "serve", "traverse"])
+    ap.add_argument("--smiles-db", default="/tmp/e2e_smiles.db",
+                    help="SQLite SMILES store for the host_scored stage "
+                         "(created on first use, cached)")
+    ap.add_argument("--pipeline-depth", type=int, default=4)
+    ap.add_argument("--host-batch", type=int, default=1024)
     args = ap.parse_args(argv)
 
     from rad_tpu.utils.launcher import ensure_supervised, device_warmup
@@ -271,6 +276,76 @@ def main(argv=None) -> int:
             "n_scored": n_scored,
             "traverse_s": round(dt, 1),
             "batch": args.enrich_batch,
+            "scored_frac": round(n_scored / args.n, 4),
+            f"top{args.n_top}_found_frac": round(found / args.n_top, 4),
+        })
+
+    # ----------------------- traverse + enrichment through the HOST
+    # scoring boundary (VERDICT r4 item 4): the reference's actual
+    # deployment semantics — a user host scoring_fn(smiles) in the loop
+    # with SMILES looked up from a real SQLite store per batch
+    # (/root/reference/rad/distributed_worker.py:296-308)
+    if "host_scored" in args.stages:
+        from rad_tpu.store.smiles_store import (SQLiteSmilesStore,
+                                                create_smiles_db)
+        from rad_tpu.traverse.driver import DeviceTraverser
+
+        base_n = min(args.n, 1_000_000)
+
+        def all_smiles():
+            # combinatorial drug-like SMILES, unique per key: past the
+            # base library size each repeat carries an isotope-tagged
+            # counterion (still valid SMILES — dot-disconnected salt)
+            from rad_tpu.chem.library import make_smiles_library
+            base, _ = make_smiles_library(base_n, seed=0)
+            for k in range(args.n):
+                a, b = divmod(k, base_n)
+                yield k, (base[b] if a == 0
+                          else f"{base[b]}.[{20 + a}Na+]")
+
+        if not os.path.exists(args.smiles_db):
+            t0 = time.perf_counter()
+            n_rows = create_smiles_db(args.smiles_db, all_smiles())
+            record("smiles_db", {
+                "rows": n_rows, "build_s": round(time.perf_counter() - t0, 1),
+                "file_bytes": os.path.getsize(args.smiles_db)})
+
+        graph = HNSWGraph.load(args.graph, mmap=True)
+        keys = np.asarray(graph.keys)
+        scores = library_scores(args.n, args.n_bits, fps)
+        # the reference DUDE-Z protocol scores from a precomputed
+        # smiles -> DOCK-score dict (examples/DUDEZ_example.ipynb:52);
+        # same here, keyed by the store's own strings
+        t0 = time.perf_counter()
+        score_of = {smi: float(scores[k]) for k, smi in all_smiles()}
+        log(f"score dict: {len(score_of)} entries "
+            f"({time.perf_counter() - t0:.0f}s)")
+
+        tr = DeviceTraverser(
+            graph, score_of.__getitem__,
+            smiles_store=SQLiteSmilesStore(args.smiles_db),
+            batch_size=args.host_batch,
+            frontier_capacity=1 << 22, buffer_capacity=1 << 17,
+            head_capacity=1 << 16, n_score_threads=8)
+        tr.prime()
+        n_budget = int(args.score_frac * args.n)
+        t0 = time.perf_counter()
+        stats = tr.traverse(n_to_score=n_budget,
+                            pipeline_depth=args.pipeline_depth)
+        dt = time.perf_counter() - t0
+        n_scored = int(tr.state.n_scored)
+        order_nodes = np.asarray(tr.state.order_log)[:n_scored]
+        order_keys = keys[order_nodes]
+        true_top = np.argsort(scores, kind="stable")[: args.n_top]
+        found = len(set(order_keys.tolist()) & set(true_top.tolist()))
+        record("host_scored", {
+            "n_scored": n_scored,
+            "traverse_s": round(dt, 1),
+            "mol_per_s": round(n_scored / dt, 1),
+            "batch": args.host_batch,
+            "pipeline_depth": args.pipeline_depth,
+            "scoring_time_s": round(tr.stats["scoring_time"], 1),
+            "device_time_s": round(tr.stats["device_time"], 1),
             "scored_frac": round(n_scored / args.n, 4),
             f"top{args.n_top}_found_frac": round(found / args.n_top, 4),
         })
