@@ -38,10 +38,30 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def load_library(n: int, n_bits: int):
-    """Same cache protocol as bench_exact_stages (shared files)."""
+def load_library(n: int, n_bits: int, kind: str = "batched"):
+    """Same cache protocol as bench_exact_stages (shared files).
+
+    ``kind``: "batched" (the synthetic analog-series generator every r4
+    10M number used) or "morgan" (combinatorial drug-like SMILES through
+    the in-tree Morgan fingerprinter — a structurally different library
+    class, VERDICT r4 item 2c: tests whether the probed-vs-exact recall
+    inversion generalizes beyond the one generator)."""
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))), "examples"))
+    if kind == "morgan":
+        cache = f"/tmp/morgan_lib_n{n}_b{n_bits}.npy"
+        if os.path.exists(cache):
+            log(f"library loaded from {cache}")
+            return np.load(cache)
+        t0 = time.perf_counter()
+        from rad_tpu.chem.library import make_smiles_library
+        smiles, _scores = make_smiles_library(n, seed=0)
+        from rad_tpu.native import smiles_fingerprints_native
+        fps = smiles_fingerprints_native(smiles, n_bits=n_bits, radius=2)
+        np.save(cache, fps)
+        log(f"morgan library generated ({time.perf_counter() - t0:.0f}s)"
+            f" -> {cache}")
+        return fps
     cache = f"/tmp/bes_lib_n{n}_b{n_bits}_s0.npy"
     if os.path.exists(cache):
         log(f"library loaded from {cache}")
@@ -85,6 +105,9 @@ def main(argv=None) -> int:
     ap.add_argument("--cooldown", type=float, default=20.0,
                     help="sleep between builds (server frees a client's "
                          "buffers lazily — CLAUDE.md)")
+    ap.add_argument("--library", default="batched",
+                    choices=["batched", "morgan"],
+                    help="library class (see load_library)")
     args = ap.parse_args(argv)
 
     from rad_tpu.utils.launcher import ensure_supervised, device_warmup
@@ -103,14 +126,14 @@ def main(argv=None) -> int:
     from rad_tpu.search.knn import search_device
 
     log(f"device: {jax.devices()[0]}")
-    fps = load_library(args.n, args.n_bits)
+    fps = load_library(args.n, args.n_bits, kind=args.library)
     n = fps.shape[0]
     m = args.connectivity
 
     results_f = open(args.results, "a", buffering=1)
 
     def record(rec: dict):
-        rec = {"n": n, **rec}
+        rec = {"n": n, "library": args.library, **rec}
         results_f.write(json.dumps(rec) + "\n")
         results_f.flush()
         os.fsync(results_f.fileno())
