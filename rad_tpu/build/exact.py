@@ -232,6 +232,12 @@ PAIRS_PER_DISPATCH = 1.5e11
 # is noise.
 DISPATCH_TARGET_S = 10.0
 
+# stream_select="auto" fuses selection into the probed scan when the
+# [n_pad, k] candidate tables would exceed this many bytes of HBM
+# (they are 5.1 GB at 10M and 15 GB at 30M — the single-chip memory
+# wall; streaming never materializes them).
+STREAM_SELECT_BYTES = 4 << 30
+
 
 def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
                            col_block: int, use_pallas: bool,
@@ -398,6 +404,64 @@ def _probed_topk_span(packed_cl, perm_cl, scan_cols, q0, k: int,
             i.reshape(q_span * q_block, k))
 
 
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("k", "q_block", "csize", "use_pallas",
+                          "approx_recall", "bucket", "interpret", "q_span",
+                          "bucket_opts", "m", "heuristic_k", "sel_block",
+                          "mxu_pairs"))
+def _probed_span_select(sel_out, sel_d_out, packed, pops, packed_cl,
+                        perm_cl, scan_cols, q0, k: int, q_block: int,
+                        csize: int, use_pallas: bool,
+                        approx_recall: float | None, bucket: int | None,
+                        interpret: bool, q_span: int,
+                        bucket_opts: tuple | None, m: int,
+                        heuristic_k: int, sel_block: int,
+                        mxu_pairs: bool):
+    """One STREAMED scan+select span: probed candidates for ``q_span``
+    q-blocks, diversity selection on them immediately, and the [*, m]
+    selections scattered into the running tables — the full [n_pad, k]
+    candidate tables are never materialized (they are 15 GB at 30M nodes,
+    the single-chip build's memory wall; selection is per-row, so fusing
+    is bit-identical to scatter-then-select)."""
+    from rad_tpu.build.device import _dist_rows, _select_neighbors
+
+    one = _make_one_qblock_probed(packed_cl, perm_cl, scan_cols, k,
+                                  q_block, csize, use_pallas,
+                                  approx_recall, bucket, interpret,
+                                  bucket_opts)
+    d, i = jax.lax.map(one, q0 + jnp.arange(q_span, dtype=jnp.int32))
+    s_rows = q_span * q_block
+    bd = d.reshape(s_rows, k)
+    bpos = i.reshape(s_rows, k)
+    ids_true = jnp.where(bpos >= 0,
+                         jnp.take(perm_cl, jnp.maximum(bpos, 0)),
+                         jnp.int32(-1))
+    perm_span = jax.lax.dynamic_slice(perm_cl, (q0 * q_block,), (s_rows,))
+
+    nch = s_rows // sel_block
+
+    def one_sel(chunk):
+        cd, ci, qi = chunk
+        active = qi >= 0  # perm pads; real perm entries are < n_real
+        safe_q = jnp.where(active, qi, 0)
+        sel = _select_neighbors(packed, pops, safe_q, cd, ci, m,
+                                heuristic_k, active, mxu_pairs=mxu_pairs)
+        sel_d = _dist_rows(packed, pops, safe_q, sel,
+                           (sel >= 0) & active[:, None])
+        return sel, sel_d
+
+    sel, sel_d = jax.lax.map(
+        one_sel, (bd.reshape(nch, sel_block, k),
+                  ids_true.reshape(nch, sel_block, k),
+                  perm_span.reshape(nch, sel_block)))
+    sel = sel.reshape(s_rows, -1)
+    sel_d = sel_d.reshape(s_rows, -1)
+    n_out = sel_out.shape[0]
+    rows = jnp.where(perm_span >= 0, perm_span, n_out)
+    return (sel_out.at[rows].set(sel, mode="drop"),
+            sel_d_out.at[rows].set(sel_d, mode="drop"))
+
+
 @partial(jax.jit, donate_argnums=(0, 1))
 def _probed_scatter_span(out_d, out_i, perm_span, span_d, span_pos,
                          perm_cl):
@@ -421,7 +485,8 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
                           packed_host: np.ndarray | None = None,
                           mesh=None, mesh_axis: str = "graph",
                           probe_granularity: str = "qblock",
-                          probe_width: int | None = None):
+                          probe_width: int | None = None,
+                          select_stream: tuple | None = None):
     """Cluster-probed top-k: the subquadratic form of
     :func:`_allpairs_topk_chunked`.
 
@@ -444,6 +509,14 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
     over ``probes`` reuse ONE remote compile, at the cost of scanning
     ``probe_width`` clusters' worth of kernel time — use only for
     sweeps, never for throughput numbers.
+
+    ``select_stream``: ``(pops, m, heuristic_k, sel_block, mxu_pairs)``
+    — fuse diversity SELECTION into each scan span and return
+    ``(sel [n_pad, m], sel_d [n_pad, m])`` instead of candidate tables
+    (:func:`_probed_span_select`): the [n_pad, k] candidate tables are
+    never materialized, removing the memory wall that caps single-chip
+    builds (~15 GB of HBM at 30M nodes). Bit-identical to
+    scan-then-select (selection is per-row). Single-device path only.
     """
     from rad_tpu.build.probe import (bisect_clusters, cluster_probes,
                                      qblock_probes)
@@ -510,6 +583,27 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
                                     perm_cl)
     q_span = max(1, int(pairs_per_dispatch // (q_block * p * csize)))
     q_span = min(q_span, nq)
+    if select_stream is not None:
+        import math as _math
+
+        pops_l, m_sel, heuristic_k, sel_block, mxu_pairs = select_stream
+        # selection adds ~4.3 s/M rows on top of the span's scan time —
+        # halve the span so each streamed program stays well bounded
+        q_span = max(1, q_span // 2)
+        sb_eff = _math.gcd(sel_block, q_span * q_block)
+        del out_d, out_i
+        sel_out = jnp.full((n_pad, m_sel), -1, jnp.int32)
+        sel_d_out = jnp.full((n_pad, m_sel), INF)
+        for q0 in range(0, nq_real, q_span):
+            q0c = min(q0, nq - q_span)  # overlap re-computes; idempotent
+            sel_out, sel_d_out = _probed_span_select(
+                sel_out, sel_d_out, packed_l, pops_l, packed_cl, perm_cl,
+                scan_cols, jnp.int32(q0c), k, q_block, csize, use_pallas,
+                approx_recall, bucket, interpret, q_span, bucket_opts,
+                m_sel, heuristic_k, sb_eff, mxu_pairs)
+            # serialize: dispatches run ahead of buffer frees (CLAUDE.md)
+            np.asarray(sel_d_out[-1:, -1:])
+        return sel_out, sel_d_out
     for q0 in range(0, nq_real, q_span):
         q0c = min(q0, nq - q_span)  # overlap re-computes; scatter idempotent
         bd, bi = _probed_topk_span(
@@ -884,18 +978,19 @@ def _bucket_append(buf_dst, buf_src, buf_d, off, sel, sel_d, g_lo, g_hi,
         jnp.repeat(jnp.arange(n_pad, dtype=jnp.int32), cols))
     dst = sub.reshape(-1)
     d = sub_d.reshape(-1)
+    # FORWARD direction only: the reverse direction (dst=i, src=sel[i])
+    # is exactly row i's own selection list and is seeded sort-free into
+    # the group's run table by _seed_reverse — halving both the append
+    # traffic and the bounded-sort volume
     ok = (dst >= 0) & (src < n_real)
-    e_dst = jnp.concatenate([jnp.where(ok, dst, -1),
-                             jnp.where(ok, src, -1)])
-    e_src = jnp.concatenate([src, jnp.where(ok, dst, 0)])
-    e_d = jnp.concatenate([jnp.where(ok, d, INF)] * 2)
+    e_dst = jnp.where(ok, dst, -1)
     in_g = (e_dst >= g_lo) & (e_dst < g_hi)
     pos = off + jnp.cumsum(in_g.astype(jnp.int32)) - 1
     cap_b = buf_dst.shape[0]
     idx = jnp.where(in_g, pos, cap_b)  # cap_b and beyond: dropped
     buf_dst = buf_dst.at[idx].set(e_dst, mode="drop")
-    buf_src = buf_src.at[idx].set(e_src, mode="drop")
-    buf_d = buf_d.at[idx].set(e_d, mode="drop")
+    buf_src = buf_src.at[idx].set(src, mode="drop")
+    buf_d = buf_d.at[idx].set(jnp.where(ok, d, INF), mode="drop")
     return buf_dst, buf_src, buf_d, off + jnp.sum(in_g, dtype=jnp.int32)
 
 
@@ -947,6 +1042,27 @@ def _place_group(out_rows, run_s, g_lo):
                                         (g_lo, jnp.int32(0)))
 
 
+@partial(jax.jit, static_argnames=("rows_g",))
+def _seed_reverse(sel, sel_d, g_lo, n_real, rows_g: int):
+    """Group run tables seeded with the REVERSE edges sort-free: the
+    reverse contribution of destination row ``i`` is exactly row i's own
+    selection list ``(sel_d[i], sel[i])`` — a gather plus one row-wise
+    2-key sort (global (d, src) rank order, like every merge output),
+    no cross-row edge sort needed."""
+    n_pad = sel.shape[0]
+    rows = g_lo + jnp.arange(rows_g, dtype=jnp.int32)
+    safe = jnp.minimum(rows, n_pad - 1)
+    seed_s = jnp.take(sel, safe, axis=0)
+    seed_d = jnp.take(sel_d, safe, axis=0)
+    # reverse edge (dst=i, src=sel[i,j]) exists iff sel >= 0 AND i is a
+    # real row; the source (= the selected id) is < n_real by
+    # construction
+    live = (seed_s >= 0) & (rows < n_real)[:, None]
+    seed_d = jnp.where(live, seed_d, INF)
+    seed_s = jnp.where(live, seed_s, -1)
+    return jax.lax.sort((seed_d, seed_s), dimension=1, num_keys=2)
+
+
 def _symmetrize_bucketed(sel, sel_d, n_real, cap: int,
                          edges_per_sort: int = SYMM_EDGES_PER_SORT,
                          target_buf_edges: int | None = None,
@@ -973,7 +1089,7 @@ def _symmetrize_bucketed(sel, sel_d, n_real, cap: int,
     capacity drop via out-of-bounds scatter, the device-side offset
     counts truly, and the host compares it to capacity per group."""
     n_pad, m = sel.shape
-    total_edges = 2 * n_pad * m
+    total_edges = n_pad * m  # forward only; reverse edges are seeded
     if target_buf_edges is None:
         target_buf_edges = 8 * edges_per_sort
     n_groups = max(1, -(-total_edges // target_buf_edges))
@@ -1016,8 +1132,8 @@ def _symmetrize_bucketed(sel, sel_d, n_real, cap: int,
             do_group(g_lo, mid, depth + 1)
             do_group(mid, g_hi, depth + 1)
             return
-        run_d = jnp.full((rows_g, cap), INF)
-        run_s = jnp.full((rows_g, cap), -1, jnp.int32)
+        run_d, run_s = _seed_reverse(sel, sel_d, jnp.int32(g_lo), n_real,
+                                     rows_g=rows_g)
         for base in range(0, max(off_h, 1), edges_per_sort):
             run_d, run_s = _fold_bucket_chunk(
                 run_d, run_s, buf_dst, buf_src, buf_d,
@@ -1064,6 +1180,7 @@ def build_hnsw_exact(
     probe_granularity: str = "qblock",
     probe_width: int | None = None,
     probe_min_n: int = 2_000_000,
+    stream_select: bool | str = "auto",
     interpret: bool = False,
     mesh=None,
     mesh_axis: str = "graph",
@@ -1132,6 +1249,11 @@ def build_hnsw_exact(
     cluster's (qblock is strictly finer coverage at equal cost);
     ``probe_width`` pads probe lists to a fixed width so recall sweeps
     over ``probes`` share one compile (see _allpairs_topk_probed).
+    ``stream_select`` ("auto" default) fuses the diversity selection
+    into each probed scan span so the [n_pad, k] candidate tables are
+    never materialized (bit-identical; removes the ~15 GB HBM wall at
+    30M nodes) — "auto" streams when the tables would exceed
+    :data:`STREAM_SELECT_BYTES`; True/False force.
 
     ``mesh`` (a 1-D :class:`jax.sharding.Mesh` with axis ``mesh_axis``)
     distributes the build: every big layer's three stages run sharded
@@ -1286,8 +1408,10 @@ def build_hnsw_exact(
             logger.info("layer %d: cluster-probed candidates "
                         "(%d clusters of %d, %d probes)",
                         l, -(-n_l // csz), csz, probes)
-            cand_d, cand_id = _allpairs_topk_probed(
-                packed_l, n_l, k, qb, csz, use_pallas, approx_recall,
+            stream = (stream_select if isinstance(stream_select, bool)
+                      else n_pad * k * 8 > STREAM_SELECT_BYTES)
+            stream = stream and not sharded_layer
+            probed_kw = dict(
                 bucket=bkt, interpret=interpret, probes=probes,
                 probe_sample=probe_sample,
                 seed=seed * 1_000_003 + 7919 * (l + 1),
@@ -1297,6 +1421,19 @@ def build_hnsw_exact(
                 mesh_axis=mesh_axis,
                 probe_granularity=probe_granularity,
                 probe_width=probe_width)
+            if stream:
+                logger.info("layer %d: streamed scan+select (candidate "
+                            "tables never materialized)", l)
+                sel, sel_d = _allpairs_topk_probed(
+                    packed_l, n_l, k, qb, csz, use_pallas, approx_recall,
+                    select_stream=(pops_l, min(m, cap), heuristic_k, sb,
+                                   use_pallas),
+                    **probed_kw)
+                cand_d = cand_id = None
+            else:
+                cand_d, cand_id = _allpairs_topk_probed(
+                    packed_l, n_l, k, qb, csz, use_pallas, approx_recall,
+                    **probed_kw)
         elif sharded_layer:
             from rad_tpu.build.exact_sharded import allpairs_topk_sharded
             cand_d, cand_id = allpairs_topk_sharded(
@@ -1307,7 +1444,9 @@ def build_hnsw_exact(
                 packed_l, n_l, k, qb, cb, use_pallas, approx_recall,
                 bucket=bkt, interpret=interpret,
                 pairs_per_dispatch=pairs_per_dispatch, bucket_opts=b_opts)
-        if sharded_layer:
+        if cand_d is None:
+            pass  # streamed scan+select produced sel/sel_d already
+        elif sharded_layer:
             from rad_tpu.build.exact_sharded import select_layer_sharded
             sel, sel_d = select_layer_sharded(
                 packed_l, pops_l, cand_d, cand_id, n_l, min(m, cap),

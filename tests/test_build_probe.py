@@ -316,3 +316,20 @@ def test_probe_width_padding_is_bitidentical(fps):
                           probe_width=12, probe_min_n=0)
     for a, b in zip(g1.neighbors, g2.neighbors):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stream_select_bit_identical():
+    """The streamed scan+select path (candidate tables never
+    materialized — the 30M single-chip memory-wall fix) produces the
+    exact same graph as scatter-then-select."""
+    from rad_tpu.build.exact import build_hnsw_exact
+    from rad_tpu.fp import random_fingerprints
+
+    fps = random_fingerprints(3000, n_bits=128, density=0.2, seed=21)
+    kw = dict(connectivity=8, seed=11, q_block=128, col_block=128,
+              sel_block=128, probes=3, probe_csize=256, probe_min_n=0,
+              probe_sample=4)
+    g_tab = build_hnsw_exact(fps, stream_select=False, **kw)
+    g_str = build_hnsw_exact(fps, stream_select=True, **kw)
+    for lt, ls in zip(g_tab.neighbors, g_str.neighbors):
+        np.testing.assert_array_equal(np.asarray(lt), np.asarray(ls))
