@@ -207,6 +207,12 @@ def ensure_supervised(
         return
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         return  # no tunnel, no park hazard
+    # operator override for degraded-tunnel periods where device init is
+    # legitimately slow (observed: ~14 min after a device wedge) — a
+    # 300 s kill-and-retry cycle only adds churn there
+    env_t = os.environ.get("RAD_TPU_MARKER_TIMEOUT")
+    if env_t:
+        marker_timeout = float(env_t)
     env = dict(os.environ)
     env[_SUPERVISED_ENV] = "1"
     rc = run_supervised(
