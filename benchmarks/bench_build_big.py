@@ -149,6 +149,10 @@ def main(argv=None) -> int:
         n_top = g.layer_sizes[g.max_level]
         state = dev.prime(state, dg, jnp.arange(n_top, dtype=jnp.int32),
                           table[:n_top])
+        # pre-warm the compile outside the timing window (ROUND5 gap
+        # decomposition: a cold first dispatch is ~40 s of compile)
+        state = run(state, jnp.int32(args.traverse_budget), jnp.int32(1))
+        np.asarray(state.n_steps)
         t0 = time.perf_counter()
         state = dev.segmented_run(run, state,
                                   jnp.int32(args.traverse_budget))

@@ -1121,7 +1121,7 @@ TUNNEL_DEADLINE_S = 60.0
 
 
 def segmented_run(run, state: TraversalState, n_to_score,
-                  max_steps: int = 1 << 20, seg_init: int = 2048,
+                  max_steps: int = 1 << 20, seg_init: int = 64,
                   seg_target_s: float = 8.0,
                   seg_max: int = 1 << 20) -> TraversalState:
     """Drive an unbounded fused traversal as a host loop of bounded
@@ -1143,6 +1143,15 @@ def segmented_run(run, state: TraversalState, n_to_score,
     compile-polluted first measurement just shrinks segment 2 to the
     floor and the rate re-estimates there). Per-segment cost is one
     scalar readback (~26 ms RTT), negligible at the default target.
+
+    ``seg_init`` is deliberately SMALL (64): through a remote-compile
+    tunnel the first dispatch carries a ~40 s compile, and a large
+    first segment can swallow an entire short run into that
+    compile-polluted window — r4's "22.9k scored/s on the real 10M
+    graph" was exactly this (seg_init=2048 > the run's 515 total
+    steps; the true warm rate is ~350k/s — BENCHMARKS gap
+    decomposition). Time from segment 2, or pre-warm with a one-step
+    call, when measuring.
     """
     n_to_score = jnp.asarray(n_to_score, jnp.int32)
     # Loop iterations executed in a segment = max over campaign lanes of
@@ -1186,7 +1195,7 @@ def fused_run_segmented(
     batch: int,
     max_steps: int = 1 << 20,
     narrow_width: int | None = None,
-    seg_init: int = 2048,
+    seg_init: int = 64,
     seg_target_s: float = 8.0,
     seg_max: int = 1 << 20,
 ) -> TraversalState:
