@@ -104,6 +104,9 @@ def _summarize(rows, total_s, label):
         "steps_per_s": round(tail_steps / max(tail_s, 1e-9), 1),
         "ms_per_step": round(1e3 * tail_s / max(tail_steps, 1), 3),
         "new_per_step": round(tail_scored / max(tail_steps, 1), 1),
+        # the number a warm-cache user sees (segment 1 = compile window)
+        "sustained_scored_per_s": round(
+            tail_scored / max(tail_s, 1e-9), 1),
     }
     # discovery decay curve: new/step for 8 evenly spaced segments
     if len(rows) >= 2:
