@@ -405,38 +405,27 @@ def _probed_topk_span(packed_cl, perm_cl, scan_cols, q0, k: int,
 
 
 @partial(jax.jit, donate_argnums=(0, 1),
-         static_argnames=("k", "q_block", "csize", "use_pallas",
-                          "approx_recall", "bucket", "interpret", "q_span",
-                          "bucket_opts", "m", "heuristic_k", "sel_block",
-                          "mxu_pairs"))
-def _probed_span_select(sel_out, sel_d_out, packed, pops, packed_cl,
-                        perm_cl, scan_cols, q0, k: int, q_block: int,
-                        csize: int, use_pallas: bool,
-                        approx_recall: float | None, bucket: int | None,
-                        interpret: bool, q_span: int,
-                        bucket_opts: tuple | None, m: int,
-                        heuristic_k: int, sel_block: int,
-                        mxu_pairs: bool):
-    """One STREAMED scan+select span: probed candidates for ``q_span``
-    q-blocks, diversity selection on them immediately, and the [*, m]
-    selections scattered into the running tables — the full [n_pad, k]
-    candidate tables are never materialized (they are 15 GB at 30M nodes,
-    the single-chip build's memory wall; selection is per-row, so fusing
-    is bit-identical to scatter-then-select)."""
+         static_argnames=("m", "heuristic_k", "sel_block", "mxu_pairs"))
+def _select_scatter_span(sel_out, sel_d_out, packed, pops, bd, bpos,
+                         perm_cl, q0_rows, m: int, heuristic_k: int,
+                         sel_block: int, mxu_pairs: bool):
+    """Diversity-select one scan span's candidates and scatter the
+    [*, m] selections into the running tables — the second half of the
+    STREAMED scan+select pair. Deliberately a SEPARATE program from the
+    scan span (:func:`_probed_topk_span`): fusing both into one jit
+    produced a compile-hostile giant (>20 min at the remote compile
+    service at 10M shapes), while split programs chain on device with no
+    host round trip and reuse the scan program's warm compile. The full
+    [n_pad, k] candidate tables are never materialized (15 GB at 30M —
+    the single-chip memory wall; selection is per-row, so streaming is
+    bit-identical to scatter-then-select)."""
     from rad_tpu.build.device import _dist_rows, _select_neighbors
 
-    one = _make_one_qblock_probed(packed_cl, perm_cl, scan_cols, k,
-                                  q_block, csize, use_pallas,
-                                  approx_recall, bucket, interpret,
-                                  bucket_opts)
-    d, i = jax.lax.map(one, q0 + jnp.arange(q_span, dtype=jnp.int32))
-    s_rows = q_span * q_block
-    bd = d.reshape(s_rows, k)
-    bpos = i.reshape(s_rows, k)
+    s_rows, k = bd.shape
     ids_true = jnp.where(bpos >= 0,
                          jnp.take(perm_cl, jnp.maximum(bpos, 0)),
                          jnp.int32(-1))
-    perm_span = jax.lax.dynamic_slice(perm_cl, (q0 * q_block,), (s_rows,))
+    perm_span = jax.lax.dynamic_slice(perm_cl, (q0_rows,), (s_rows,))
 
     nch = s_rows // sel_block
 
@@ -587,20 +576,20 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
         import math as _math
 
         pops_l, m_sel, heuristic_k, sel_block, mxu_pairs = select_stream
-        # selection adds ~4.3 s/M rows on top of the span's scan time —
-        # halve the span so each streamed program stays well bounded
-        q_span = max(1, q_span // 2)
         sb_eff = _math.gcd(sel_block, q_span * q_block)
         del out_d, out_i
         sel_out = jnp.full((n_pad, m_sel), -1, jnp.int32)
         sel_d_out = jnp.full((n_pad, m_sel), INF)
         for q0 in range(0, nq_real, q_span):
             q0c = min(q0, nq - q_span)  # overlap re-computes; idempotent
-            sel_out, sel_d_out = _probed_span_select(
-                sel_out, sel_d_out, packed_l, pops_l, packed_cl, perm_cl,
-                scan_cols, jnp.int32(q0c), k, q_block, csize, use_pallas,
-                approx_recall, bucket, interpret, q_span, bucket_opts,
-                m_sel, heuristic_k, sb_eff, mxu_pairs)
+            bd, bi = _probed_topk_span(
+                packed_cl, perm_cl, scan_cols, jnp.int32(q0c), k,
+                q_block, csize, use_pallas, approx_recall, bucket,
+                interpret, q_span, bucket_opts=bucket_opts)
+            sel_out, sel_d_out = _select_scatter_span(
+                sel_out, sel_d_out, packed_l, pops_l, bd, bi, perm_cl,
+                jnp.int32(q0c * q_block), m_sel, heuristic_k, sb_eff,
+                mxu_pairs)
             # serialize: dispatches run ahead of buffer frees (CLAUDE.md)
             np.asarray(sel_d_out[-1:, -1:])
         return sel_out, sel_d_out
