@@ -332,11 +332,21 @@ def main():
                "--budget", str(budget),
                "--chain-min-budget", str(args.chain_min_budget)]
         log(f"=== phase {path}: budget {budget:.0f}s ===")
+        # Marker timeout: PATIENT by default (budget minus a flush
+        # margin). Measured r5: after a device wedge, inits take
+        # 5-15 min but patient clients eventually claim, while
+        # kill-and-retry restarts the slow init from zero — under a
+        # ~540 s total deadline patience wins. A true lost-lease park
+        # (r3s5) is covered by the budget SIGTERM -> best-so-far flush.
+        # RAD_TPU_MARKER_TIMEOUT overrides for operators who know the
+        # tunnel state.
+        mt = os.environ.get("RAD_TPU_MARKER_TIMEOUT")
+        mt = float(mt) if mt else max(60.0, budget - 90.0)
         rc = run_supervised(
             cmd,
-            marker_timeout=min(240.0, max(60.0, budget / 2)),
+            marker_timeout=min(mt, budget - 30.0),
             budget=budget,
-            retries=1 if budget > 200 else 0,
+            retries=1 if budget > 3 * mt else 0,
             retry_sleep=60.0,
         )
         log(f"=== phase {path} done rc={rc} ===")
