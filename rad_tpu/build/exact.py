@@ -234,9 +234,11 @@ DISPATCH_TARGET_S = 10.0
 
 # stream_select="auto" fuses selection into the probed scan when the
 # [n_pad, k] candidate tables would exceed this many bytes of HBM
-# (they are 5.1 GB at 10M and 15 GB at 30M — the single-chip memory
-# wall; streaming never materializes them).
-STREAM_SELECT_BYTES = 4 << 30
+# (they are 5.1 GB at 10M and 7.7 GB at 30M/M=8 — the single-chip
+# memory wall; streaming never materializes them). The threshold keeps
+# 10M on the table path (it fits, and its programs are compile-cached)
+# while 30M streams.
+STREAM_SELECT_BYTES = 6 << 30
 
 
 def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
@@ -404,21 +406,20 @@ def _probed_topk_span(packed_cl, perm_cl, scan_cols, q0, k: int,
             i.reshape(q_span * q_block, k))
 
 
-@partial(jax.jit, donate_argnums=(0, 1),
+@partial(jax.jit,
          static_argnames=("m", "heuristic_k", "sel_block", "mxu_pairs"))
-def _select_scatter_span(sel_out, sel_d_out, packed, pops, bd, bpos,
-                         perm_cl, q0_rows, m: int, heuristic_k: int,
-                         sel_block: int, mxu_pairs: bool):
-    """Diversity-select one scan span's candidates and scatter the
-    [*, m] selections into the running tables — the second half of the
-    STREAMED scan+select pair. Deliberately a SEPARATE program from the
-    scan span (:func:`_probed_topk_span`): fusing both into one jit
-    produced a compile-hostile giant (>20 min at the remote compile
-    service at 10M shapes), while split programs chain on device with no
-    host round trip and reuse the scan program's warm compile. The full
-    [n_pad, k] candidate tables are never materialized (15 GB at 30M —
-    the single-chip memory wall; selection is per-row, so streaming is
-    bit-identical to scatter-then-select)."""
+def _select_span_permuted(packed, pops, bd, bpos, perm_cl, q0_rows,
+                          m: int, heuristic_k: int, sel_block: int,
+                          mxu_pairs: bool):
+    """Diversity-select one scan span's candidates in PERMUTED row
+    order — the middle program of the streamed scan→select→scatter
+    triple. Mirrors :func:`_select_layer_span` (the known
+    remote-compilable program family) with two deltas: query ids come
+    from the permutation slice, and candidate positions are mapped to
+    layer ids by one gather. The streamed pipeline is deliberately
+    three SEPARATE programs: both the scan+select and select+scatter
+    fusions compiled for >20 min at the remote service at 10M shapes,
+    while the pieces chain on device with no host round trip."""
     from rad_tpu.build.device import _dist_rows, _select_neighbors
 
     s_rows, k = bd.shape
@@ -443,8 +444,13 @@ def _select_scatter_span(sel_out, sel_d_out, packed, pops, bd, bpos,
         one_sel, (bd.reshape(nch, sel_block, k),
                   ids_true.reshape(nch, sel_block, k),
                   perm_span.reshape(nch, sel_block)))
-    sel = sel.reshape(s_rows, -1)
-    sel_d = sel_d.reshape(s_rows, -1)
+    return sel.reshape(s_rows, -1), sel_d.reshape(s_rows, -1), perm_span
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_sel_span(sel_out, sel_d_out, perm_span, sel, sel_d):
+    """Scatter a permuted span's selections into layer-row order (the
+    streamed pipeline's last, trivial program — pad rows drop)."""
     n_out = sel_out.shape[0]
     rows = jnp.where(perm_span >= 0, perm_span, n_out)
     return (sel_out.at[rows].set(sel, mode="drop"),
@@ -586,10 +592,12 @@ def _allpairs_topk_probed(packed_l, n_real: int, k: int, q_block: int,
                 packed_cl, perm_cl, scan_cols, jnp.int32(q0c), k,
                 q_block, csize, use_pallas, approx_recall, bucket,
                 interpret, q_span, bucket_opts=bucket_opts)
-            sel_out, sel_d_out = _select_scatter_span(
-                sel_out, sel_d_out, packed_l, pops_l, bd, bi, perm_cl,
+            sel_sp, sel_d_sp, perm_span = _select_span_permuted(
+                packed_l, pops_l, bd, bi, perm_cl,
                 jnp.int32(q0c * q_block), m_sel, heuristic_k, sb_eff,
                 mxu_pairs)
+            sel_out, sel_d_out = _scatter_sel_span(
+                sel_out, sel_d_out, perm_span, sel_sp, sel_d_sp)
             # serialize: dispatches run ahead of buffer frees (CLAUDE.md)
             np.asarray(sel_d_out[-1:, -1:])
         return sel_out, sel_d_out
