@@ -991,16 +991,15 @@ def _bucket_append(buf_dst, buf_src, buf_d, off, sel, sel_d, g_lo, g_hi,
     return buf_dst, buf_src, buf_d, off + jnp.sum(in_g, dtype=jnp.int32)
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap", "chunk"))
-def _fold_bucket_chunk(run_d, run_s, buf_dst, buf_src, buf_d, base, off,
-                       g_lo, cap: int, chunk: int):
-    """Fold buffer records ``[base, base+chunk)`` (those below ``off``;
-    stale slots from a previous group are masked out) into the group's
-    running [rows_g, cap] tables — the destination-sharded form of
-    :func:`_fold_edges`: same sort + dup-drop + rank-limit + merge, but
-    destinations are LOCAL to the group, so the merge row-sorts only
-    ``rows_g`` rows instead of the full table."""
-    rows_g = run_d.shape[0]
+@partial(jax.jit, static_argnames=("cap", "chunk", "rows_g"))
+def _fold_sort_chunk(buf_dst, buf_src, buf_d, base, off, g_lo,
+                     cap: int, chunk: int, rows_g: int):
+    """Sort + dup-drop + rank-limit + scatter of one buffer chunk into a
+    fresh [rows_g, cap] chunk table — the first half of the bucketed
+    fold. Kept SEPARATE from the row-wise merge: one jit containing
+    both the 4M 3-key edge sort and the [rows_g, 3*cap] row-wise merge
+    sorts compiled for 10+ minutes at the remote service (multiple sort
+    lowerings in one module), while the halves compile in seconds."""
     bd = jax.lax.dynamic_slice_in_dim(buf_dst, base, chunk)
     bs = jax.lax.dynamic_slice_in_dim(buf_src, base, chunk)
     bdist = jax.lax.dynamic_slice_in_dim(buf_d, base, chunk)
@@ -1030,7 +1029,27 @@ def _fold_bucket_chunk(run_d, run_s, buf_dst, buf_src, buf_d, base, off,
     ch_d = ch_d.at[jnp.where(keep, sd_key, rows_g),
                    jnp.where(keep, rank, 0)].set(
         jnp.where(keep, sdist, INF), mode="drop")
-    return _merge_rows(run_d, run_s, ch_d[:rows_g], ch_s[:rows_g], cap)
+    return ch_d[:rows_g], ch_s[:rows_g]
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("cap",))
+def _merge_rows_jit(run_d, run_s, ch_d, ch_s, cap: int):
+    """:func:`_merge_rows` as its own program (second fold half)."""
+    return _merge_rows(run_d, run_s, ch_d, ch_s, cap)
+
+
+def _fold_bucket_chunk(run_d, run_s, buf_dst, buf_src, buf_d, base, off,
+                       g_lo, cap: int, chunk: int):
+    """Fold buffer records ``[base, base+chunk)`` (those below ``off``;
+    stale slots from a previous group are masked out) into the group's
+    running [rows_g, cap] tables — the destination-sharded form of
+    :func:`_fold_edges` as TWO chained device programs (see
+    :func:`_fold_sort_chunk` for why)."""
+    rows_g = run_d.shape[0]
+    ch_d, ch_s = _fold_sort_chunk(buf_dst, buf_src, buf_d, base, off,
+                                  g_lo, cap=cap, chunk=chunk,
+                                  rows_g=rows_g)
+    return _merge_rows_jit(run_d, run_s, ch_d, ch_s, cap=cap)
 
 
 @partial(jax.jit, donate_argnums=(0,))
