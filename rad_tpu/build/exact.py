@@ -996,10 +996,14 @@ def _fold_sort_chunk(buf_dst, buf_src, buf_d, base, off, g_lo,
                      cap: int, chunk: int, rows_g: int):
     """Sort + dup-drop + rank-limit + scatter of one buffer chunk into a
     fresh [rows_g, cap] chunk table — the first half of the bucketed
-    fold. Kept SEPARATE from the row-wise merge: one jit containing
-    both the 4M 3-key edge sort and the [rows_g, 3*cap] row-wise merge
-    sorts compiled for 10+ minutes at the remote service (multiple sort
-    lowerings in one module), while the halves compile in seconds."""
+    fold, kept separate from the row-wise merge. MEASURED (r5): the 4M
+    3-key sort lowering alone costs ~20 min at the remote compile
+    service per new program shape (the merge half compiles in 1 s), and
+    caches per (chunk, rows_g, cap). Design note for a future pass:
+    standardizing rows_g to one scale-independent value (e.g. 4M, with
+    the last group padded) would make every build scale share one
+    compiled fold per cap — not done now because the current shapes are
+    already cached for this round's 10M/30M campaigns."""
     bd = jax.lax.dynamic_slice_in_dim(buf_dst, base, chunk)
     bs = jax.lax.dynamic_slice_in_dim(buf_src, base, chunk)
     bdist = jax.lax.dynamic_slice_in_dim(buf_d, base, chunk)
