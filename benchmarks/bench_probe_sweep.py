@@ -228,6 +228,13 @@ def main(argv=None) -> int:
         log(f"=== throughput {gran}:{p} (unpadded) ===")
         g, dt1 = one_build(gran, p, None)
         rec = eval_recall(g)
+        # free build 1 + its eval buffers BEFORE building again: both
+        # graphs plus one build's ~11 GB working set do not fit 15.5 GB
+        # of HBM, and the server frees a dead client's buffers lazily
+        # (measured RE in r5 build 2 at layer-0 selection)
+        del g
+        gc.collect()
+        time.sleep(args.cooldown)
         g2, dt2 = one_build(gran, p, None)
         best = min(dt1, dt2)
         record({"kind": "throughput", "granularity": gran, "probes": p,
@@ -240,7 +247,7 @@ def main(argv=None) -> int:
             record({"kind": "save", "path": args.save,
                     "save_s": round(time.perf_counter() - t0, 1),
                     "bytes": os.path.getsize(args.save)})
-        del g, g2
+        del g2
         gc.collect()
 
     out = {"metric": "probe_sweep", "n": n, "csize": args.csize,
