@@ -73,6 +73,23 @@ def _bisect_scores(rows, anchors_a, anchors_b, group_id):
     return dist(a) - dist(b)
 
 
+@partial(jax.jit, static_argnames=("chunk",))
+def _bisect_scores_chunk(rows, anchors_a, anchors_b, group_id, r0,
+                         chunk: int):
+    """:func:`_bisect_scores` over ``chunk`` rows starting at ``r0`` —
+    the remote compile helper dies (HTTP 500) on the monolithic [30M]
+    program, so big layers dispatch fixed-shape slices (one compile
+    serves every slice of every level)."""
+    sub = jax.lax.dynamic_slice_in_dim(rows, r0, chunk)
+    gid = jax.lax.dynamic_slice_in_dim(group_id, r0, chunk)
+    return _bisect_scores(sub, anchors_a, anchors_b, gid)
+
+
+# rows per bisect-score dispatch past which the monolithic program is
+# not attempted (measured: 10M compiles fine, 30M kills the helper)
+BISECT_CHUNK = 1 << 22
+
+
 def bisect_clusters(packed: np.ndarray, csize: int, seed: int = 0,
                     dev_rows=None) -> np.ndarray:
     """Partition ``n`` fingerprint rows into ``C = ceil(n / csize)``
@@ -124,9 +141,21 @@ def bisect_clusters(packed: np.ndarray, csize: int, seed: int = 0,
                 anchors_b[gi] = packed[real[bi]]
             elif real.size == 1:
                 anchors_a[gi] = packed[real[0]]
-        scores = np.asarray(_bisect_scores(
-            dev_rows, jnp.asarray(anchors_a), jnp.asarray(anchors_b),
-            jnp.asarray(gid)))[:n]
+        a_dev = jnp.asarray(anchors_a)
+        b_dev = jnp.asarray(anchors_b)
+        gid_dev = jnp.asarray(gid)
+        if n_dev <= 2 * BISECT_CHUNK:
+            scores = np.asarray(_bisect_scores(
+                dev_rows, a_dev, b_dev, gid_dev))[:n]
+        else:
+            parts = np.empty(n_dev, np.float32)
+            for r0 in range(0, n_dev, BISECT_CHUNK):
+                r0c = min(r0, n_dev - BISECT_CHUNK)  # overlap recomputes
+                parts[r0c:r0c + BISECT_CHUNK] = np.asarray(
+                    _bisect_scores_chunk(dev_rows, a_dev, b_dev,
+                                         gid_dev, jnp.int32(r0c),
+                                         chunk=BISECT_CHUNK))
+            scores = parts[:n]
         gid_ord = np.empty(n_tot, np.uint64)
         s_ord = np.full(n_tot, np.inf, np.float32)
         for gi, (s, t) in enumerate(groups):
