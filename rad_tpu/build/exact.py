@@ -1515,6 +1515,12 @@ def build_hnsw_exact(
         else:
             raise ValueError(f"unknown symm_mode {mode!r}")
         neighbors.append(rows[:n_l])
+        # big layers: the selection tables (3.8 GB at 30M) must not stay
+        # bound through the NEXT layer's candidate stage — the server
+        # frees a client's dead buffers lazily, and the overlap measured
+        # ResourceExhausted at 30M layer 1 (r5)
+        np.asarray(neighbors[-1][-1:, -1:])
+        del sel, sel_d, rows
 
     if probes is not None and not any_probed:
         # the probed build was requested but every layer was gated back
