@@ -232,6 +232,13 @@ PAIRS_PER_DISPATCH = 1.5e11
 # is noise.
 DISPATCH_TARGET_S = 10.0
 
+# Re-span only when the projected remaining stage time exceeds this:
+# the grown span is a NEW program whose first compile can cost minutes
+# at a remote service (measured: a 1M-layer re-span traded ~60 s of
+# dispatches for a ~10-min compile) — only a long remaining tail
+# amortizes it.
+RESPAN_MIN_REMAINING_S = 600.0
+
 # stream_select="auto" fuses selection into the probed scan when the
 # [n_pad, k] candidate tables would exceed this many bytes of HBM
 # (they are 5.1 GB at 10M and 7.7 GB at 30M/M=8 — the single-chip
@@ -298,7 +305,9 @@ def _allpairs_topk_chunked(packed, n_real, k: int, q_block: int,
         # compile), and if the program is far under budget, grow the span
         # by a POWER OF TWO (quantized so the new shape's compile is
         # cache-stable across runs). One growth only: one extra compile.
-        if n_done == 2 and dt < DISPATCH_TARGET_S / 2 and q0 < nq:
+        remaining_s = dt * max(0, (nq - q0)) / q_span
+        if (n_done == 2 and dt < DISPATCH_TARGET_S / 2 and q0 < nq
+                and remaining_s > RESPAN_MIN_REMAINING_S):
             factor = 1 << max(0, int(np.log2(DISPATCH_TARGET_S / dt)))
             new_span = min(q_span * factor, nq - q0)
             if new_span > q_span:
